@@ -1,0 +1,343 @@
+"""Pure-Python reference extractor (the golden oracle).
+
+This is the answers-before-engine seam (SURVEY.md §5/§7.1): a scalar,
+readable, obviously-correct implementation of the per-turn extraction
+spec. The Spark engine must match it byte-for-byte per
+``(conv_id, turn_idx)``. It deliberately shares only constants
+(:mod:`yomitoku_spark.spec`) with the engine, never code, so the
+equality tests compare two independent implementations — mirroring how
+the reference validates its relational core against golden JSON with
+the neural models monkeypatched out
+(reference: tests/test_table_semantic_from_json.py:116-148).
+
+No Spark, no pandas — stdlib only.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import unicodedata
+from dataclasses import dataclass
+
+from yomitoku_spark import spec
+
+
+@dataclass
+class Block:
+    start: int
+    end: int
+    kind: str
+    rendered: str
+    keep: bool
+
+
+def nfkc(s: str) -> str:
+    # reference: text_recognizer.py:155
+    return unicodedata.normalize("NFKC", s)
+
+
+def collapse_ws(s: str) -> str:
+    return spec.WS_COLLAPSE_RE.sub(" ", s).strip()
+
+
+# ---------------------------------------------------------------- payloads
+
+
+def classify_payload(payload: str) -> str:
+    if payload.lstrip().startswith(spec.LAYOUT_PREFIX):
+        return "layout"
+    if spec.HTML_BLOCK_TAG_RE.search(payload):
+        return "html"
+    return "textual"
+
+
+# ---------------------------------------------------------------- textual
+
+
+def _render_table(lines: list[str]) -> str:
+    """Markdown pipe-table normalization with span expansion.
+
+    Grid recovery semantics (reference: table_structure_recognizer.py:49-85
+    span folding; utils/misc.py:137-154 anchor-only content): merged-cell
+    continuation markers render as empty cells.
+    """
+    rows = []
+    for ln in lines:
+        if spec.MD_TABLE_SEP_RE.match(ln.strip()):
+            continue
+        raw = ln.strip().strip("|")
+        cells = [c.strip() for c in raw.split("|")]
+        cells = [
+            "" if c in (spec.ROWSPAN_MARK, spec.COLSPAN_MARK) else nfkc(c)
+            for c in cells
+        ]
+        rows.append(cells)
+    if not rows:
+        return ""
+    width = max(len(r) for r in rows)
+    rows = [r + [""] * (width - len(r)) for r in rows]
+    out = ["| " + " | ".join(rows[0]) + " |"]
+    out.append("| " + " | ".join(["---"] * width) + " |")
+    for r in rows[1:]:
+        out.append("| " + " | ".join(r) + " |")
+    return "\n".join(out)
+
+
+def _textual_blocks(payload: str) -> list[Block]:
+    blocks: list[Block] = []
+    pos = 0
+    # split into line-blocks on blank lines, keeping offsets
+    segments = []
+    for seg in spec.BLANK_LINE_SPLIT_RE.split(payload):
+        idx = payload.index(seg, pos)
+        segments.append((idx, idx + len(seg), seg))
+        pos = idx + len(seg)
+    for start, end, seg in segments:
+        if not seg.strip():
+            continue
+        lines = [ln for ln in seg.split("\n") if ln.strip()]
+        stripped = [ln.strip() for ln in lines]
+        if (
+            len(stripped) >= 2
+            and all(spec.MD_TABLE_LINE_RE.match(ln) for ln in stripped)
+            and spec.MD_TABLE_SEP_RE.match(stripped[1])
+        ):
+            rendered = _render_table(stripped)
+            blocks.append(Block(start, end, spec.KIND_TABLE, rendered, bool(rendered)))
+            continue
+        m = spec.MD_HEADING_RE.match(stripped[0])
+        if m and len(stripped) == 1:
+            title = nfkc(m.group(2)).strip()
+            keep = len(title) >= spec.MIN_HEADING_CHARS
+            blocks.append(
+                Block(start, end, spec.KIND_HEADING, f"{m.group(1)} {title}", keep)
+            )
+            continue
+        if all(spec.MD_LIST_LINE_RE.match(ln) for ln in stripped):
+            items = [spec.MD_LIST_LINE_RE.match(ln).group(1) for ln in stripped]
+            rendered = "\n".join("- " + nfkc(i).strip() for i in items)
+            blocks.append(Block(start, end, spec.KIND_LIST, rendered, True))
+            continue
+        if len(stripped) >= 2 and all(spec.KV_LINE_RE.match(ln) for ln in stripped):
+            parts = []
+            for ln in stripped:
+                k, v = spec.KV_LINE_RE.match(ln).groups()
+                parts.append(f"- **{collapse_ws(k)}**: {nfkc(v).strip()}")
+            blocks.append(Block(start, end, spec.KIND_KV, "\n".join(parts), True))
+            continue
+        text = nfkc(seg).strip()
+        keep = len(text) >= spec.MIN_PARA_CHARS
+        blocks.append(Block(start, end, spec.KIND_PARAGRAPH, text, keep))
+    return blocks
+
+
+# ---------------------------------------------------------------- html
+
+
+def _strip_inline(s: str) -> str:
+    s = spec.HTML_A_RE.sub(lambda m: m.group(1), s)
+    return spec.HTML_INLINE_STRIP_RE.sub("", s)
+
+
+def _render_html_table(inner: str) -> str:
+    rows = []
+    for tr in spec.HTML_TR_RE.findall(inner):
+        cells = [collapse_ws(nfkc(_strip_inline(c))) for c in spec.HTML_TD_RE.findall(tr)]
+        rows.append(cells)
+    rows = [r for r in rows if r]
+    if not rows:
+        return ""
+    width = max(len(r) for r in rows)
+    rows = [r + [""] * (width - len(r)) for r in rows]
+    out = ["| " + " | ".join(rows[0]) + " |"]
+    out.append("| " + " | ".join(["---"] * width) + " |")
+    for r in rows[1:]:
+        out.append("| " + " | ".join(r) + " |")
+    return "\n".join(out)
+
+
+def _html_blocks(payload: str) -> list[Block]:
+    blocks: list[Block] = []
+    # pending run of consecutive <li> elements (merged into ONE list block;
+    # spec: adjacent li elements form a single list)
+    li_run: list[tuple[int, int, str, int, int]] = []  # start,end,item,link,vis
+
+    def flush_li():
+        if not li_run:
+            return
+        start, end = li_run[0][0], li_run[-1][1]
+        rendered = "\n".join("- " + item for _, _, item, _, _ in li_run)
+        link = sum(r[3] for r in li_run)
+        vis = sum(r[4] for r in li_run)
+        density = link / max(vis, 1)
+        content_len = sum(len(item) for _, _, item, _, _ in li_run)
+        keep = content_len > 0 and density <= spec.MAX_LINK_DENSITY
+        blocks.append(Block(start, end, spec.KIND_LIST, rendered, keep))
+        li_run.clear()
+
+    for m in spec.HTML_ELEMENT_RE.finditer(payload):
+        tag, attrs, inner = m.group("tag"), m.group("attrs"), m.group("inner")
+        if tag == "li":
+            visible = _strip_inline(inner).strip()
+            link_chars = sum(len(t) for t in spec.HTML_A_RE.findall(inner))
+            li_run.append(
+                (m.start(), m.end(), collapse_ws(nfkc(visible)), link_chars, len(visible))
+            )
+            continue
+        flush_li()
+        cm = spec.HTML_CLASS_RE.search(attrs)
+        cls = cm.group(1) if cm else ""
+        visible = _strip_inline(inner).strip()
+        link_chars = sum(len(t) for t in spec.HTML_A_RE.findall(inner))
+        text_len = len(visible)
+        link_density = link_chars / max(text_len, 1)
+        boiler = tag in spec.BOILER_TAGS or bool(spec.BOILER_CLASS_RE.search(cls))
+        if tag == "table":
+            rendered = _render_html_table(inner)
+            keep = (not boiler) and bool(rendered)
+            blocks.append(Block(m.start(), m.end(), spec.KIND_TABLE, rendered, keep))
+        elif tag.startswith("h") and tag[1:].isdigit():
+            title = collapse_ws(nfkc(visible))
+            keep = (
+                not boiler
+                and len(title) >= spec.MIN_HEADING_CHARS
+                and link_density <= spec.MAX_LINK_DENSITY
+            )
+            rendered = "#" * int(tag[1:]) + " " + title
+            blocks.append(Block(m.start(), m.end(), spec.KIND_HEADING, rendered, keep))
+        else:  # p, div, header, footer, nav, aside
+            text = collapse_ws(nfkc(visible))
+            keep = (
+                not boiler
+                and text_len >= spec.MIN_PARA_CHARS
+                and link_density <= spec.MAX_LINK_DENSITY
+            )
+            blocks.append(Block(m.start(), m.end(), spec.KIND_PARAGRAPH, text, keep))
+    flush_li()
+    return blocks
+
+
+# ---------------------------------------------------------------- layout
+
+
+def reading_order(boxes: list[tuple[int, int, int, int]]) -> list[int]:
+    """Deterministic reading-order over layout boxes.
+
+    Semantics modeled on the reference's top-to-bottom graph + priority
+    traversal (reading_order.py:123-145, 14-82): an edge i→j when the two
+    boxes overlap horizontally, i lies entirely above j, and no third
+    x-overlapping box lies between them; then a topological sort that
+    always emits the ready node with the smallest (x1, y1) — which walks
+    a left column to its end before starting the right column.
+    Returns the permutation order (position list of indices).
+    """
+    n = len(boxes)
+
+    def x_overlap(a, b) -> bool:
+        return min(a[2], b[2]) - max(a[0], b[0]) > 0
+
+    adj = [[] for _ in range(n)]
+    indeg = [0] * n
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            a, b = boxes[i], boxes[j]
+            if not (x_overlap(a, b) and a[3] <= b[1]):
+                continue
+            occluded = any(
+                k != i
+                and k != j
+                and x_overlap(a, boxes[k])
+                and x_overlap(boxes[k], b)
+                and a[3] <= boxes[k][1]
+                and boxes[k][3] <= b[1]
+                for k in range(n)
+            )
+            if not occluded:
+                adj[i].append(j)
+                indeg[j] += 1
+    heap = [
+        (boxes[i][0], boxes[i][1], i) for i in range(n) if indeg[i] == 0
+    ]
+    heapq.heapify(heap)
+    order = []
+    while heap:
+        _, _, i = heapq.heappop(heap)
+        order.append(i)
+        for j in adj[i]:
+            indeg[j] -= 1
+            if indeg[j] == 0:
+                heapq.heappush(heap, (boxes[j][0], boxes[j][1], j))
+    # cycles cannot happen (edges strictly increase y), but stay total:
+    if len(order) < n:
+        order += sorted(set(range(n)) - set(order))
+    return order
+
+
+def _layout_blocks(payload: str) -> list[Block]:
+    doc = json.loads(payload)
+    items = doc.get("blocks", [])
+    kept_idx = [i for i, it in enumerate(items) if it.get("role") not in spec.META_ROLES]
+    dropped = [i for i in range(len(items)) if i not in kept_idx]
+    boxes = [tuple(items[i]["box"]) for i in kept_idx]
+    perm = reading_order(boxes)
+    blocks: list[Block] = []
+    for i in dropped:
+        it = items[i]
+        idx = payload.find(it["text"])
+        blocks.append(
+            Block(idx, idx + len(it["text"]), spec.KIND_PARAGRAPH, "", False)
+        )
+    for p in perm:
+        it = items[kept_idx[p]]
+        text = nfkc(it["text"]).strip()
+        role = it.get("role", spec.ROLE_PARAGRAPH)
+        if role == spec.ROLE_HEADING:
+            kind, rendered = spec.KIND_HEADING, "# " + text
+        elif role == spec.ROLE_FIGURE:
+            kind, rendered = spec.KIND_FIGURE, text
+        else:
+            kind, rendered = spec.KIND_PARAGRAPH, text
+        idx = payload.find(it["text"])
+        blocks.append(Block(idx, idx + len(it["text"]), kind, rendered, bool(text)))
+    return blocks
+
+
+# ---------------------------------------------------------------- entry
+
+
+def extract_payload(text: str | None, tool: str | None) -> dict:
+    """Extract one turn. Returns extracted_text, spans, metrics."""
+    payload = text if (text is not None and text != "") else (tool or "")
+    if payload.strip() == "":
+        return {
+            "extracted_text": "",
+            "spans": [],
+            "blocks_kept": 0,
+            "blocks_dropped": 0,
+            "chars_emitted": 0,
+        }
+    cls = classify_payload(payload)
+    if cls == "layout":
+        # bad-row tolerance: unparseable layout JSON degrades to textual
+        # (the reference skips unreadable inputs per file, cli/main.py:538-549;
+        # at 10^12 turns one bad payload must never kill the job)
+        try:
+            blocks = _layout_blocks(payload)
+        except Exception:
+            blocks = _textual_blocks(payload)
+    elif cls == "html":
+        blocks = _html_blocks(payload)
+    else:
+        blocks = _textual_blocks(payload)
+    kept = [b for b in blocks if b.keep]
+    extracted = spec.BLOCK_JOINER.join(b.rendered for b in kept)
+    return {
+        "extracted_text": extracted,
+        "spans": [(b.start, b.end, b.kind) for b in kept],
+        "blocks_kept": len(kept),
+        "blocks_dropped": len(blocks) - len(kept),
+        "chars_emitted": len(extracted),
+    }

@@ -1,0 +1,314 @@
+"""The extraction pipeline — fused fast path + staged inspectable path.
+
+Both implement the spec in :mod:`yomitoku_spark.spec` and must match the
+pure-Python oracle byte-for-byte per ``(conv_id, turn_idx)``.
+
+**Fused path** (:func:`extract`): ONE ``mapInPandas`` stage over the
+transcripts scan — segment, featurize, classify, reading-order, emit all
+inside a single Arrow batch. Zero shuffles; embarrassingly parallel over
+turns. This is the plan you want at 10^12 turns: throughput scales
+linearly with executors because no stage exchanges data (the reference's
+analog is its per-page loop, cli/main.py:538-549 — we parallelize
+across pages/turns instead of within one).
+
+**Staged path** (:func:`extract_staged`): the same semantics decomposed
+into Catalyst-visible stages so features/decisions are queryable:
+
+- ``segment_blocks``  — mapInPandas payload → long-form blocks rows
+- ``order_blocks``    — grouped pandas UDF (layout turns only) for the
+  reading-order DAG sort (reference: reading_order.py:14-223)
+- ``featurize``       — pure column expressions (link density etc. —
+  jusText/Readability-style block features; whole-stage codegen)
+- ``classify``        — pure column expressions (keep/drop; the analog
+  of the reference's meta-role filter, document_analyzer.py:552-568)
+- ``emit``            — one hash aggregation per turn: ordered
+  collect_list → array_join (reference content concatenation:
+  document_analyzer.py:233-235, export_markdown.py)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yomitoku_spark import spec
+from yomitoku_spark.operators.reading_order import reading_order_numpy
+from yomitoku_spark.plans.segment import BLOCK_FIELDS, BLOCKS_SCHEMA, segment_turn
+
+RESULT_SCHEMA = (
+    "conv_id string, turn_idx int, ts timestamp, extracted_text string, "
+    "spans array<struct<start:int,end:int,kind:string>>, "
+    "blocks_kept int, blocks_dropped int, chars_emitted int"
+)
+
+_EMPTY_SPANS = "CAST(array() AS array<struct<start:int,end:int,kind:string>>)"
+
+
+# ------------------------------------------------------------------
+# shared vectorized keep rule (numpy mirror of the classify() column
+# expressions — the single CASE both paths implement)
+# ------------------------------------------------------------------
+
+
+def _keep_mask(bdf: pd.DataFrame) -> np.ndarray:
+    dens = bdf["link_chars"].to_numpy() / np.maximum(bdf["visible_len"].to_numpy(), 1)
+    content = bdf["content_len"].to_numpy()
+    visible = bdf["visible_len"].to_numpy()
+    kind = bdf["kind"].to_numpy()
+    source = bdf["source"].to_numpy()
+    ok_dens = dens <= spec.MAX_LINK_DENSITY
+    keep = np.select(
+        [
+            bdf["boiler"].to_numpy() | bdf["meta"].to_numpy(),
+            source == "layout",
+            kind == spec.KIND_HEADING,
+            kind == spec.KIND_TABLE,
+            kind == spec.KIND_LIST,
+            kind == spec.KIND_KV,
+        ],
+        [
+            False,
+            content > 0,
+            (content >= spec.MIN_HEADING_CHARS) & ok_dens,
+            content > 0,
+            (content > 0) & ok_dens,
+            True,
+        ],
+        default=(visible >= spec.MIN_PARA_CHARS) & ok_dens,
+    )
+    return keep.astype(bool)
+
+
+def _layout_order(blocks: list[tuple]) -> np.ndarray:
+    """Emit order for one layout turn's raw block tuples (doc order)."""
+    meta_col = BLOCK_FIELDS.index("meta")
+    box_cols = [BLOCK_FIELDS.index(c) for c in ("x1", "y1", "x2", "y2")]
+    order = np.full(len(blocks), -1, dtype=np.int64)
+    nm_pos = np.asarray([i for i, b in enumerate(blocks) if not b[meta_col]])
+    if len(nm_pos):
+        boxes = np.asarray([[blocks[i][c] for c in box_cols] for i in nm_pos])
+        perm = reading_order_numpy(boxes)
+        order[nm_pos[perm]] = np.arange(len(perm))
+    return order
+
+
+# ------------------------------------------------------------------
+# fused path
+# ------------------------------------------------------------------
+
+
+def _extract_batches(batches):
+    src_col = BLOCK_FIELDS.index("source")
+    bid_col = BLOCK_FIELDS.index("block_id")
+    for pdf in batches:
+        n = len(pdf)
+        rows, turn_of, orders = [], [], []
+        for i, (tx, tl) in enumerate(zip(pdf["text"].tolist(), pdf["tool"].tolist())):
+            blks = segment_turn(tx, tl)
+            if blks and blks[0][src_col] == "layout":
+                order = _layout_order(blks)
+            else:
+                order = np.asarray([b[bid_col] for b in blks], dtype=np.int64)
+            rows.extend(blks)
+            orders.extend(order.tolist())
+            turn_of.extend([i] * len(blks))
+        out = pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].to_numpy(),
+                "turn_idx": pdf["turn_idx"].to_numpy(),
+                "ts": pdf["ts"].to_numpy(),
+                "extracted_text": "",
+                "spans": [[] for _ in range(n)],
+                "blocks_kept": np.zeros(n, dtype="int32"),
+                "blocks_dropped": np.zeros(n, dtype="int32"),
+                "chars_emitted": np.zeros(n, dtype="int32"),
+            }
+        )
+        if rows:
+            bdf = pd.DataFrame(rows, columns=BLOCK_FIELDS)
+            bdf["ti"] = turn_of
+            bdf["order"] = orders
+            keep = _keep_mask(bdf)
+            n_blocks = bdf.groupby("ti").size()
+            kept = bdf[keep].sort_values(["ti", "order"], kind="stable")
+            kept = kept.assign(
+                span=[
+                    {"start": int(s), "end": int(e), "kind": k}
+                    for s, e, k in zip(kept["start"], kept["end"], kept["kind"])
+                ]
+            )
+            texts = kept.groupby("ti")["rendered"].agg(spec.BLOCK_JOINER.join)
+            spans = kept.groupby("ti")["span"].agg(list)
+            n_kept = kept.groupby("ti").size()
+            out.loc[texts.index, "extracted_text"] = texts
+            out.loc[spans.index, "spans"] = spans
+            out["blocks_kept"] = (
+                n_kept.reindex(range(n), fill_value=0).to_numpy().astype("int32")
+            )
+            out["blocks_dropped"] = (
+                (n_blocks.reindex(range(n), fill_value=0) - n_kept.reindex(range(n), fill_value=0))
+                .to_numpy()
+                .astype("int32")
+            )
+            out["chars_emitted"] = out["extracted_text"].str.len().astype("int32")
+        yield out
+
+
+def extract(transcripts: DataFrame, repartition: int | None = None) -> DataFrame:
+    """Fused extraction: transcripts → result, one Arrow stage, no shuffle.
+
+    ``repartition`` optionally round-robin rebalances the scan first —
+    the unit of work is the TURN, so even a single hot conversation
+    (long-conversation skew, the north rule's case) spreads evenly.
+    """
+    df = transcripts.select("conv_id", "turn_idx", "text", "tool", "ts")
+    if repartition:
+        df = df.repartition(repartition)
+    return df.mapInPandas(_extract_batches, schema=RESULT_SCHEMA)
+
+
+# ------------------------------------------------------------------
+# staged path
+# ------------------------------------------------------------------
+
+
+def segment_blocks(transcripts: DataFrame) -> DataFrame:
+    """S2: payload → long-form raw blocks (one row per block)."""
+
+    def seg(batches):
+        for pdf in batches:
+            rows, convs, turns = [], [], []
+            for cid, ti, tx, tl in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"].tolist(), pdf["tool"].tolist()
+            ):
+                blks = segment_turn(tx, tl)
+                rows.extend(blks)
+                convs.extend([cid] * len(blks))
+                turns.extend([ti] * len(blks))
+            bdf = pd.DataFrame(rows, columns=BLOCK_FIELDS)
+            bdf.insert(0, "turn_idx", pd.Series(turns, dtype="int32"))
+            bdf.insert(0, "conv_id", convs)
+            yield bdf
+
+    return transcripts.select("conv_id", "turn_idx", "text", "tool").mapInPandas(
+        seg, schema=BLOCKS_SCHEMA
+    )
+
+
+def order_blocks(blocks: DataFrame) -> DataFrame:
+    """S5: reading-order for layout turns (grouped pandas UDF over the
+    tiny per-turn group — reference reading_order.py), document order
+    for everything else. Only layout rows shuffle."""
+    layout = blocks.filter(F.col("source") == "layout")
+    rest = blocks.filter(F.col("source") != "layout").withColumn(
+        "order", F.col("block_id")
+    )
+
+    def og(pdf: pd.DataFrame) -> pd.DataFrame:
+        nm = (~pdf["meta"].to_numpy()).nonzero()[0]
+        order = np.full(len(pdf), -1, dtype=np.int64)
+        if len(nm):
+            boxes = pdf.iloc[nm][["x1", "y1", "x2", "y2"]].to_numpy()
+            perm = reading_order_numpy(boxes)
+            order[nm[perm]] = np.arange(len(perm))
+        return pdf.assign(order=order.astype("int32"))
+
+    ordered = layout.groupBy("conv_id", "turn_idx").applyInPandas(
+        og, schema=BLOCKS_SCHEMA + ", order int"
+    )
+    return rest.unionByName(ordered)
+
+
+def featurize(blocks: DataFrame) -> DataFrame:
+    """S3: block features as pure column expressions (codegen'd JVM-side).
+
+    link_density / text_density are the jusText-/Readability-style
+    priors the classifier thresholds on."""
+    return (
+        blocks.withColumn(
+            "link_density",
+            F.col("link_chars") / F.greatest(F.col("visible_len"), F.lit(1)),
+        )
+        .withColumn(
+            "text_density",
+            F.col("content_len") / F.greatest(F.col("end") - F.col("start"), F.lit(1)),
+        )
+        .withColumn("word_count", F.size(F.split(F.trim(F.col("rendered")), r"\s+")))
+    )
+
+
+def classify(blocks: DataFrame) -> DataFrame:
+    """S4: keep/drop — one CASE expression (analog of the reference's
+    meta-role / noise filters, document_analyzer.py:552-568, 248-253)."""
+    ok_dens = F.col("link_density") <= spec.MAX_LINK_DENSITY
+    keep = (
+        F.when(F.col("boiler") | F.col("meta"), F.lit(False))
+        .when(F.col("source") == "layout", F.col("content_len") > 0)
+        .when(
+            F.col("kind") == spec.KIND_HEADING,
+            (F.col("content_len") >= spec.MIN_HEADING_CHARS) & ok_dens,
+        )
+        .when(F.col("kind") == spec.KIND_TABLE, F.col("content_len") > 0)
+        .when(F.col("kind") == spec.KIND_LIST, (F.col("content_len") > 0) & ok_dens)
+        .when(F.col("kind") == spec.KIND_KV, F.lit(True))
+        .otherwise(
+            (F.col("visible_len") >= spec.MIN_PARA_CHARS) & ok_dens
+        )
+    )
+    return blocks.withColumn("keep", keep)
+
+
+def emit(blocks: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """S7: per-turn ordered concatenation + spans + metrics.
+
+    One hash aggregation (map-side partial → final), then a left join
+    back to the turn spine so empty turns still emit a row. collect_list
+    skips the NULLs that when(keep,...) produces for dropped blocks, so
+    kept-content assembly and kept/dropped metrics share one shuffle."""
+    bs = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("keep"),
+                F.struct("order", "rendered", "start", "end", "kind"),
+            )
+        )
+    )
+    agg = blocks.groupBy("conv_id", "turn_idx").agg(
+        bs.alias("bs"),
+        F.sum(F.col("keep").cast("int")).alias("k"),
+        F.sum((~F.col("keep")).cast("int")).alias("d"),
+    )
+    agg = agg.select(
+        "conv_id",
+        "turn_idx",
+        F.array_join(F.transform("bs", lambda b: b["rendered"]), spec.BLOCK_JOINER).alias(
+            "et"
+        ),
+        F.transform(
+            "bs",
+            lambda b: F.struct(
+                b["start"].alias("start"), b["end"].alias("end"), b["kind"].alias("kind")
+            ),
+        ).alias("sp"),
+        "k",
+        "d",
+    )
+    spine = transcripts.select("conv_id", "turn_idx", "ts")
+    res = spine.join(agg, ["conv_id", "turn_idx"], "left")
+    return res.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "ts",
+        F.coalesce(F.col("et"), F.lit("")).alias("extracted_text"),
+        F.coalesce(F.col("sp"), F.expr(_EMPTY_SPANS)).alias("spans"),
+        F.coalesce(F.col("k"), F.lit(0)).cast("int").alias("blocks_kept"),
+        F.coalesce(F.col("d"), F.lit(0)).cast("int").alias("blocks_dropped"),
+        F.length(F.coalesce(F.col("et"), F.lit(""))).cast("int").alias("chars_emitted"),
+    )
+
+
+def extract_staged(transcripts: DataFrame) -> DataFrame:
+    blocks = classify(featurize(order_blocks(segment_blocks(transcripts))))
+    return emit(blocks, transcripts)
