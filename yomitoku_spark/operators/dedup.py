@@ -1,0 +1,240 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket
+join), n-gram Jaccard (explode + equi-join), and SimHash (Arrow-batched
+numpy). All shuffle-conscious:
+
+* exact dedup: one hash aggregation on the digest (map-side partial);
+* MinHash/LSH: candidate generation joins only within LSH buckets —
+  never the O(n²) cross join — which is the property that survives
+  10^9 documents;
+* Jaccard: equi-join on shingle with per-shingle frequency capping to
+  defuse hot-shingle skew.
+
+Signatures use a 60-bit md5-derived hash (functions.textstats.hash64)
+rather than Spark's xxhash so the same computation is expressible in
+ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from yomitoku_spark.functions.textstats import hash64, tokens
+
+
+def normalized_text(col: Column) -> Column:
+    """Dedup canonicalization: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the smallest id per exact (normalized) text digest."""
+    digest = F.md5(normalized_text(F.col(text_col))).alias("digest")
+    keep = (
+        df.select(digest, F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
+    )
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+def shingles(col: Column, n: int = 5) -> Column:
+    """Word n-gram shingle array (distinct). Fewer than n tokens → one
+    shingle of the whole token stream."""
+    t = tokens(F.lower(col))
+    full = F.array_join(t, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+    return F.array_distinct(F.when(F.size(t) >= n, grams).otherwise(F.array(full)))
+
+
+def _perm_hash(j: int):
+    # NOTE: must be a single-argument lambda — a 2-arg lambda passed to
+    # F.transform is interpreted as (element, index) by PySpark.
+    prefix = f"{j}:"
+    return lambda s: hash64(F.concat(F.lit(prefix), s))
+
+
+def minhash_signature(col: Column, n_hashes: int = 16, shingle_n: int = 5) -> Column:
+    """MinHash signature: per permutation j, min over shingles of
+    hash64(j || shingle). Returns array<bigint> of length n_hashes."""
+    sh = shingles(col, shingle_n)
+    sig = [F.array_min(F.transform(sh, _perm_hash(j))) for j in range(n_hashes)]
+    return F.array(*sig)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: signatures banded into
+    ``bands`` buckets; a pair is a candidate when any band matches.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+
+    The join is equi on (band_idx, band_key) — bucket-local, so the
+    shuffle is O(n·bands) and no cross join ever materializes."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(F.col(text_col), n_hashes, shingle_n)
+    sdf = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    banded = sdf.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    explode → (optionally) drop shingles hotter than max_shingle_freq
+    (stopword-shingle skew defusal), equi-join on shingle, count
+    intersections, join back set sizes. Returns pairs ≥ threshold."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    sizes = sh.select("id", F.size("sh").alias("sz"))
+    ex = sh.select("id", F.explode("sh").alias("g"))
+    if max_shingle_freq:
+        hot = ex.groupBy("g").count().filter(F.col("count") > max_shingle_freq)
+        ex = ex.join(F.broadcast(hot.select("g")), "g", "left_anti")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    j = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# ------------------------------------------------------------ SimHash
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document (Arrow-batched numpy bit votes).
+
+    Tokens hashed with the blake2b-64 of the token bytes; each bit
+    position accumulates ±1 votes across tokens; sign → bit. Returns
+    (id, simhash bigint). Near-dup pairs are then Hamming-close —
+    candidate generation joins on rotated prefix bands like MinHash."""
+    import hashlib
+
+    def batch(it):
+        for pdf in it:
+            out = np.zeros(len(pdf), dtype=np.uint64)
+            for i, txt in enumerate(pdf[text_col].tolist()):
+                toks = (txt or "").lower().split()
+                if not toks:
+                    continue
+                votes = np.zeros(64, dtype=np.int64)
+                for t in toks:
+                    h = int.from_bytes(
+                        hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                    )
+                    bits = (h >> np.arange(64)) & 1
+                    votes += 2 * bits.astype(np.int64) - 1
+                bits = (votes > 0).astype(np.uint64)
+                out[i] = np.bitwise_or.reduce(bits << np.arange(64, dtype=np.uint64))
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "simhash": out.astype(np.int64)}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batch, schema="id bigint, simhash bigint")
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, prefix_bits: int = 16
+) -> DataFrame:
+    """SimHash candidate pairs sharing a ``prefix_bits`` band (one of 4
+    rotations), refined by exact Hamming distance ≤ 3."""
+    sh = simhash64(df, id_col, text_col)
+    rots = []
+    for r in range(4):
+        shift = r * 16
+        rots.append(
+            sh.select(
+                "id",
+                "simhash",
+                F.lit(r).alias("band"),
+                F.shiftright(
+                    F.shiftleft("simhash", shift), 64 - prefix_bits
+                ).alias("key"),
+            )
+        )
+    banded = rots[0]
+    for r in rots[1:]:
+        banded = banded.unionByName(r)
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= 3)

@@ -1,0 +1,118 @@
+"""Spatial/geometric operators as pure column expressions + join patterns.
+
+Re-expressions of the reference's rectangle-geometry kernel
+(/root/reference/src/yomitoku/utils/misc.py:35-125 — overlap ratio,
+intersection, IoU, interval overlap) and its join/dedup patterns:
+
+* containment join        — utils/misc.py:53-72 ``is_contained`` used as a
+  nested-loop predicate (document_analyzer.py:191-237 and friends)
+* argmax join             — word→best-cell assignment,
+  table_semantic_parser.py:471-499 (rank-1 window pattern)
+* contained-rect dedup    — layout_parser.py:28-58 (keep larger) /
+  table_cell_detector.py:31-65 (keep smaller)
+* cross-category anti-join — layout_parser.py:61-74
+
+All of these are JVM-side expressions (whole-stage codegen); the
+reference's O(n²) Python pair loops become Catalyst joins that
+broadcast the small side and survive a 100× scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def overlap_area(a: str, b: str) -> Column:
+    """Intersection area of two box struct columns (x1,y1,x2,y2).
+
+    reference: utils/misc.py:75-91 ``calc_intersection``."""
+    w = F.least(F.col(f"{a}.x2"), F.col(f"{b}.x2")) - F.greatest(
+        F.col(f"{a}.x1"), F.col(f"{b}.x1")
+    )
+    h = F.least(F.col(f"{a}.y2"), F.col(f"{b}.y2")) - F.greatest(
+        F.col(f"{a}.y1"), F.col(f"{b}.y1")
+    )
+    return F.greatest(w, F.lit(0)) * F.greatest(h, F.lit(0))
+
+
+def box_area(a: str) -> Column:
+    return (F.col(f"{a}.x2") - F.col(f"{a}.x1")) * (F.col(f"{a}.y2") - F.col(f"{a}.y1"))
+
+
+def contains(outer: str, inner: str, threshold: float = 0.8) -> Column:
+    """outer ⊇ inner when overlap/area(inner) ≥ threshold.
+
+    reference: utils/misc.py:53-72 ``is_contained``."""
+    return overlap_area(outer, inner) >= threshold * box_area(inner)
+
+
+def iou(a: str, b: str) -> Column:
+    """reference: utils/misc.py:182-201 ``calc_iou``."""
+    inter = overlap_area(a, b)
+    return inter / (box_area(a) + box_area(b) - inter)
+
+
+def containment_join(
+    outer: DataFrame, inner: DataFrame, threshold: float = 0.8, how: str = "inner"
+) -> DataFrame:
+    """Join inner boxes to the outer boxes that contain them.
+
+    Both sides must carry a ``box`` struct<x1,y1,x2,y2>. The smaller
+    side should be broadcast by the caller (Catalyst does it
+    automatically under the broadcast threshold)."""
+    o = outer.select(F.struct(*[F.col(c) for c in outer.columns]).alias("o"))
+    i = inner.select(F.struct(*[F.col(c) for c in inner.columns]).alias("i"))
+    pred = contains("o.box", "i.box", threshold)
+    return o.join(i, pred, how)
+
+
+def argmax_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column,
+    score: Column,
+    left_key: list[str],
+    tiebreak: list[Column] | None = None,
+) -> DataFrame:
+    """Assign each left row its single best-scoring right match.
+
+    The canonical argmax-join (reference: word→best cell,
+    table_semantic_parser.py:471-499): theta join → rank-1 window.
+    ``tiebreak`` columns make the pick total/deterministic (the
+    reference relies on stable Python sort order; Spark must order
+    explicitly — SURVEY.md §7.3)."""
+    j = left.join(right, on, "inner")
+    order = [score.desc()] + [t.asc() for t in (tiebreak or [])]
+    w = W.partitionBy(*left_key).orderBy(*order)
+    return j.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") == 1).drop("__rk")
+
+
+def dedup_contained(
+    df: DataFrame, id_col: str, keep: str = "larger", threshold: float = 0.8
+) -> DataFrame:
+    """Drop boxes contained in another box of the same DataFrame.
+
+    keep='larger'  — reference layout_parser.py:28-58
+    keep='smaller' — reference table_cell_detector.py:31-65
+    Implemented as a containment self-join → LEFT ANTI of the losers;
+    on mutual containment the area tiebreak (then id) decides."""
+    a = df.alias("a")
+    b = df.alias("b")
+    contained = contains("b.box", "a.box", threshold)  # b contains a
+    area_a = box_area("a.box")
+    area_b = box_area("b.box")
+    if keep == "larger":
+        loses = (area_a < area_b) | ((area_a == area_b) & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")))
+    else:
+        loses = (area_a > area_b) | ((area_a == area_b) & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")))
+    mutual = contains("a.box", "b.box", threshold)
+    # a loses when b contains a AND (mutual → tiebreak, else containment alone)
+    pred = (
+        (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        & contained
+        & (~mutual | loses)
+    )
+    losers = a.join(b, pred, "left_semi")
+    return df.join(losers.select(id_col), id_col, "left_anti")

@@ -1,0 +1,720 @@
+"""Driver-contract query registry.
+
+Each entry maps a SURVEY.md §2 operator (or a training-data-pipeline
+op) to (a) a Spark DataFrame implementation and (b) an equivalent ANSI
+SQL string the DuckDB oracle can run on the same parquet tables. Column
+names and types are aligned on both sides (the driver hashes values
+after sorting columns by name).
+
+Numeric discipline: every aggregate that could differ by float
+summation order is computed on scaled integers (cents/permille/
+quantized vectors) so the value-hash is bit-exact across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from yomitoku_spark.functions import textstats as TS
+from yomitoku_spark.operators import dedup as DD
+from yomitoku_spark.operators import similarity as SIM
+from yomitoku_spark.operators import spatial as SP
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(c) -> F.Column:
+    return F.round(F.col(c) * 100).cast("bigint")
+
+
+# ===================================================================
+# relational core (SURVEY.md §2.2–§2.6)
+# ===================================================================
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-style aggregation sweep (§2.4 aggregations)."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("sum_qty"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
+            F.sum(
+                _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount") * 1)
+            ).alias("sum_disc_c4"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_c4,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def filter_threshold(spark, sf_dir):
+    """Score-threshold filter (§2.2; reference rtdetr_postprocessor.py:110-113)."""
+    e = t(spark, sf_dir, "events")
+    return e.filter((F.col("value") > 50) & (F.col("event_type") == "click")).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+SQL_FILTER = """
+SELECT event_id, user_id, event_type FROM events
+WHERE value > 50 AND event_type = 'click'
+"""
+
+
+def argmax_join(spark, sf_dir):
+    """Argmax join: each order's best lineitem (§2.3; reference
+    word→best-cell, table_semantic_parser.py:471-499)."""
+    l = t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        l.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").alias("best_line"),
+            _cents("l_extendedprice").alias("best_cents"),
+        )
+    )
+
+
+SQL_ARGMAX = """
+SELECT l_orderkey, l_linenumber AS best_line,
+       CAST(ROUND(l_extendedprice*100) AS BIGINT) AS best_cents
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber ASC) rk
+  FROM lineitem
+) WHERE rk = 1
+"""
+
+
+def anti_join_orphans(spark, sf_dir):
+    """LEFT ANTI join (§2.3/§2.6; reference uncovered-word recovery,
+    document_analyzer.py:528-540)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+def semi_join_hot_parts(spark, sf_dir):
+    """LEFT SEMI join (§2.3; reference containment semi-joins)."""
+    p = t(spark, sf_dir, "part")
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return p.join(l, p.p_partkey == l.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+SQL_SEMI = """
+SELECT p_partkey, p_name FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+"""
+
+
+def content_concat(spark, sf_dir):
+    """Ordered per-group concatenation (§2.4; reference
+    document_analyzer.py:233-235 contents join — the same
+    array_sort(collect_list(struct)) → array_join pattern the
+    extraction emit stage uses)."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("l_linenumber").alias("n"),
+                            F.col("l_partkey").alias("p"),
+                        )
+                    )
+                ),
+                lambda x: x["p"].cast("string"),
+            ),
+            ",",
+        ).alias("parts_in_order")
+    )
+
+
+SQL_CONCAT = """
+SELECT l_orderkey,
+       string_agg(l_partkey::VARCHAR, ',' ORDER BY l_linenumber, l_partkey) AS parts_in_order
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def dup_key_indexer(spark, sf_dir):
+    """Duplicate-key indexer (§2.4; reference make_unique_all,
+    schemas/table_semantic_parser.py:26-40): suffix a running index
+    onto repeated keys only."""
+    o = t(spark, sf_dir, "orders")
+    wn = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    wc = W.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        F.when(
+            F.count(F.lit(1)).over(wc) > 1,
+            F.concat_ws("_", F.col("o_custkey").cast("string"),
+                        F.row_number().over(wn).cast("string")),
+        )
+        .otherwise(F.col("o_custkey").cast("string"))
+        .alias("uniq_key"),
+    )
+
+
+SQL_DUPKEY = """
+SELECT o_orderkey,
+  CASE WHEN COUNT(*) OVER (PARTITION BY o_custkey) > 1
+       THEN o_custkey::VARCHAR || '_' ||
+            (ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey))::VARCHAR
+       ELSE o_custkey::VARCHAR END AS uniq_key
+FROM orders
+"""
+
+
+def direction_vote(spark, sf_dir):
+    """Argmax aggregation (§2.4; reference page-direction vote,
+    document_analyzer.py:23-40: sum weight per key, keep the winner)."""
+    e = t(spark, sf_dir, "events")
+    v = e.groupBy("user_id", "event_type").agg(
+        F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("weight")
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("weight"), F.asc("event_type"))
+    return (
+        v.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("dominant_type"), "weight")
+    )
+
+
+SQL_VOTE = """
+SELECT user_id, event_type AS dominant_type, weight FROM (
+  SELECT user_id, event_type,
+         CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT) AS weight,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+           ORDER BY SUM(CAST(ROUND(value*1000) AS BIGINT)) DESC, event_type ASC) rk
+  FROM events GROUP BY user_id, event_type
+) WHERE rk = 1
+"""
+
+
+def grid_cells(spark, sf_dir):
+    """Row-line × col-line grid construction (§2.3; reference
+    extract_cells, table_structure_recognizer.py:27-46)."""
+    rows = t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("row_id"))
+    cols = t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("col_id"))
+    return rows.crossJoin(cols).select(
+        "row_id", "col_id", (F.col("row_id") * 10 + F.col("col_id")).alias("cell_id")
+    )
+
+
+SQL_GRID = """
+SELECT n_nationkey AS row_id, r_regionkey AS col_id,
+       n_nationkey*10 + r_regionkey AS cell_id
+FROM nation, region
+"""
+
+
+def span_extents(spark, sf_dir):
+    """Span-extent aggregation (§2.4; reference cell-span extents,
+    grid_parser.py:526-559: per id min/max row/col)."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_orderkey").agg(
+        F.min("l_linenumber").alias("line_min"),
+        F.max("l_linenumber").alias("line_max"),
+        F.min("l_partkey").alias("part_min"),
+        F.max("l_partkey").alias("part_max"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SQL_EXTENTS = """
+SELECT l_orderkey, MIN(l_linenumber) AS line_min, MAX(l_linenumber) AS line_max,
+       MIN(l_partkey) AS part_min, MAX(l_partkey) AS part_max,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# ---- synthetic box geometry (deterministic integer boxes derived from
+# keys, so the same geometry exists on both engines) ----------------
+
+SQL_PART_BOX = """
+  SELECT p_partkey,
+         p_partkey % 100 AS x1,
+         CAST(FLOOR(p_partkey/100) AS BIGINT) % 100 AS y1,
+         p_partkey % 100 + p_size % 20 + 5 AS x2,
+         CAST(FLOOR(p_partkey/100) AS BIGINT) % 100 + p_size % 15 + 5 AS y2
+  FROM part
+"""
+
+
+def _part_boxes(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.struct(
+            (F.col("p_partkey") % 100).alias("x1"),
+            (F.floor(F.col("p_partkey") / 100).cast("bigint") % 100).alias("y1"),
+            (F.col("p_partkey") % 100 + F.col("p_size") % 20 + 5).alias("x2"),
+            (
+                F.floor(F.col("p_partkey") / 100).cast("bigint") % 100
+                + F.col("p_size") % 15
+                + 5
+            ).alias("y2"),
+        ).alias("box"),
+    )
+
+
+def containment_join(spark, sf_dir):
+    """Geometric containment join (§2.2/§2.3; reference is_contained,
+    utils/misc.py:53-72 + word∈element join, document_analyzer.py:191-237).
+    Integer predicate 5·overlap ≥ 4·area ⇔ threshold 0.8, bit-exact."""
+    parts = _part_boxes(spark, sf_dir)
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.struct(
+            ((F.col("s_suppkey") * 7) % 80).alias("x1"),
+            ((F.col("s_suppkey") * 13) % 80).alias("y1"),
+            ((F.col("s_suppkey") * 7) % 80 + 30).alias("x2"),
+            ((F.col("s_suppkey") * 13) % 80 + 30).alias("y2"),
+        ).alias("box"),
+    )
+    a = s.alias("a")
+    b = parts.alias("b")
+    pred = (SP.overlap_area("a.box", "b.box") * 5) >= (SP.box_area("b.box") * 4)
+    return a.join(b, pred).select("s_suppkey", "p_partkey")
+
+
+SQL_CONTAIN = f"""
+WITH pb AS ({SQL_PART_BOX}),
+sb AS (
+  SELECT s_suppkey,
+         (s_suppkey*7) % 80 AS x1, (s_suppkey*13) % 80 AS y1,
+         (s_suppkey*7) % 80 + 30 AS x2, (s_suppkey*13) % 80 + 30 AS y2
+  FROM supplier
+)
+SELECT s_suppkey, p_partkey
+FROM sb a JOIN pb b
+ON GREATEST(LEAST(a.x2,b.x2) - GREATEST(a.x1,b.x1), 0)
+   * GREATEST(LEAST(a.y2,b.y2) - GREATEST(a.y1,b.y1), 0) * 5
+   >= (b.x2-b.x1)*(b.y2-b.y1) * 4
+"""
+
+
+def dedup_contained_boxes(spark, sf_dir):
+    """Contained-rectangle dedup, keep-larger (§2.2; reference
+    layout_parser.py:28-58): self containment join → anti-join losers."""
+    boxes = _part_boxes(spark, sf_dir)
+    return SP.dedup_contained(boxes, "p_partkey", keep="larger", threshold=0.8).select(
+        "p_partkey"
+    )
+
+
+SQL_DEDUP_BOXES = f"""
+WITH pb AS ({SQL_PART_BOX})
+SELECT a.p_partkey FROM pb a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pb b
+  WHERE b.p_partkey != a.p_partkey
+    AND GREATEST(LEAST(a.x2,b.x2) - GREATEST(a.x1,b.x1), 0)
+        * GREATEST(LEAST(a.y2,b.y2) - GREATEST(a.y1,b.y1), 0) * 5
+        >= (a.x2-a.x1)*(a.y2-a.y1) * 4              -- b contains a
+    AND ( NOT ( GREATEST(LEAST(a.x2,b.x2) - GREATEST(a.x1,b.x1), 0)
+                * GREATEST(LEAST(a.y2,b.y2) - GREATEST(a.y1,b.y1), 0) * 5
+                >= (b.x2-b.x1)*(b.y2-b.y1) * 4 )     -- not mutual
+          OR (a.x2-a.x1)*(a.y2-a.y1) < (b.x2-b.x1)*(b.y2-b.y1)
+          OR ( (a.x2-a.x1)*(a.y2-a.y1) = (b.x2-b.x1)*(b.y2-b.y1)
+               AND a.p_partkey > b.p_partkey ) )
+)
+"""
+
+
+def sessionize(spark, sf_dir):
+    """Sessionization via lag + running sum (§2.5 windows; the
+    streaming-adjacent pattern from the PySpark guide)."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    news = F.when(gap.isNull() | (gap > 3600), 1).otherwise(0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(news).over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("session_no"),
+    )
+
+
+SQL_SESSION = """
+SELECT event_id, user_id,
+  CAST(SUM(CASE WHEN prev_ts IS NULL
+                  OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT) > 3600
+                THEN 1 ELSE 0 END)
+       OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+FROM (
+  SELECT event_id, user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+"""
+
+
+def topk_per_group(spark, sf_dir):
+    """Top-K per group window (§2.5; reference top-300 query cap,
+    rtdetr_postprocessor.py:71-79)."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+SQL_TOPK = """
+SELECT o_custkey, o_orderkey, CAST(rank AS INT) AS rank FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+# ===================================================================
+# text / training-data ops (documents table)
+# ===================================================================
+
+_TOKS = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> w != '')"
+
+
+def doc_exact_dedup(spark, sf_dir):
+    """Exact dedup groups by normalized-text digest."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.md5(DD.normalized_text(F.col("text"))).alias("digest"), F.col("doc_id")
+        )
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
+       MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def doc_token_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TS.token_count(F.col("text")).alias("n_tokens"),
+        TS.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+  CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(regexp_split_to_array(text, '[^\\p{{L}}\\p{{N}}]+'), w -> w != ''))
+       + length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS BIGINT) AS n_bpe_ish,
+  CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+"""
+
+
+def doc_quality(spark, sf_dir):
+    """Quality permille scores (integer-exact)."""
+    d = t(spark, sf_dir, "documents")
+    toks = TS.tokens(F.lower(F.col("text")))
+    stop = TS.stopword_count(F.col("text"), "en")
+    punct = F.length(F.regexp_replace("text", r"[\w\s]", ""))
+    return d.select(
+        "doc_id",
+        F.floor(F.lit(1000) * stop / F.greatest(F.size(toks), F.lit(1)))
+        .cast("bigint")
+        .alias("stop_permille"),
+        F.floor(F.lit(1000) * punct / F.greatest(F.length("text"), F.lit(1)))
+        .cast("bigint")
+        .alias("punct_permille"),
+    )
+
+
+SQL_QUALITY = f"""
+SELECT doc_id,
+  CAST(FLOOR(1000.0 * len(list_filter({_TOKS},
+        w -> w IN ('the','and','of','to','a','in','is','it','that','for')))
+       / GREATEST(len({_TOKS}), 1)) AS BIGINT) AS stop_permille,
+  CAST(FLOOR(1000.0 * length(regexp_replace(text, '[a-zA-Z0-9_\\s]', '', 'g'))
+       / GREATEST(length(text), 1)) AS BIGINT) AS punct_permille
+FROM documents
+"""
+
+
+def doc_lang_id(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.lang_id(F.col("text")).alias("lang_detected"))
+
+
+def _sql_votes(lang):
+    words = ",".join(f"'{w}'" for w in TS.STOPWORDS[lang])
+    return f"len(list_filter({_TOKS}, w -> w IN ({words})))"
+
+
+SQL_LANG_ID = f"""
+SELECT doc_id,
+  CASE
+    WHEN length(regexp_replace(text, '[^\\x{{3040}}-\\x{{30ff}}\\x{{3400}}-\\x{{9fff}}]', '', 'g')) * 4
+         >= length(text) THEN 'cjk'
+    WHEN GREATEST({_sql_votes('en')},{_sql_votes('es')},{_sql_votes('de')},{_sql_votes('fr')}) = 0
+         THEN 'und'
+    WHEN {_sql_votes('en')} = GREATEST({_sql_votes('en')},{_sql_votes('es')},{_sql_votes('de')},{_sql_votes('fr')}) THEN 'en'
+    WHEN {_sql_votes('es')} = GREATEST({_sql_votes('en')},{_sql_votes('es')},{_sql_votes('de')},{_sql_votes('fr')}) THEN 'es'
+    WHEN {_sql_votes('de')} = GREATEST({_sql_votes('en')},{_sql_votes('es')},{_sql_votes('de')},{_sql_votes('fr')}) THEN 'de'
+    ELSE 'fr'
+  END AS lang_detected
+FROM documents
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id, md5(array_to_string(({_TOKS})[1:8], ' ')) AS fp
+FROM documents
+"""
+
+
+def markdown_escape(spark, sf_dir):
+    """Markdown escaping (§2.7; reference export_markdown.py:7-9)."""
+    d = t(spark, sf_dir, "documents")
+    src = F.concat(F.lit("*"), F.substring("text", 1, 40), F.lit("* [link](url) #x"))
+    return d.select(
+        "doc_id",
+        F.regexp_replace(src, r"([`*{}\[\]()#+!~|-])", r"\\$1").alias("escaped"),
+    )
+
+
+SQL_MD_ESCAPE = """
+SELECT doc_id,
+  regexp_replace('*' || substr(text,1,40) || '* [link](url) #x',
+                 '([`*{}\\[\\]()#+!~|-])', '\\\\\\1', 'g') AS escaped
+FROM documents
+"""
+
+
+# ===================================================================
+# dedup / similarity (MinHash-LSH, quantized ANN)
+# ===================================================================
+
+
+def minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (8 hashes, 4 bands of 2,
+    3-word shingles) — same md5-derived hashes on both engines."""
+    d = t(spark, sf_dir, "documents")
+    return DD.lsh_candidate_pairs(
+        d, "doc_id", "text", n_hashes=8, bands=4, shingle_n=3
+    )
+
+
+def _sql_minhash(j):
+    return (
+        "list_min(list_transform(s, x -> "
+        f"('0x' || substr(md5('{j}:' || x), 1, 15))::BIGINT))"
+    )
+
+
+SQL_MINHASH_PAIRS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(tk) >= 3
+      THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]
+      ELSE [array_to_string(tk, ' ')] END) AS s
+  FROM toks),
+sig AS (
+  SELECT doc_id,
+    {_sql_minhash(0)} AS h0, {_sql_minhash(1)} AS h1,
+    {_sql_minhash(2)} AS h2, {_sql_minhash(3)} AS h3,
+    {_sql_minhash(4)} AS h4, {_sql_minhash(5)} AS h5,
+    {_sql_minhash(6)} AS h6, {_sql_minhash(7)} AS h7
+  FROM sh),
+banded AS (
+  SELECT doc_id, 0 AS band, h0::VARCHAR || ',' || h1::VARCHAR AS key FROM sig
+  UNION ALL SELECT doc_id, 1, h2::VARCHAR || ',' || h3::VARCHAR FROM sig
+  UNION ALL SELECT doc_id, 2, h4::VARCHAR || ',' || h5::VARCHAR FROM sig
+  UNION ALL SELECT doc_id, 3, h6::VARCHAR || ',' || h7::VARCHAR FROM sig)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+def embedding_topk(spark, sf_dir):
+    """Brute-force top-3 neighbors per vector by quantized dot product
+    (integer-exact across engines; the float cosine variant lives in
+    operators.similarity and is pytest-verified)."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    b = e.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cv"))
+    j = a.join(F.broadcast(b), F.col("query_id") != F.col("corpus_id"))
+    simc = SIM.dot_quantized(F.col("qv"), F.col("cv"), 1000).alias("dot_q")
+    w = W.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("corpus_id"))
+    return (
+        j.select("query_id", "corpus_id", simc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "corpus_id", "dot_q", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+SQL_EMB_TOPK = """
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+    list_sum([CAST(ROUND(CAST(a.embedding[i] AS DOUBLE)*1000) AS BIGINT)
+              * CAST(ROUND(CAST(b.embedding[i] AS DOUBLE)*1000) AS BIGINT)
+              for i in range(1, len(a.embedding)+1)])::BIGINT AS dot_q
+  FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id)
+SELECT query_id, corpus_id, dot_q, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY dot_q DESC, corpus_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= 3
+"""
+
+
+# ===================================================================
+# extraction pipeline (non-SQL-expressible → rows-only checks)
+# ===================================================================
+
+
+def extract_transcripts(spark, sf_dir):
+    """Flagship: full fused extraction over the deterministic synthetic
+    transcripts table (north rule). Spans/reading-order are not
+    SQL-expressible — correctness is enforced by the pytest oracle-
+    equality gate instead (tests/test_pipeline.py)."""
+    from yomitoku_spark.datagen import transcripts_df
+    from yomitoku_spark.plans.pipeline import extract
+
+    return extract(transcripts_df(spark, n_convs=40, seed=42))
+
+
+def extract_transcripts_staged(spark, sf_dir):
+    from yomitoku_spark.datagen import transcripts_df
+    from yomitoku_spark.plans.pipeline import extract_staged
+
+    return extract_staged(transcripts_df(spark, n_convs=40, seed=42))
+
+
+def segment_features(spark, sf_dir):
+    """Long-form block features (the queryable intermediate)."""
+    from yomitoku_spark.datagen import transcripts_df
+    from yomitoku_spark.plans.pipeline import classify, featurize, order_blocks, segment_blocks
+
+    blocks = classify(
+        featurize(order_blocks(segment_blocks(transcripts_df(spark, n_convs=40, seed=42))))
+    )
+    return blocks.select(
+        "conv_id", "turn_idx", "block_id", "kind", "source",
+        F.round("link_density", 6).alias("link_density"), "keep", "order"
+    )
+
+
+# ===================================================================
+# registry
+# ===================================================================
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "filter_threshold": filter_threshold,
+    "argmax_join": argmax_join,
+    "anti_join_orphans": anti_join_orphans,
+    "semi_join_hot_parts": semi_join_hot_parts,
+    "content_concat": content_concat,
+    "dup_key_indexer": dup_key_indexer,
+    "direction_vote": direction_vote,
+    "grid_cells": grid_cells,
+    "span_extents": span_extents,
+    "containment_join": containment_join,
+    "dedup_contained_boxes": dedup_contained_boxes,
+    "sessionize": sessionize,
+    "topk_per_group": topk_per_group,
+    "doc_exact_dedup": doc_exact_dedup,
+    "doc_token_stats": doc_token_stats,
+    "doc_quality": doc_quality,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "markdown_escape": markdown_escape,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "embedding_topk": embedding_topk,
+    "extract_transcripts": extract_transcripts,
+    "extract_transcripts_staged": extract_transcripts_staged,
+    "segment_features": segment_features,
+}
+
+ORACLE = {
+    "q1_pricing_summary": SQL_Q1,
+    "filter_threshold": SQL_FILTER,
+    "argmax_join": SQL_ARGMAX,
+    "anti_join_orphans": SQL_ANTI,
+    "semi_join_hot_parts": SQL_SEMI,
+    "content_concat": SQL_CONCAT,
+    "dup_key_indexer": SQL_DUPKEY,
+    "direction_vote": SQL_VOTE,
+    "grid_cells": SQL_GRID,
+    "span_extents": SQL_EXTENTS,
+    "containment_join": SQL_CONTAIN,
+    "dedup_contained_boxes": SQL_DEDUP_BOXES,
+    "sessionize": SQL_SESSION,
+    "topk_per_group": SQL_TOPK,
+    "doc_exact_dedup": SQL_EXACT_DEDUP,
+    "doc_token_stats": SQL_TOKEN_STATS,
+    "doc_quality": SQL_QUALITY,
+    "doc_lang_id": SQL_LANG_ID,
+    "doc_fingerprint": SQL_FINGERPRINT,
+    "markdown_escape": SQL_MD_ESCAPE,
+    "minhash_lsh_pairs": SQL_MINHASH_PAIRS,
+    "embedding_topk": SQL_EMB_TOPK,
+    # extract_transcripts / extract_transcripts_staged / segment_features:
+    # non-SQL-expressible (graph reading-order, pandas-UDF stages) →
+    # rows-only driver check; byte-equality enforced by tests/ oracle gate.
+}
