@@ -1,0 +1,218 @@
+"""Unit tests for the operator library (dedup, similarity, spatial,
+textstats) — numpy/pure-python referees, small inputs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from yomitoku_spark.functions import textstats as TS
+from yomitoku_spark.operators import dedup as DD
+from yomitoku_spark.operators import similarity as SIM
+from yomitoku_spark.operators import spatial as SP
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def test_minhash_arrow_equals_column_expr(spark, docs):
+    sub = docs.limit(40)
+    a = {
+        r.id: r.sig
+        for r in DD.minhash_signatures_arrow(sub, "doc_id", "text", 8, 3).collect()
+    }
+    b = {
+        r.doc_id: r.sig
+        for r in sub.select(
+            "doc_id", DD.minhash_signature(F.col("text"), 8, 3).alias("sig")
+        ).collect()
+    }
+    assert a == b
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different text")],
+        "id bigint, text string",
+    )
+    kept = sorted(r.id for r in DD.exact_dedup(df, "text", "id").collect())
+    assert kept == [1, 3]
+
+
+def test_lsh_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),
+            (3, "completely unrelated words about spark shuffle partitions here"),
+        ],
+        "id bigint, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in DD.lsh_candidate_pairs(df, "id", "text", 8, 4, 3).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_jaccard_pairs(spark):
+    base = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "z y x w v u t s r q")],
+        "id bigint, text string",
+    )
+    rows = DD.jaccard_pairs(df, "id", "text", shingle_n=3, threshold=0.8).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_simhash_identical_and_near(spark):
+    words = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " other"
+    df = spark.createDataFrame(
+        [(1, words), (2, words), (3, near)], "id bigint, text string"
+    )
+    sh = {r.id: r.simhash for r in DD.simhash64(df, "id", "text").collect()}
+    assert sh[1] == sh[2]
+    ham = bin(sh[1] ^ sh[3]).count("1")
+    assert 0 < ham <= 8
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in DD.simhash_near_pairs(df, "id", "text").collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+# ------------------------------------------------------------ similarity
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    sub = emb.limit(50)
+    got = SIM.brute_force_topk(sub, sub, k=3).collect()
+    rows = sub.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    for r in got:
+        qi = np.where(ids == r.query_id)[0][0]
+        ci = np.where(ids == r.corpus_id)[0][0]
+        assert abs(sims[qi, ci] - r.sim) < 1e-9
+    # rank-1 neighbor agrees with numpy argmax (excluding self)
+    by_q = {}
+    for r in got:
+        if r.rank == 1:
+            by_q[r.query_id] = r.corpus_id
+    for qi, qid in enumerate(ids):
+        s = sims[qi].copy()
+        s[qi] = -2
+        assert by_q[qid] == ids[np.argmax(s)]
+
+
+def test_quantized_topk_matches_sql_semantics(spark, emb):
+    sub = emb.limit(30)
+    got = SIM.brute_force_topk_quantized(sub, sub, k=2, scale=1000).collect()
+    rows = sub.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    q = np.rint(np.array([r.embedding for r in rows], dtype=np.float64) * 1000).astype(
+        np.int64
+    )
+    dots = q @ q.T
+    for r in got:
+        qi = np.where(ids == r.query_id)[0][0]
+        ci = np.where(ids == r.corpus_id)[0][0]
+        assert dots[qi, ci] == r.dot_q
+
+
+def test_lsh_ann_returns_bucket_neighbors(spark, emb):
+    got = SIM.lsh_ann_topk(emb.limit(100), k=3, n_planes=4)
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(r.query_id != r.corpus_id for r in rows)
+    assert all(-1.0 <= r.sim <= 1.0 for r in rows)
+
+
+# ------------------------------------------------------------ textstats
+
+
+def test_lang_id_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the hat and it is fine"),
+            (2, "el perro y la casa que es un gato en los campos"),
+            (3, "データの解析と変換、高速な分散処理"),
+            (4, "zzz qqq www"),
+        ],
+        "id bigint, text string",
+    )
+    got = {r.id: r.lang for r in df.select("id", TS.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "es", 3: "cjk", 4: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "  a b  c "), (2, ""), (3, "x,y.z!")],
+                               "id bigint, text string")
+    got = {
+        r.id: (r.n, r.b)
+        for r in df.select(
+            "id",
+            TS.token_count(F.col("text")).alias("n"),
+            TS.bpe_ish_token_count(F.col("text")).alias("b"),
+        ).collect()
+    }
+    assert got[1] == (3, 3)
+    assert got[2] == (0, 0)
+    assert got[3] == (1, 6)  # x y z + , . !
+
+
+def test_quality_score_bounds(spark, docs):
+    vals = docs.select(TS.quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in vals)
+
+
+# ------------------------------------------------------------ spatial
+
+
+def _boxes(spark, rows):
+    return spark.createDataFrame(
+        [(i, {"x1": a, "y1": b, "x2": c, "y2": d}) for i, (a, b, c, d) in rows],
+        "id bigint, box struct<x1:int,y1:int,x2:int,y2:int>",
+    )
+
+
+def test_dedup_contained_keep_larger(spark):
+    df = _boxes(spark, [(1, (0, 0, 10, 10)), (2, (1, 1, 5, 5)), (3, (20, 20, 30, 30))])
+    kept = sorted(r.id for r in SP.dedup_contained(df, "id", keep="larger").collect())
+    assert kept == [1, 3]
+
+
+def test_dedup_contained_keep_smaller_mutual(spark):
+    # identical boxes: mutual containment → keep-smaller keeps lower id
+    df = _boxes(spark, [(1, (0, 0, 10, 10)), (2, (0, 0, 10, 10))])
+    kept = sorted(r.id for r in SP.dedup_contained(df, "id", keep="smaller").collect())
+    assert kept == [1]
+
+
+def test_contains_predicate(spark):
+    df = _boxes(spark, [(1, (0, 0, 10, 10))]).alias("a")
+    inner = _boxes(spark, [(2, (2, 2, 8, 8)), (3, (9, 9, 20, 20))]).alias("b")
+    got = sorted(
+        r[0]
+        for r in df.crossJoin(inner)
+        .filter(SP.contains("a.box", "b.box", 0.8))
+        .select("b.id")
+        .collect()
+    )
+    assert got == [2]

