@@ -1,0 +1,48 @@
+"""Multimodal plumbing: schema, determinism, stub boundary."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from yomitoku_spark.multimodal import media as MM
+
+
+def test_synthetic_media_deterministic(spark):
+    a = MM.synthetic_media(spark, n=30).orderBy("media_id").collect()
+    b = MM.synthetic_media(spark, n=30).orderBy("media_id").collect()
+    assert a == b
+    assert {r.kind for r in a} == {"image", "audio", "video"}
+
+
+def test_validate_flags(spark):
+    df = MM.validate_media(MM.synthetic_media(spark, n=60))
+    rows = df.collect()
+    for r in rows:
+        if r.kind == "audio":
+            assert r.valid
+        else:
+            assert r.valid == (r.meta.width >= 32 and r.meta.height >= 32)
+
+
+def test_extract_features_stub(spark):
+    df = MM.synthetic_media(spark, n=20)
+    feats = MM.extract_features(df).orderBy("media_id").collect()
+    assert len(feats) == 20
+    assert all(len(r.features) == MM.FEATURE_DIM for r in feats)
+    assert all(all(-1.0 <= x <= 1.0 for x in r.features) for r in feats)
+    again = MM.extract_features(df).orderBy("media_id").collect()
+    assert feats == again
+
+
+def test_real_decode_is_marked_unimplemented(spark):
+    df = MM.synthetic_media(spark, n=2)
+    with pytest.raises(NotImplementedError):
+        MM.extract_features(df, use_stub=False)
+
+
+def test_sample_frames(spark):
+    df = MM.synthetic_media(spark, n=60)
+    frames = MM.sample_frames(df, every_n=30)
+    vids = df.filter(F.col("kind") == "video").select("media_id", "meta.n_frames").collect()
+    want = sum(1 + (r.n_frames - 1) // 30 for r in vids)
+    assert frames.count() == want
+    assert frames.filter(F.col("frame_idx") % 30 != 0).count() == 0

@@ -1,0 +1,72 @@
+"""Structured-Streaming surface.
+
+The reference is strictly batch (SURVEY.md §2.8) and the north rule
+requires batch + resumability, not streaming — but a transcripts table
+that grows by appends is naturally consumed incrementally, so the same
+extraction pipeline is exposed over ``readStream``:
+
+* :func:`stream_extract` — file-source stream of transcript parquet →
+  the SAME fused ``mapInPandas`` extraction (stateless, so it runs
+  unmodified under the streaming planner) → append sink.
+* :func:`event_rates` — watermarked sliding-window aggregation over the
+  events table shape (late-data tolerant), the standard streaming-agg
+  pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yomitoku_spark.datagen import TRANSCRIPTS_SCHEMA
+from yomitoku_spark.plans.pipeline import extract
+
+
+def read_transcripts_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Incremental extraction over an append-only transcripts directory.
+    Exactly-once via the streaming checkpoint + file sink commit log."""
+    stream = read_transcripts_stream(spark, input_dir)
+    result = extract(stream)
+    writer = (
+        result.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def event_rates(events_stream: DataFrame, window: str = "5 minutes", slide: str = "1 minute") -> DataFrame:
+    """Watermarked windowed rates per event_type (late data ≤ 10 min)."""
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("value_milli"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n",
+            "value_milli",
+        )
+    )
