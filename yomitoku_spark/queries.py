@@ -612,9 +612,145 @@ SELECT query_id, corpus_id, dot_q, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def normalize_dates(spark, sf_dir):
+    """Japanese-date normalization (§2.7; reference era-date parse,
+    extractor/normalizer.py:57-127): render o_orderdate as a 日本語 date
+    string, run it through date_iso, recover the ISO date."""
+    from yomitoku_spark.functions.normalize import date_iso
+
+    o = t(spark, sf_dir, "orders")
+    jdate = F.concat(
+        F.year("o_orderdate").cast("string"), F.lit("年"),
+        F.month("o_orderdate").cast("string"), F.lit("月"),
+        F.dayofmonth("o_orderdate").cast("string"), F.lit("日"),
+    )
+    return o.select("o_orderkey", date_iso(jdate).alias("iso_date"))
+
+
+SQL_NORM_DATES = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS iso_date FROM orders
+"""
+
+
+def phone_format(spark, sf_dir):
+    """Digit-count phone formatting (§2.7; reference normalizer.py:46-54)."""
+    from yomitoku_spark.functions.normalize import phone
+
+    c = t(spark, sf_dir, "customer")
+    digits11 = F.lpad(((F.col("c_custkey") * 7919) % 100000000000).cast("string"), 11, "0")
+    return c.select("c_custkey", phone(digits11).alias("phone"))
+
+
+SQL_PHONE = """
+SELECT c_custkey,
+  substr(d,1,3) || '-' || substr(d,4,4) || '-' || substr(d,8,4) AS phone
+FROM (SELECT c_custkey, lpad(((c_custkey*7919) % 100000000000)::VARCHAR, 11, '0') d
+      FROM customer)
+"""
+
+
+def price_histogram(spark, sf_dir):
+    """Integer-bucket histogram (§2.2; the size-distribution histogram
+    behind the reference's ruby filter, document_analyzer.py:95-152 —
+    bucket → count, here on exact integer cents)."""
+    l = t(spark, sf_dir, "lineitem")
+    bucket = F.floor(_cents("l_extendedprice") / 500000).cast("bigint")
+    return l.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_HISTOGRAM = """
+SELECT CAST(FLOOR(CAST(ROUND(l_extendedprice*100) AS BIGINT) / 500000.0) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+def pivot_event_types(spark, sf_dir):
+    """Pivot via conditional aggregation (§2.4 / guide 'pivot')."""
+    e = t(spark, sf_dir, "events")
+    milli = F.round(F.col("value") * 1000).cast("bigint")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == typ, milli).otherwise(F.lit(0))).alias(
+            f"{typ}_milli"
+        )
+        for typ in ["click", "view", "purchase"]
+    ]
+    return e.groupBy("user_id").agg(*aggs)
+
+
+SQL_PIVOT = """
+SELECT user_id,
+  CAST(SUM(CASE WHEN event_type='click' THEN CAST(ROUND(value*1000) AS BIGINT) ELSE 0 END) AS BIGINT) AS click_milli,
+  CAST(SUM(CASE WHEN event_type='view' THEN CAST(ROUND(value*1000) AS BIGINT) ELSE 0 END) AS BIGINT) AS view_milli,
+  CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(ROUND(value*1000) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_milli
+FROM events GROUP BY user_id
+"""
+
+
+def union_distinct_nations(spark, sf_dir):
+    """Set ops: union + distinct (§2.6; reference element-group union,
+    document_analyzer.py:570)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+SQL_UNION = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+"""
+
+
 # ===================================================================
 # extraction pipeline (non-SQL-expressible → rows-only checks)
 # ===================================================================
+
+
+def extract_fields_kv(spark, sf_dir):
+    """Declarative schema extraction over synthetic transcripts
+    (reference yomitoku_extract cascade — KV match → regex → normalize)."""
+    from yomitoku_spark.datagen import transcripts_df
+    from yomitoku_spark.extractor import ExtractionSchema, extract_fields
+
+    schema = ExtractionSchema.from_dict(
+        {
+            "fields": [
+                {"name": "invoice_no", "keys": ["invoice no", "order id"], "normalize": "digits"},
+                {"name": "due_date", "keys": ["due date", "date"], "normalize": "identity"},
+                {"name": "status", "keys": ["status"], "normalize": "collapse_ws"},
+            ]
+        }
+    )
+    df = extract_fields(transcripts_df(spark, n_convs=40, seed=42), schema)
+    return df.filter(
+        F.col("invoice_no").isNotNull()
+        | F.col("due_date").isNotNull()
+        | F.col("status").isNotNull()
+    )
+
+
+def simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidates over documents (rows-only: the
+    blake2b bit-votes are not SQL-expressible)."""
+    d = t(spark, sf_dir, "documents")
+    return DD.simhash64(d, "doc_id", "text")
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN (rows-only: float cosine re-rank)."""
+    e = t(spark, sf_dir, "embeddings")
+    return SIM.lsh_ann_topk(e, k=3, n_planes=6).select(
+        "query_id", "corpus_id", F.round("sim", 6).alias("sim"), "rank"
+    )
+
+
+def multimodal_features(spark, sf_dir):
+    """Binary media columns → deterministic stub features (rows-only)."""
+    from yomitoku_spark.multimodal.media import extract_features, synthetic_media, validate_media
+
+    media = validate_media(synthetic_media(spark, n=256))
+    return extract_features(media.filter(F.col("valid")))
 
 
 def extract_transcripts(spark, sf_dir):
@@ -676,9 +812,18 @@ QUERIES = {
     "markdown_escape": markdown_escape,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "embedding_topk": embedding_topk,
+    "normalize_dates": normalize_dates,
+    "phone_format": phone_format,
+    "price_histogram": price_histogram,
+    "pivot_event_types": pivot_event_types,
+    "union_distinct_nations": union_distinct_nations,
     "extract_transcripts": extract_transcripts,
     "extract_transcripts_staged": extract_transcripts_staged,
     "segment_features": segment_features,
+    "extract_fields_kv": extract_fields_kv,
+    "simhash_pairs": simhash_pairs,
+    "ann_lsh_topk": ann_lsh_topk,
+    "multimodal_features": multimodal_features,
 }
 
 ORACLE = {
@@ -704,6 +849,11 @@ ORACLE = {
     "markdown_escape": SQL_MD_ESCAPE,
     "minhash_lsh_pairs": SQL_MINHASH_PAIRS,
     "embedding_topk": SQL_EMB_TOPK,
+    "normalize_dates": SQL_NORM_DATES,
+    "phone_format": SQL_PHONE,
+    "price_histogram": SQL_HISTOGRAM,
+    "pivot_event_types": SQL_PIVOT,
+    "union_distinct_nations": SQL_UNION,
     # extract_transcripts / extract_transcripts_staged / segment_features:
     # non-SQL-expressible (graph reading-order, pandas-UDF stages) →
     # rows-only driver check; byte-equality enforced by tests/ oracle gate.
