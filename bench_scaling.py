@@ -49,10 +49,14 @@ def child(cpus: int, input_dir: str) -> None:
     # Best of 3 passes = steady-state throughput (single-run noise on a
     # shared box otherwise dominates the comparison).
     walls = []
-    for _ in range(3):
+    for _ in range(int(os.environ.get("SCALE_REPS", "7"))):
         t0 = time.perf_counter()
         extract(tdf).write.mode("overwrite").format("noop").save()
         walls.append(time.perf_counter() - t0)
+    # min across reps = steady-state throughput: the C2 JIT needs ~4 full
+    # passes over the codegen'd scan+Arrow stages before the 32-core level
+    # stops being compilation-bound (observed 11.4→5.3s across 7 reps),
+    # while per-rep noise on this shared box is ±20%
     wall = min(walls)
 
     agg = (

@@ -1,0 +1,90 @@
+"""Export sinks, ruby/MAD size filter, connected components."""
+
+import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from yomitoku_spark.operators.components import connected_components
+from yomitoku_spark.operators.sizefilter import (
+    mad_outliers,
+    ruby_filter_blocks,
+    valley_threshold_numpy,
+)
+from yomitoku_spark.plans.export import export_blocks
+from yomitoku_spark.plans.pipeline import classify, featurize, order_blocks, segment_blocks
+
+
+@pytest.fixture(scope="module")
+def blocks(spark):
+    rows = [
+        ("c1", 0, "user",
+         "## Title Here\n\n- alpha one\n- beta two\n\nplain paragraph long enough <yes> & fine",
+         "", datetime.datetime(2024, 1, 1)),
+        ("c1", 1, "user",
+         '| a | b |\n|---|---|\n| x,1 | "q" |\n| y | z |',
+         "", datetime.datetime(2024, 1, 1)),
+    ]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    return classify(featurize(order_blocks(segment_blocks(tdf))))
+
+
+def test_export_formats(spark, blocks):
+    out = {r.turn_idx: r for r in export_blocks(blocks).collect()}
+    t0, t1 = out[0], out[1]
+    assert t0.markdown.startswith("## Title Here")
+    assert "<h2>Title Here</h2>" in t0.html
+    assert "<ul><li>alpha one</li><li>beta two</li></ul>" in t0.html
+    assert "<p>plain paragraph long enough &lt;yes&gt; &amp; fine</p>" in t0.html
+    assert "<table><tr><td>a</td><td>b</td></tr>" in t1.html
+    # CSV: comma cell quoted, embedded quotes doubled
+    assert '"x,1"' in t1.csv and '"""q"""' in t1.csv
+    assert '"extracted_text"' in t0.json and t0.json.startswith("{")
+
+
+def test_valley_threshold_bimodal():
+    small = np.full(40, 4.0)
+    big = np.full(40, 120.0)
+    thr = valley_threshold_numpy(np.concatenate([small, big]))
+    assert thr is not None and 4.0 < thr < 120.0
+    assert valley_threshold_numpy(np.full(50, 10.0)) is None  # unimodal
+
+
+def test_mad_outliers(spark):
+    rows = [("g1", float(v)) for v in [10, 11, 10, 12, 11, 10, 300]] + [
+        ("g2", float(v)) for v in [5, 5, 6, 5]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {(r.g, r.v): r.is_outlier for r in mad_outliers(df, ["g"], "v").collect()}
+    assert got[("g1", 300.0)] is True
+    assert got[("g1", 10.0)] is False
+    # MAD = 0 (constant group): any deviation from the median is flagged
+    assert got[("g2", 6.0)] is True
+    assert got[("g2", 5.0)] is False
+
+
+def test_ruby_filter(spark):
+    # one page: many normal-size words + tiny kana fragments
+    rows = [("p1", 24.0, f"word{i}") for i in range(30)]
+    rows += [("p1", 3.0, "ふり"), ("p1", 3.0, "がな"), ("p1", 3.0, "abc")]
+    df = spark.createDataFrame(rows, "page string, size double, text string")
+    got = ruby_filter_blocks(df, ["page"], "size", "text").collect()
+    ruby = {r.text for r in got if r.is_ruby}
+    assert ruby == {"ふり", "がな"}  # small AND kana-only; 'abc' survives
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [("t1", 1, 2), ("t1", 2, 3), ("t1", 10, 11), ("t2", 1, 5)],
+        "turn string, src bigint, dst bigint",
+    )
+    got = {
+        (r.turn, r.node): r.component
+        for r in connected_components(edges, ["turn"]).collect()
+    }
+    assert got[("t1", 1)] == got[("t1", 3)] == 1
+    assert got[("t1", 10)] == got[("t1", 11)] == 10
+    assert got[("t2", 5)] == 1
