@@ -17,6 +17,7 @@ def test_rows_only_queries_documented():
     rows_only = set(qs) - set(osql)
     # every rows-only entry is a pipeline/UDF op that SQL can't express
     assert rows_only == {
+        "export_formats",
         "extract_transcripts",
         "extract_transcripts_staged",
         "segment_features",

@@ -198,27 +198,28 @@ def segment_blocks(transcripts: DataFrame) -> DataFrame:
 
 
 def order_blocks(blocks: DataFrame) -> DataFrame:
-    """S5: reading-order for layout turns (grouped pandas UDF over the
-    tiny per-turn group — reference reading_order.py), document order
-    for everything else. Only layout rows shuffle."""
-    layout = blocks.filter(F.col("source") == "layout")
-    rest = blocks.filter(F.col("source") != "layout").withColumn(
-        "order", F.col("block_id")
-    )
+    """S5: reading-order assignment (grouped pandas UDF over the tiny
+    per-turn group — reference reading_order.py:14-223). Layout turns
+    get the DAG toposort order; all other payload classes keep document
+    order. ONE grouped pass over all blocks — splitting layout/rest
+    into two branches would re-run the upstream Python segment stage
+    once per branch (no common-subplan reuse across a mapInPandas)."""
 
     def og(pdf: pd.DataFrame) -> pd.DataFrame:
-        nm = (~pdf["meta"].to_numpy()).nonzero()[0]
-        order = np.full(len(pdf), -1, dtype=np.int64)
-        if len(nm):
-            boxes = pdf.iloc[nm][["x1", "y1", "x2", "y2"]].to_numpy()
-            perm = reading_order_numpy(boxes)
-            order[nm[perm]] = np.arange(len(perm))
+        if len(pdf) and pdf["source"].iat[0] == "layout":
+            nm = (~pdf["meta"].to_numpy()).nonzero()[0]
+            order = np.full(len(pdf), -1, dtype=np.int64)
+            if len(nm):
+                boxes = pdf.iloc[nm][["x1", "y1", "x2", "y2"]].to_numpy()
+                perm = reading_order_numpy(boxes)
+                order[nm[perm]] = np.arange(len(perm))
+        else:
+            order = pdf["block_id"].to_numpy()
         return pdf.assign(order=order.astype("int32"))
 
-    ordered = layout.groupBy("conv_id", "turn_idx").applyInPandas(
+    return blocks.groupBy("conv_id", "turn_idx").applyInPandas(
         og, schema=BLOCKS_SCHEMA + ", order int"
     )
-    return rest.unionByName(ordered)
 
 
 def featurize(blocks: DataFrame) -> DataFrame:

@@ -702,9 +702,119 @@ SELECT s_nationkey FROM supplier
 """
 
 
+def gap_detection(spark, sf_dir):
+    """Interval-complement gap detection via window lead (§2.2; the
+    span-level analog of the reference's hole synthesis,
+    table_cell_detector.py:105-131: missing cells = complement of the
+    covered intervals)."""
+    l = t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    nxt = F.lead("l_linenumber").over(w)
+    return (
+        l.select("l_orderkey", "l_linenumber", nxt.alias("next_line"))
+        .filter(F.col("next_line") - F.col("l_linenumber") > 1)
+        .select(
+            "l_orderkey",
+            (F.col("l_linenumber") + 1).alias("gap_start"),
+            (F.col("next_line") - 1).alias("gap_end"),
+        )
+    )
+
+
+SQL_GAPS = """
+SELECT l_orderkey, l_linenumber + 1 AS gap_start, next_line - 1 AS gap_end
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         LEAD(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS next_line
+  FROM lineitem
+) WHERE next_line - l_linenumber > 1
+"""
+
+
+def adjacency_join(spark, sf_dir):
+    """Right-adjacency theta join (§2.2; reference is_right_adjacent,
+    utils/misc.py:299-427: edge-to-edge distance bound + y-overlap)."""
+    boxes = _part_boxes(spark, sf_dir)
+    a, b = boxes.alias("a"), boxes.alias("b")
+    y_overlap = F.least(F.col("a.box.y2"), F.col("b.box.y2")) - F.greatest(
+        F.col("a.box.y1"), F.col("b.box.y1")
+    )
+    gap = F.col("b.box.x1") - F.col("a.box.x2")
+    pred = (
+        (F.col("a.p_partkey") != F.col("b.p_partkey"))
+        & (gap >= 0)
+        & (gap <= 2)
+        & (y_overlap > 0)
+    )
+    return a.join(b, pred).select(
+        F.col("a.p_partkey").alias("left_key"), F.col("b.p_partkey").alias("right_key")
+    )
+
+
+SQL_ADJACENCY = f"""
+WITH pb AS ({SQL_PART_BOX})
+SELECT a.p_partkey AS left_key, b.p_partkey AS right_key
+FROM pb a JOIN pb b
+  ON a.p_partkey != b.p_partkey
+ AND b.x1 - a.x2 >= 0 AND b.x1 - a.x2 <= 2
+ AND LEAST(a.y2, b.y2) - GREATEST(a.y1, b.y1) > 0
+"""
+
+
+def page_select(spark, sf_dir):
+    """Range + set page selection (§2.1; reference --pages 1,2,5-10,
+    cli/main.py:94-118)."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderkey").between(100, 200) | F.col("o_orderkey").isin(1, 5, 9000)
+    ).select("o_orderkey", "o_custkey")
+
+
+SQL_PAGE_SELECT = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_orderkey BETWEEN 100 AND 200 OR o_orderkey IN (1, 5, 9000)
+"""
+
+
+def zip_join_positional(spark, sf_dir):
+    """Positional zip join (§2.3; reference det⋈rec merge by index,
+    ocr.py:6-24): row_number both sides → equi-join on position."""
+    n = t(spark, sf_dir, "nation")
+    a = n.select(
+        "n_nationkey",
+        F.row_number().over(W.orderBy("n_nationkey")).alias("pos"),
+    )
+    b = n.select(
+        F.col("n_name"),
+        F.row_number().over(W.orderBy("n_name")).alias("pos"),
+    )
+    return a.join(b, "pos").select("pos", "n_nationkey", "n_name")
+
+
+SQL_ZIP = """
+SELECT a.pos, a.n_nationkey, b.n_name
+FROM (SELECT n_nationkey, ROW_NUMBER() OVER (ORDER BY n_nationkey) pos FROM nation) a
+JOIN (SELECT n_name, ROW_NUMBER() OVER (ORDER BY n_name) pos FROM nation) b
+  ON a.pos = b.pos
+"""
+
+
 # ===================================================================
 # extraction pipeline (non-SQL-expressible → rows-only checks)
 # ===================================================================
+
+
+def export_formats(spark, sf_dir):
+    """Per-turn markdown/html/csv/json export sinks (§2.1; rows-only —
+    rendering follows the pipeline spec, enforced by pytest)."""
+    from yomitoku_spark.datagen import transcripts_df
+    from yomitoku_spark.plans.export import export_blocks
+    from yomitoku_spark.plans.pipeline import classify, featurize, order_blocks, segment_blocks
+
+    blocks = classify(
+        featurize(order_blocks(segment_blocks(transcripts_df(spark, n_convs=20, seed=42))))
+    )
+    return export_blocks(blocks)
 
 
 def extract_fields_kv(spark, sf_dir):
@@ -817,6 +927,11 @@ QUERIES = {
     "price_histogram": price_histogram,
     "pivot_event_types": pivot_event_types,
     "union_distinct_nations": union_distinct_nations,
+    "gap_detection": gap_detection,
+    "adjacency_join": adjacency_join,
+    "page_select": page_select,
+    "zip_join_positional": zip_join_positional,
+    "export_formats": export_formats,
     "extract_transcripts": extract_transcripts,
     "extract_transcripts_staged": extract_transcripts_staged,
     "segment_features": segment_features,
@@ -854,6 +969,10 @@ ORACLE = {
     "price_histogram": SQL_HISTOGRAM,
     "pivot_event_types": SQL_PIVOT,
     "union_distinct_nations": SQL_UNION,
+    "gap_detection": SQL_GAPS,
+    "adjacency_join": SQL_ADJACENCY,
+    "page_select": SQL_PAGE_SELECT,
+    "zip_join_positional": SQL_ZIP,
     # extract_transcripts / extract_transcripts_staged / segment_features:
     # non-SQL-expressible (graph reading-order, pandas-UDF stages) →
     # rows-only driver check; byte-equality enforced by tests/ oracle gate.
