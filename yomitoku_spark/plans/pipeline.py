@@ -131,27 +131,36 @@ def _extract_batches(batches):
             bdf["ti"] = turn_of
             bdf["order"] = orders
             keep = _keep_mask(bdf)
-            n_blocks = bdf.groupby("ti").size()
+            ti_all = np.asarray(turn_of, dtype=np.int64)
+            n_blocks = np.bincount(ti_all, minlength=n)
             kept = bdf[keep].sort_values(["ti", "order"], kind="stable")
-            kept = kept.assign(
-                span=[
-                    {"start": int(s), "end": int(e), "kind": k}
-                    for s, e, k in zip(kept["start"], kept["end"], kept["kind"])
+            ti_k = kept["ti"].to_numpy()
+            n_kept = np.bincount(ti_k, minlength=n)
+            # group boundaries on the (sorted) kept frame — one pass,
+            # no per-group pandas machinery
+            rendered = kept["rendered"].tolist()
+            starts = kept["start"].tolist()
+            ends = kept["end"].tolist()
+            kinds = kept["kind"].tolist()
+            bounds = (
+                np.flatnonzero(np.r_[True, ti_k[1:] != ti_k[:-1]])
+                if len(ti_k)
+                else np.empty(0, dtype=np.int64)
+            )
+            texts = out["extracted_text"].to_numpy(dtype=object)
+            spans = out["spans"].to_numpy(dtype=object)
+            for gi, s in enumerate(bounds):
+                e = bounds[gi + 1] if gi + 1 < len(bounds) else len(ti_k)
+                ti = int(ti_k[s])
+                texts[ti] = spec.BLOCK_JOINER.join(rendered[s:e])
+                spans[ti] = [
+                    {"start": int(st), "end": int(en), "kind": kd}
+                    for st, en, kd in zip(starts[s:e], ends[s:e], kinds[s:e])
                 ]
-            )
-            texts = kept.groupby("ti")["rendered"].agg(spec.BLOCK_JOINER.join)
-            spans = kept.groupby("ti")["span"].agg(list)
-            n_kept = kept.groupby("ti").size()
-            out.loc[texts.index, "extracted_text"] = texts
-            out.loc[spans.index, "spans"] = spans
-            out["blocks_kept"] = (
-                n_kept.reindex(range(n), fill_value=0).to_numpy().astype("int32")
-            )
-            out["blocks_dropped"] = (
-                (n_blocks.reindex(range(n), fill_value=0) - n_kept.reindex(range(n), fill_value=0))
-                .to_numpy()
-                .astype("int32")
-            )
+            out["extracted_text"] = texts
+            out["spans"] = spans
+            out["blocks_kept"] = n_kept.astype("int32")
+            out["blocks_dropped"] = (n_blocks - n_kept).astype("int32")
             out["chars_emitted"] = out["extracted_text"].str.len().astype("int32")
         yield out
 

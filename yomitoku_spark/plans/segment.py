@@ -55,7 +55,9 @@ BLOCKS_SCHEMA = (
 
 
 def _nfkc(s: str) -> str:
-    return unicodedata.normalize("NFKC", s)
+    # NFKC is the identity on ASCII — isascii() is a cheap C check and
+    # most payload text is ASCII-dominated
+    return s if s.isascii() else unicodedata.normalize("NFKC", s)
 
 
 def _cws(s: str) -> str:
