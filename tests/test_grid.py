@@ -1,0 +1,106 @@
+"""Geometric grid recovery: hand-built + property (construct grid with
+known (row,col,spans) → boxes → recover must return the ground truth)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from yomitoku_spark.operators.grid import recover_grid_numpy, recover_grids
+
+
+def _boxes_from_spec(spec, col_w=50, row_h=20):
+    """spec: list of (row, col, row_span, col_span) covering a grid with
+    no overlaps. Returns (n,4) boxes with 2px gutters."""
+    out = []
+    for r, c, rs, cs in spec:
+        x1 = c * col_w + 1
+        y1 = r * row_h + 1
+        x2 = (c + cs) * col_w - 1
+        y2 = (r + rs) * row_h - 1
+        out.append((x1, y1, x2, y2))
+    return np.asarray(out)
+
+
+def test_simple_grid():
+    spec = [(r, c, 1, 1) for r in range(3) for c in range(4)]
+    got = recover_grid_numpy(_boxes_from_spec(spec))
+    assert [tuple(g) for g in got] == spec
+
+
+def test_grid_with_spans():
+    spec = [
+        (0, 0, 1, 1), (0, 1, 1, 1), (0, 2, 1, 1),
+        (1, 0, 2, 1),                      # rowspan 2
+        (1, 1, 1, 2),                      # colspan 2
+        (2, 1, 1, 1), (2, 2, 1, 1),
+    ]
+    got = recover_grid_numpy(_boxes_from_spec(spec))
+    assert [tuple(g) for g in got] == spec
+
+
+def _grid_specs():
+    def build(draw_data):
+        n_rows, n_cols, merges = draw_data
+        taken = [[False] * n_cols for _ in range(n_rows)]
+        spec = []
+        for r0, c0, rs, cs in merges:
+            r, c = r0 % n_rows, c0 % n_cols
+            rs = min(rs, n_rows - r)
+            cs = min(cs, n_cols - c)
+            if any(taken[rr][cc] for rr in range(r, r + rs) for cc in range(c, c + cs)):
+                continue
+            for rr in range(r, r + rs):
+                for cc in range(c, c + cs):
+                    taken[rr][cc] = True
+            spec.append((r, c, rs, cs))
+        for r in range(n_rows):
+            for c in range(n_cols):
+                if not taken[r][c]:
+                    spec.append((r, c, 1, 1))
+        return sorted(spec)
+
+    return st.tuples(
+        st.integers(2, 6),
+        st.integers(2, 6),
+        st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 5),
+                      st.integers(1, 3), st.integers(1, 3)),
+            max_size=4,
+        ),
+    ).map(build)
+
+
+@given(_grid_specs())
+@settings(max_examples=200, deadline=None)
+def test_grid_recovery_roundtrip(spec):
+    # well-posedness: geometry alone can only recover a line that some
+    # unit-extent cell witnesses (a table that is ONE merged 2x2 cell is
+    # indistinguishable from a 1x1 table) — same evidence requirement as
+    # the reference's separate row/col line detections
+    from hypothesis import assume
+
+    rows_seen = {r for r, c, rs, cs in spec for r in ([r] if rs == 1 else [])}
+    cols_seen = {c for r, c, rs, cs in spec for c in ([c] if cs == 1 else [])}
+    n_rows = max(r + rs for r, c, rs, cs in spec)
+    n_cols = max(c + cs for r, c, rs, cs in spec)
+    assume(rows_seen == set(range(n_rows)) and cols_seen == set(range(n_cols)))
+    got = recover_grid_numpy(_boxes_from_spec(spec))
+    assert sorted(tuple(g) for g in got) == spec
+
+
+def test_recover_grids_spark(spark):
+    spec = [(0, 0, 1, 2), (0, 2, 1, 1), (1, 0, 1, 1), (1, 1, 1, 1), (1, 2, 1, 1)]
+    boxes = _boxes_from_spec(spec)
+    rows = [
+        ("c1", 0, 0, i, int(b[0]), int(b[1]), int(b[2]), int(b[3]))
+        for i, b in enumerate(boxes)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, table_id int, cell_id int, x1 int, y1 int, x2 int, y2 int",
+    )
+    got = {
+        r.cell_id: (r.row, r.col, r.row_span, r.col_span)
+        for r in recover_grids(df).collect()
+    }
+    assert got == {i: spec[i] for i in range(len(spec))}

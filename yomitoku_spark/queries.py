@@ -365,9 +365,13 @@ def sessionize(spark, sf_dir):
     streaming-adjacent pattern from the PySpark guide)."""
     e = t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    news = F.when(gap.isNull() | (gap > 3600), 1).otherwise(0)
-    return e.select(
+    # timestampdiff is timezone-free on TIMESTAMP_NTZ (unix_timestamp
+    # would interpret NTZ in the session TZ — fragile under a driver
+    # session with a non-UTC timezone)
+    stepped = e.withColumn("__prev_ts", F.lag("ts").over(w))
+    gap = F.expr("timestampdiff(SECOND, __prev_ts, ts)")
+    news = F.when(F.col("__prev_ts").isNull() | (gap > 3600), 1).otherwise(0)
+    return stepped.select(
         "event_id",
         "user_id",
         F.sum(news).over(w.rowsBetween(W.unboundedPreceding, 0))
@@ -804,6 +808,41 @@ JOIN (SELECT n_name, ROW_NUMBER() OVER (ORDER BY n_name) pos FROM nation) b
 # ===================================================================
 
 
+def grid_recovery(spark, sf_dir):
+    """Geometric grid recovery from cell boxes (per-table line
+    clustering in a grouped pandas UDF — reference
+    table_structure_recognizer.py:27-85). The synthetic grid is regular,
+    so the recovered (row, col) assignment has a closed-form SQL
+    referee: dense_rank of the y-line within the table."""
+    from yomitoku_spark.operators.grid import recover_grids
+
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    cells = n.crossJoin(r).select(
+        F.lit("t").alias("conv_id"),
+        F.lit(0).alias("turn_idx").cast("int"),
+        (F.col("n_nationkey") % 3).cast("int").alias("table_id"),
+        (F.col("n_nationkey") * 10 + F.col("r_regionkey")).cast("int").alias("cell_id"),
+        (F.col("r_regionkey") * 50 + 1).alias("x1"),
+        (F.col("n_nationkey") * 20 + 1).alias("y1"),
+        ((F.col("r_regionkey") + 1) * 50 - 1).alias("x2"),
+        ((F.col("n_nationkey") + 1) * 20 - 1).alias("y2"),
+    )
+    return recover_grids(cells)
+
+
+SQL_GRID_RECOVERY = """
+SELECT 't' AS conv_id, CAST(0 AS INT) AS turn_idx,
+       CAST(n_nationkey % 3 AS INT) AS table_id,
+       CAST(n_nationkey*10 + r_regionkey AS INT) AS cell_id,
+       CAST(DENSE_RANK() OVER (PARTITION BY n_nationkey % 3, r_regionkey
+                               ORDER BY n_nationkey) - 1 AS INT) AS row,
+       CAST(r_regionkey AS INT) AS col,
+       CAST(1 AS INT) AS row_span, CAST(1 AS INT) AS col_span
+FROM nation, region
+"""
+
+
 def export_formats(spark, sf_dir):
     """Per-turn markdown/html/csv/json export sinks (§2.1; rows-only —
     rendering follows the pipeline spec, enforced by pytest)."""
@@ -931,6 +970,7 @@ QUERIES = {
     "adjacency_join": adjacency_join,
     "page_select": page_select,
     "zip_join_positional": zip_join_positional,
+    "grid_recovery": grid_recovery,
     "export_formats": export_formats,
     "extract_transcripts": extract_transcripts,
     "extract_transcripts_staged": extract_transcripts_staged,
@@ -973,6 +1013,7 @@ ORACLE = {
     "adjacency_join": SQL_ADJACENCY,
     "page_select": SQL_PAGE_SELECT,
     "zip_join_positional": SQL_ZIP,
+    "grid_recovery": SQL_GRID_RECOVERY,
     # extract_transcripts / extract_transcripts_staged / segment_features:
     # non-SQL-expressible (graph reading-order, pandas-UDF stages) →
     # rows-only driver check; byte-equality enforced by tests/ oracle gate.
