@@ -808,6 +808,60 @@ JOIN (SELECT n_name, ROW_NUMBER() OVER (ORDER BY n_name) pos FROM nation) b
 # ===================================================================
 
 
+def asof_join(spark, sf_dir):
+    """As-of join composed from built-ins (Spark lacks a native one —
+    guide §'Common OLAP patterns'): each event matched to the latest
+    order of the same key at-or-before the event time, via theta join
+    on (key, time bound) → rank-1 window with explicit tiebreak."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    j = e.join(
+        o,
+        (F.col("user_id") == F.col("o_custkey")) & (F.col("o_orderdate") <= F.col("ts")),
+        "inner",
+    )
+    w = W.partitionBy("event_id").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_id", "user_id", F.col("o_orderkey").alias("asof_orderkey"))
+    )
+
+
+SQL_ASOF = """
+SELECT event_id, user_id, o_orderkey AS asof_orderkey FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) rk
+  FROM events e JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+) WHERE rk = 1
+"""
+
+
+def rollup_revenue(spark, sf_dir):
+    """GROUP BY ROLLUP (beyond the reference — it has no grouping sets;
+    SURVEY §2.4 note)."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(_cents("l_extendedprice")).alias("rev_cents"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("flag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("status"),
+            "rev_cents",
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       COALESCE(l_linestatus, 'ALL') AS status,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def grid_recovery(spark, sf_dir):
     """Geometric grid recovery from cell boxes (per-table line
     clustering in a grouped pandas UDF — reference
@@ -971,6 +1025,8 @@ QUERIES = {
     "page_select": page_select,
     "zip_join_positional": zip_join_positional,
     "grid_recovery": grid_recovery,
+    "asof_join": asof_join,
+    "rollup_revenue": rollup_revenue,
     "export_formats": export_formats,
     "extract_transcripts": extract_transcripts,
     "extract_transcripts_staged": extract_transcripts_staged,
@@ -1014,6 +1070,8 @@ ORACLE = {
     "page_select": SQL_PAGE_SELECT,
     "zip_join_positional": SQL_ZIP,
     "grid_recovery": SQL_GRID_RECOVERY,
+    "asof_join": SQL_ASOF,
+    "rollup_revenue": SQL_ROLLUP,
     # extract_transcripts / extract_transcripts_staged / segment_features:
     # non-SQL-expressible (graph reading-order, pandas-UDF stages) →
     # rows-only driver check; byte-equality enforced by tests/ oracle gate.
