@@ -216,3 +216,26 @@ def test_contains_predicate(spark):
         .collect()
     )
     assert got == [2]
+
+
+def test_blocked_dedup_equals_theta_on_sparse_boxes(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        x1, y1 = rng.randrange(0, 4000), rng.randrange(0, 4000)
+        w, h = rng.randrange(5, 60), rng.randrange(5, 60)
+        rows.append((i, {"x1": x1, "y1": y1, "x2": x1 + w, "y2": y1 + h}))
+    # plant some exact containments
+    for j, (i, b) in enumerate(rows[:10]):
+        rows.append((1000 + j, {"x1": b["x1"] + 1, "y1": b["y1"] + 1,
+                                "x2": max(b["x1"] + 2, b["x2"] - 1),
+                                "y2": max(b["y1"] + 2, b["y2"] - 1)}))
+    df = spark.createDataFrame(rows, "id bigint, box struct<x1:int,y1:int,x2:int,y2:int>")
+    plain = sorted(r.id for r in SP.dedup_contained(df, "id", keep="larger").collect())
+    blocked = sorted(
+        r.id for r in SP.dedup_contained(df, "id", keep="larger", blocked_cell=64).collect()
+    )
+    assert plain == blocked
+    assert len(plain) < len(rows)  # something was actually deduped

@@ -44,8 +44,12 @@ def box_area(a: str) -> Column:
 def contains(outer: str, inner: str, threshold: float = 0.8) -> Column:
     """outer ⊇ inner when overlap/area(inner) ≥ threshold.
 
-    reference: utils/misc.py:53-72 ``is_contained``."""
-    return overlap_area(outer, inner) >= threshold * box_area(inner)
+    reference: utils/misc.py:53-72 ``is_contained``. The comparison is
+    integer-exact (overlap·1000 ≥ ⌊threshold·1000⌉·area): a float
+    `0.8*area` is 36.000000000000007 for area=45, silently flipping
+    exact-boundary pairs relative to the rational predicate."""
+    num = int(round(threshold * 1000))
+    return overlap_area(outer, inner) * 1000 >= num * box_area(inner)
 
 
 def iou(a: str, b: str) -> Column:
@@ -89,30 +93,87 @@ def argmax_join(
     return j.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") == 1).drop("__rk")
 
 
+def cover_cells(box: str, cell: int) -> Column:
+    """Array of grid-cell ids covered by a box (cell = coarse grid pitch).
+    Spatial blocking: two boxes can only intersect if they share a
+    covered cell, so the O(n²) theta self-join becomes an equi join on
+    cell id — the plan that survives 10^9 boxes."""
+    cx = F.sequence(
+        F.floor(F.col(f"{box}.x1") / cell), F.floor((F.col(f"{box}.x2") - 1) / cell)
+    )
+    cy = F.sequence(
+        F.floor(F.col(f"{box}.y1") / cell), F.floor((F.col(f"{box}.y2") - 1) / cell)
+    )
+    return F.flatten(
+        F.transform(cx, lambda x: F.transform(cy, lambda y: x * 1_000_003 + y))
+    )
+
+
+def grid_blocked_pairs(df: DataFrame, id_col: str, cell: int = 64) -> DataFrame:
+    """Candidate pairs (a, b struct columns) of boxes sharing ≥1 grid
+    cell, deduped. Superset of all intersecting pairs.
+
+    Use when geometry is SPARSE relative to the cell pitch (few boxes
+    per cell): the equi join then replaces the O(n²) nested loop. When
+    boxes are dense (everything overlaps everything — candidate count
+    ~n² anyway), the blocking only adds an exchange; keep the direct
+    theta join there."""
+    e = df.select(
+        F.struct(*[F.col(c) for c in df.columns]).alias("r"),
+        F.explode(cover_cells("box", cell)).alias("cell"),
+    )
+    a, b = e.alias("ea"), e.alias("eb")
+    pairs = a.join(
+        b,
+        (F.col("ea.cell") == F.col("eb.cell"))
+        & (F.col(f"ea.r.{id_col}") != F.col(f"eb.r.{id_col}")),
+    ).select(F.col("ea.r").alias("a"), F.col("eb.r").alias("b"))
+    return (
+        pairs.withColumn("__ka", F.col(f"a.{id_col}"))
+        .withColumn("__kb", F.col(f"b.{id_col}"))
+        .dropDuplicates(["__ka", "__kb"])
+        .drop("__ka", "__kb")
+    )
+
+
 def dedup_contained(
-    df: DataFrame, id_col: str, keep: str = "larger", threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    keep: str = "larger",
+    threshold: float = 0.8,
+    blocked_cell: int | None = None,
 ) -> DataFrame:
     """Drop boxes contained in another box of the same DataFrame.
 
     keep='larger'  — reference layout_parser.py:28-58
     keep='smaller' — reference table_cell_detector.py:31-65
     Implemented as a containment self-join → LEFT ANTI of the losers;
-    on mutual containment the area tiebreak (then id) decides."""
-    a = df.alias("a")
-    b = df.alias("b")
+    on mutual containment the area tiebreak (then id) decides.
+
+    ``blocked_cell``: when set, candidate pairs come from the grid-cell
+    equi join (:func:`grid_blocked_pairs`) instead of the O(n²)
+    nested-loop theta join — identical results, scalable plan."""
     contained = contains("b.box", "a.box", threshold)  # b contains a
     area_a = box_area("a.box")
     area_b = box_area("b.box")
+    tie = F.col(f"a.{id_col}") > F.col(f"b.{id_col}")
     if keep == "larger":
-        loses = (area_a < area_b) | ((area_a == area_b) & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")))
+        loses = (area_a < area_b) | ((area_a == area_b) & tie)
     else:
-        loses = (area_a > area_b) | ((area_a == area_b) & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")))
+        loses = (area_a > area_b) | ((area_a == area_b) & tie)
     mutual = contains("a.box", "b.box", threshold)
     # a loses when b contains a AND (mutual → tiebreak, else containment alone)
-    pred = (
-        (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
-        & contained
-        & (~mutual | loses)
-    )
-    losers = a.join(b, pred, "left_semi")
-    return df.join(losers.select(id_col), id_col, "left_anti")
+    pred = contained & (~mutual | loses)
+    if blocked_cell:
+        pairs = grid_blocked_pairs(df, id_col, blocked_cell)
+        losers = pairs.filter(pred).select(F.col(f"a.{id_col}").alias(id_col)).distinct()
+    else:
+        a = df.select(F.struct(*[F.col(c) for c in df.columns]).alias("a"))
+        b = df.select(F.struct(*[F.col(c) for c in df.columns]).alias("b"))
+        neq = F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
+        losers = (
+            a.join(b, neq & pred, "inner")
+            .select(F.col(f"a.{id_col}").alias(id_col))
+            .distinct()
+        )
+    return df.join(losers, id_col, "left_anti")

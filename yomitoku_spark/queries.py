@@ -335,6 +335,10 @@ ON GREATEST(LEAST(a.x2,b.x2) - GREATEST(a.x1,b.x1), 0)
 def dedup_contained_boxes(spark, sf_dir):
     """Contained-rectangle dedup, keep-larger (§2.2; reference
     layout_parser.py:28-58): self containment join → anti-join losers."""
+    # NOTE: unblocked theta join on purpose — this synthetic geometry is
+    # pathologically dense (20k boxes in a 130×130 space at sf0.1), so
+    # grid blocking only adds a pair-materialization shuffle. For sparse
+    # real-world page geometry use blocked_cell (see spatial.py).
     boxes = _part_boxes(spark, sf_dir)
     return SP.dedup_contained(boxes, "p_partkey", keep="larger", threshold=0.8).select(
         "p_partkey"
