@@ -239,3 +239,21 @@ def test_blocked_dedup_equals_theta_on_sparse_boxes(spark):
     )
     assert plain == blocked
     assert len(plain) < len(rows)  # something was actually deduped
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, emb):
+    """Recall@3 of the LSH-ANN path against exact brute force — the
+    documented quality/speed trade of the approximate scale path."""
+    sub = emb.limit(200)
+    exact = {}
+    for r in SIM.brute_force_topk(sub, sub, k=3).collect():
+        exact.setdefault(r.query_id, set()).add(r.corpus_id)
+    approx = {}
+    for r in SIM.lsh_ann_topk(sub, k=3, n_planes=4, n_tables=6).collect():
+        approx.setdefault(r.query_id, set()).add(r.corpus_id)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    # 6 tables × 4 hyperplanes over 200 vectors: recall well above
+    # chance (3/199 ≈ 0.015) and above the single-table ~0.15 level
+    assert recall > 0.5, recall

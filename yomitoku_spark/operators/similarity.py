@@ -159,24 +159,40 @@ def lsh_signatures(
     dim: int = 64,
     n_planes: int = 8,
     seed: int = 7,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Random-hyperplane bucket id per vector (Arrow batch → one numpy
-    matmul per batch; the planes matrix is closure-captured once per
-    executor, not per row)."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    """Random-hyperplane bucket ids per vector — ``n_tables`` independent
+    hash tables (the standard recall lever: a true neighbor pair only
+    needs to collide in ONE table). One numpy matmul per Arrow batch
+    against all tables' planes at once; the planes matrix is
+    closure-captured once per executor, not per row. Output:
+    (id, table, bucket) — one row per table."""
+    planes = np.concatenate(
+        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     def sig(it):
         for pdf in it:
             mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             if len(mat) == 0:
-                yield pd.DataFrame({"id": [], "bucket": []})
                 continue
-            bits = (mat @ planes.T) > 0
-            bucket = (bits.astype(np.int64) * weights).sum(axis=1)
-            yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "bucket": bucket})
+            bits = (mat @ planes.T) > 0  # (n, n_tables*n_planes)
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for t in range(n_tables):
+                b = bits[:, t * n_planes : (t + 1) * n_planes]
+                bucket = (b.astype(np.int64) * weights).sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {"id": ids, "table": np.int32(t), "bucket": bucket}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
 
-    return df.select(id_col, vec_col).mapInPandas(sig, schema="id bigint, bucket bigint")
+    return df.select(id_col, vec_col).mapInPandas(
+        sig, schema="id bigint, table int, bucket bigint"
+    )
 
 
 def lsh_ann_topk(
@@ -187,21 +203,29 @@ def lsh_ann_topk(
     n_planes: int = 8,
     k: int = 5,
     seed: int = 7,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Approximate all-pairs top-k: candidates share an LSH bucket,
-    re-ranked by exact cosine. At 10^9 vectors the bucket equi-join is
-    the only shuffle and candidates per query stay ~n/2^planes."""
-    sigs = lsh_signatures(corpus, id_col, vec_col, dim, n_planes, seed)
+    """Approximate all-pairs top-k: candidates share an LSH bucket in
+    ANY of ``n_tables`` hash tables, deduped, re-ranked by exact cosine.
+    At 10^9 vectors the (table, bucket) equi-join is the only shuffle
+    and candidates per query stay ~n_tables·n/2^planes; recall rises
+    with n_tables at linear candidate cost (measured in
+    tests/test_operators.py::test_lsh_ann_recall_vs_brute_force)."""
+    sigs = lsh_signatures(corpus, id_col, vec_col, dim, n_planes, seed, n_tables)
     vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).join(
         sigs, "id"
     )
     a = vecs.select(
-        F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "bucket"
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "table", "bucket"
     )
     b = vecs.select(
-        F.col("id").alias("corpus_id"), F.col("vec").alias("cvec"), "bucket"
+        F.col("id").alias("corpus_id"), F.col("vec").alias("cvec"), "table", "bucket"
     )
-    j = a.join(b, "bucket").filter(F.col("query_id") != F.col("corpus_id"))
+    j = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
     sim = cosine(F.col("cvec"), F.col("qvec")).alias("sim")
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("corpus_id"))
     return (
