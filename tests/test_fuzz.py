@@ -20,7 +20,7 @@ from yomitoku_spark.plans.pipeline import _extract_batches
 ALPHABET = list(
     "abcdefgh xyz\n\t|#<>-*:.,01289一二ﬁＡＢ{}\"'[]()~`&/=高速データ　"
 ) + ["\n\n", "| ", " |", "---", "<p>", "</p>", "<ul>", "<li>", "</li>", "<header>",
-     "</header>", '{"blocks"', "**", "- ", "## ", "Key: ", "^^", "<<",
+     "</header>", '{"blocks"', "**", "- ", "## ", "Key: ", "^^", "<<", "```\n", "```py\n", "\n```\n",
      '<a href="/x">', "</a>", '<div class="nav">', "</div>"]
 
 

@@ -146,3 +146,17 @@ def test_oracle_runs_on_all_generated_payloads():
         for s, e, _k in r["spans"]:
             payload = row["text"] or row["tool"]
             assert 0 <= s <= e <= len(payload)
+
+
+def test_fenced_code_block():
+    payload = "intro paragraph long enough\n\n```py\nx = 1\n\n| not | a table |\n```\n\ntail paragraph long enough"
+    r = oracle.extract_payload(payload, "")
+    kinds = [s[2] for s in r["spans"]]
+    assert kinds == ["paragraph", "code", "paragraph"]
+    assert "```py\nx = 1\n\n| not | a table |\n```" in r["extracted_text"]
+
+
+def test_unbalanced_fence_degrades_to_text():
+    payload = "```py\nonly an opening fence here with enough chars"
+    r = oracle.extract_payload(payload, "")
+    assert r["spans"][0][2] == "paragraph"

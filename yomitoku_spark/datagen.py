@@ -59,6 +59,13 @@ def _gen_prose(rng: random.Random) -> str:
     parts = []
     if rng.random() < 0.4:
         parts.append(f"{'#' * rng.randint(1, 3)} {_words(rng, rng.randint(2, 5))}")
+    if rng.random() < 0.3:
+        # fenced code with internal blank lines (fence-aware split test)
+        body = "\n".join(
+            f"x{i} = {_words(rng, 2)}" + ("\n" if rng.random() < 0.3 else "")
+            for i in range(rng.randint(1, 4))
+        )
+        parts.append(f"```py\n{body}\n```")
     for _ in range(rng.randint(1, 4)):
         n_lines = rng.randint(1, 3)
         parts.append("\n".join(_words(rng, rng.randint(6, 18), tricky=True) for _ in range(n_lines)))

@@ -86,13 +86,26 @@ def _render_table(lines: list[str]) -> str:
 
 def _textual_blocks(payload: str) -> list[Block]:
     blocks: list[Block] = []
-    pos = 0
-    # split into line-blocks on blank lines, keeping offsets
+    # 1) carve out fenced code regions (verbatim, may span blank lines)
+    code_regions = [(m.start(), m.end()) for m in spec.FENCE_RE.finditer(payload)]
+    for cs, ce in code_regions:
+        rendered = payload[cs:ce].strip()
+        blocks.append(Block(cs, ce, spec.KIND_CODE, rendered, True))
+    # 2) blank-line split the gaps between code regions
+    gaps = []
+    last = 0
+    for cs, ce in code_regions:
+        gaps.append((last, cs))
+        last = ce
+    gaps.append((last, len(payload)))
     segments = []
-    for seg in spec.BLANK_LINE_SPLIT_RE.split(payload):
-        idx = payload.index(seg, pos)
-        segments.append((idx, idx + len(seg), seg))
-        pos = idx + len(seg)
+    for gs, ge in gaps:
+        gap = payload[gs:ge]
+        pos = 0
+        for seg in spec.BLANK_LINE_SPLIT_RE.split(gap):
+            idx = gap.index(seg, pos)
+            segments.append((gs + idx, gs + idx + len(seg), seg))
+            pos = idx + len(seg)
     for start, end, seg in segments:
         if not seg.strip():
             continue
@@ -129,6 +142,7 @@ def _textual_blocks(payload: str) -> list[Block]:
         text = nfkc(seg).strip()
         keep = len(text) >= spec.MIN_PARA_CHARS
         blocks.append(Block(start, end, spec.KIND_PARAGRAPH, text, keep))
+    blocks.sort(key=lambda b: b.start)  # document order (code carved first)
     return blocks
 
 

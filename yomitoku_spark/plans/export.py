@@ -81,6 +81,7 @@ def block_html(kind: Column, rendered: Column) -> Column:
     table = F.concat(F.lit("<table>"), F.array_join(trs, ""), F.lit("</table>"))
     return (
         F.when(kind == "heading", heading)
+        .when(kind == "code", F.concat(F.lit("<pre>"), esc, F.lit("</pre>")))
         .when(kind == "list", ul)
         .when(kind == "kv", ul)
         .when(kind == "table", table)

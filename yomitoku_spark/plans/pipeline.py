@@ -67,6 +67,7 @@ def _keep_mask(bdf: pd.DataFrame) -> np.ndarray:
             kind == spec.KIND_TABLE,
             kind == spec.KIND_LIST,
             kind == spec.KIND_KV,
+            kind == spec.KIND_CODE,
         ],
         [
             False,
@@ -74,6 +75,7 @@ def _keep_mask(bdf: pd.DataFrame) -> np.ndarray:
             (content >= spec.MIN_HEADING_CHARS) & ok_dens,
             content > 0,
             (content > 0) & ok_dens,
+            True,
             True,
         ],
         default=(visible >= spec.MIN_PARA_CHARS) & ok_dens,
@@ -263,6 +265,7 @@ def classify(blocks: DataFrame) -> DataFrame:
         .when(F.col("kind") == spec.KIND_TABLE, F.col("content_len") > 0)
         .when(F.col("kind") == spec.KIND_LIST, (F.col("content_len") > 0) & ok_dens)
         .when(F.col("kind") == spec.KIND_KV, F.lit(True))
+        .when(F.col("kind") == spec.KIND_CODE, F.lit(True))
         .otherwise(
             (F.col("visible_len") >= spec.MIN_PARA_CHARS) & ok_dens
         )

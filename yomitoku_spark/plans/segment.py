@@ -93,15 +93,35 @@ def _render_pipe_table(rows: list[list[str]]) -> str:
 
 def _segment_textual(payload: str) -> list[tuple]:
     out = []
+    # fenced code regions are verbatim blocks; blank-line split the gaps
+    code_regions = [(m.start(), m.end()) for m in spec.FENCE_RE.finditer(payload)]
     bounds = []
     last = 0
-    for m in spec.BLANK_LINE_SPLIT_RE.finditer(payload):
-        bounds.append((last, m.start()))
-        last = m.end()
-    bounds.append((last, len(payload)))
+    for cs, ce in code_regions:
+        gap = payload[last:cs]
+        gstart = last
+        glast = 0
+        for m in spec.BLANK_LINE_SPLIT_RE.finditer(gap):
+            bounds.append((gstart + glast, gstart + m.start(), False))
+            glast = m.end()
+        bounds.append((gstart + glast, cs, False))
+        bounds.append((cs, ce, True))
+        last = ce
+    gap = payload[last:]
+    glast = 0
+    for m in spec.BLANK_LINE_SPLIT_RE.finditer(gap):
+        bounds.append((last + glast, last + m.start(), False))
+        glast = m.end()
+    bounds.append((last + glast, len(payload), False))
     bid = 0
-    for start, end in bounds:
+    for start, end, is_code in bounds:
         seg = payload[start:end]
+        if is_code:
+            rendered = seg.strip()
+            out.append(_mk(bid, "textual", spec.KIND_CODE, start, end, rendered,
+                           len(rendered), 0, len(rendered)))
+            bid += 1
+            continue
         if not seg.strip():
             continue
         stripped = [ln.strip() for ln in seg.split("\n") if ln.strip()]

@@ -49,6 +49,10 @@ BOILER_TAGS = frozenset({"header", "footer", "nav", "aside"})
 BOILER_CLASS_RE = re.compile(r"\b(nav|menu|footer|sidebar|banner|ad)\b")
 
 # ---- textual (non-HTML, non-layout) payloads ---------------------------
+# fenced code blocks are carved out FIRST (they may contain blank lines
+# and table/list-looking text that must stay verbatim); remaining gaps
+# are split on blank lines. Unbalanced fences degrade to plain text.
+FENCE_RE = re.compile(r"(?ms)^```[^\n]*\n.*?^```[ \t]*$")
 BLANK_LINE_SPLIT_RE = re.compile(r"\n[ \t]*\n")
 MD_HEADING_RE = re.compile(r"^(#{1,6}) (.+)$")
 MD_LIST_LINE_RE = re.compile(r"^(?:[-*]|\d+\.) (.+)$")
@@ -85,6 +89,7 @@ KIND_LIST = "list"
 KIND_TABLE = "table"
 KIND_KV = "kv"
 KIND_FIGURE = "figure"
+KIND_CODE = "code"  # fenced code: kept verbatim, no NFKC
 
 BLOCK_JOINER = "\n\n"
 
