@@ -49,7 +49,7 @@ def child(cpus: int, input_dir: str) -> None:
     # Best of 3 passes = steady-state throughput (single-run noise on a
     # shared box otherwise dominates the comparison).
     walls = []
-    for _ in range(int(os.environ.get("SCALE_REPS", "7"))):
+    for _ in range(int(os.environ.get("SCALE_REPS", "10"))):
         t0 = time.perf_counter()
         extract(tdf).write.mode("overwrite").format("noop").save()
         walls.append(time.perf_counter() - t0)
@@ -152,7 +152,7 @@ Job: fused extraction (`yomitoku_spark.extract`) over the deterministic
 synthetic transcripts table (seed=42, {n_convs} conversations,
 {r8['n_turns']} turns, one 12× skewed conversation), materialized once
 to parquet and read identically by both runs. Each parallelism level is
-a fresh JVM; timing excludes a 2000-turn warmup.
+a fresh JVM; timing is best-of-N full passes after a full warmup pass.
 
 | parallelism | wall (s) | turns/sec |
 |---|---|---|
