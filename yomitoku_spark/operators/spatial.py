@@ -168,12 +168,11 @@ def dedup_contained(
         pairs = grid_blocked_pairs(df, id_col, blocked_cell)
         losers = pairs.filter(pred).select(F.col(f"a.{id_col}").alias(id_col)).distinct()
     else:
-        a = df.select(F.struct(*[F.col(c) for c in df.columns]).alias("a"))
-        b = df.select(F.struct(*[F.col(c) for c in df.columns]).alias("b"))
+        # plain aliased self-join (no struct packing — keeps column
+        # pruning + codegen) and LEFT SEMI, not inner+distinct: the
+        # nested-loop probe stops at the FIRST dominating match per row
+        a = df.alias("a")
+        b = df.alias("b")
         neq = F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
-        losers = (
-            a.join(b, neq & pred, "inner")
-            .select(F.col(f"a.{id_col}").alias(id_col))
-            .distinct()
-        )
+        losers = a.join(b, neq & pred, "left_semi").select(id_col)
     return df.join(losers, id_col, "left_anti")
