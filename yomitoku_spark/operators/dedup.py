@@ -37,7 +37,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     keep = (
         df.select(digest, F.col(id_col))
         .groupBy("digest")
-        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
+        .agg(F.min(id_col).alias(id_col))
     )
     return df.join(keep.select(id_col), id_col, "left_semi")
 
@@ -270,7 +270,10 @@ def simhash_near_pairs(
                 "id",
                 "simhash",
                 F.lit(r).alias("band"),
-                F.shiftright(
+                # unsigned shift: the arithmetic shiftright would
+                # sign-extend bands containing the simhash sign bit,
+                # silently splitting those buckets and losing recall
+                F.shiftrightunsigned(
                     F.shiftleft("simhash", shift), 64 - prefix_bits
                 ).alias("key"),
             )

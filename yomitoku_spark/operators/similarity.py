@@ -207,24 +207,29 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates share an LSH bucket in
     ANY of ``n_tables`` hash tables, deduped, re-ranked by exact cosine.
-    At 10^9 vectors the (table, bucket) equi-join is the only shuffle
-    and candidates per query stay ~n_tables·n/2^planes; recall rises
-    with n_tables at linear candidate cost (measured in
+
+    Shuffle discipline (the property that survives 10^9 vectors): the
+    (table, bucket) equi-join and the pair dedup are computed over
+    (id, table, bucket) rows ONLY — the full embedding vectors never
+    ride through the candidate generation. Vectors are joined back
+    exactly once, onto the already-deduped (query_id, corpus_id) pair
+    set, for the exact re-rank; so each vector crosses the wire a
+    constant number of times independent of n_tables. Recall rises with
+    n_tables at linear candidate cost (measured in
     tests/test_operators.py::test_lsh_ann_recall_vs_brute_force)."""
     sigs = lsh_signatures(corpus, id_col, vec_col, dim, n_planes, seed, n_tables)
-    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).join(
-        sigs, "id"
-    )
-    a = vecs.select(
-        F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "table", "bucket"
-    )
-    b = vecs.select(
-        F.col("id").alias("corpus_id"), F.col("vec").alias("cvec"), "table", "bucket"
-    )
-    j = (
+    a = sigs.select(F.col("id").alias("query_id"), "table", "bucket")
+    b = sigs.select(F.col("id").alias("corpus_id"), "table", "bucket")
+    pairs = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("corpus_id"))
-        .dropDuplicates(["query_id", "corpus_id"])
+        .select("query_id", "corpus_id")
+        .distinct()
+    )
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    j = (
+        pairs.join(vecs.withColumnRenamed("id", "query_id").withColumnRenamed("vec", "qvec"), "query_id")
+        .join(vecs.withColumnRenamed("id", "corpus_id").withColumnRenamed("vec", "cvec"), "corpus_id")
     )
     sim = cosine(F.col("cvec"), F.col("qvec")).alias("sim")
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("corpus_id"))

@@ -75,15 +75,39 @@ def run_resumable(
     ``max_waves`` exists for fault-injection tests (stop early, then
     call again to resume)."""
     spark = transcripts.sparkSession
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        return _run_resumable(
+            spark, transcripts, output_dir, n_buckets, wave_size, max_waves, lineage
+        )
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
+def _bucket_expr(n_buckets: int) -> F.Column:
+    # xxhash64 is TYPE-sensitive (int vs bigint hash differently), and
+    # extract() emits turn_idx as int — so the input-side filter and the
+    # output-side write MUST hash the same types, or rows written land
+    # in a bucket other than the one that selected them and a later
+    # wave's dynamic overwrite silently deletes them.
+    return F.pmod(
+        F.xxhash64(F.col("conv_id").cast("string"), F.col("turn_idx").cast("int")),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+def _run_resumable(
+    spark, transcripts, output_dir, n_buckets, wave_size, max_waves, lineage
+) -> int:
     done = done_buckets(spark, output_dir)
     todo = sorted(set(range(n_buckets)) - done)
     lineage = lineage or f"yomitoku_spark-{__version__}"
 
-    bucketed = transcripts.withColumn(
-        "bucket",
-        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_buckets)).cast("int"),
-    )
+    bucketed = transcripts.withColumn("bucket", _bucket_expr(n_buckets))
 
     processed = 0
     waves = [todo[i : i + wave_size] for i in range(0, len(todo), wave_size)]
@@ -91,10 +115,7 @@ def run_resumable(
         if max_waves is not None and wi >= max_waves:
             break
         part = bucketed.filter(F.col("bucket").isin(wave))
-        res = extract(part.drop("bucket")).withColumn(
-            "bucket",
-            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_buckets)).cast("int"),
-        )
+        res = extract(part.drop("bucket")).withColumn("bucket", _bucket_expr(n_buckets))
         # idempotent per-bucket replace (dynamic partition overwrite)
         res.write.mode("overwrite").partitionBy("bucket").parquet(_result_dir(output_dir))
         # metrics from the COMMITTED output → exactly-once

@@ -372,8 +372,14 @@ def sessionize(spark, sf_dir):
     # timestampdiff is timezone-free on TIMESTAMP_NTZ (unix_timestamp
     # would interpret NTZ in the session TZ — fragile under a driver
     # session with a non-UTC timezone)
+    # both endpoints truncated to whole seconds BEFORE the diff so the
+    # >3600 boundary agrees with the oracle on sub-second timestamps
+    # (Spark's timestampdiff truncates the interval; DuckDB's epoch cast
+    # rounds each endpoint — identical only on whole-second inputs)
     stepped = e.withColumn("__prev_ts", F.lag("ts").over(w))
-    gap = F.expr("timestampdiff(SECOND, __prev_ts, ts)")
+    gap = F.expr(
+        "timestampdiff(SECOND, date_trunc('second', __prev_ts), date_trunc('second', ts))"
+    )
     news = F.when(F.col("__prev_ts").isNull() | (gap > 3600), 1).otherwise(0)
     return stepped.select(
         "event_id",
@@ -387,7 +393,8 @@ def sessionize(spark, sf_dir):
 SQL_SESSION = """
 SELECT event_id, user_id,
   CAST(SUM(CASE WHEN prev_ts IS NULL
-                  OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT) > 3600
+                  OR CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                     - CAST(epoch(date_trunc('second', prev_ts)) AS BIGINT) > 3600
                 THEN 1 ELSE 0 END)
        OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
@@ -786,24 +793,33 @@ WHERE o_orderkey BETWEEN 100 AND 200 OR o_orderkey IN (1, 5, 9000)
 
 def zip_join_positional(spark, sf_dir):
     """Positional zip join (§2.3; reference det⋈rec merge by index,
-    ocr.py:6-24): row_number both sides → equi-join on position."""
+    ocr.py:6-24): row_number both sides → equi-join on position. The
+    reference zip is per-page, so the windows are PARTITIONED by the
+    group key (n_regionkey here, page in the pipeline) — positions are
+    assigned group-locally and never serialize through one partition."""
     n = t(spark, sf_dir, "nation")
-    a = n.select(
-        "n_nationkey",
-        F.row_number().over(W.orderBy("n_nationkey")).alias("pos"),
-    )
+    wa = W.partitionBy("n_regionkey").orderBy("n_nationkey")
+    wb = W.partitionBy("n_regionkey").orderBy("n_name")
+    a = n.select("n_regionkey", "n_nationkey", F.row_number().over(wa).alias("pos"))
     b = n.select(
+        F.col("n_regionkey").alias("rk_b"),
         F.col("n_name"),
-        F.row_number().over(W.orderBy("n_name")).alias("pos"),
+        F.row_number().over(wb).alias("pos"),
     )
-    return a.join(b, "pos").select("pos", "n_nationkey", "n_name")
+    return a.join(
+        b, (a.n_regionkey == b.rk_b) & (a.pos == b.pos)
+    ).select("n_regionkey", a.pos.alias("pos"), "n_nationkey", "n_name")
 
 
 SQL_ZIP = """
-SELECT a.pos, a.n_nationkey, b.n_name
-FROM (SELECT n_nationkey, ROW_NUMBER() OVER (ORDER BY n_nationkey) pos FROM nation) a
-JOIN (SELECT n_name, ROW_NUMBER() OVER (ORDER BY n_name) pos FROM nation) b
-  ON a.pos = b.pos
+SELECT a.n_regionkey, a.pos, a.n_nationkey, b.n_name
+FROM (SELECT n_regionkey, n_nationkey,
+             ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) pos
+      FROM nation) a
+JOIN (SELECT n_regionkey, n_name,
+             ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_name) pos
+      FROM nation) b
+  ON a.n_regionkey = b.n_regionkey AND a.pos = b.pos
 """
 
 
@@ -953,29 +969,42 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 def multimodal_features(spark, sf_dir):
-    """Binary media columns → deterministic stub features (rows-only)."""
+    """Binary media columns → deterministic stub features (rows-only).
+    The float-array features column is serialized (quantized to int
+    permille first, so the JSON repr is canonical) for the driver's
+    canonicalizer."""
     from yomitoku_spark.multimodal.media import extract_features, synthetic_media, validate_media
 
     media = validate_media(synthetic_media(spark, n=256))
-    return extract_features(media.filter(F.col("valid")))
+    feats = extract_features(media.filter(F.col("valid")))
+    return feats.withColumn(
+        "features",
+        F.to_json(F.transform("features", lambda x: F.round(x.cast("double") * 1000).cast("bigint"))),
+    )
 
 
 def extract_transcripts(spark, sf_dir):
     """Flagship: full fused extraction over the deterministic synthetic
     transcripts table (north rule). Spans/reading-order are not
     SQL-expressible — correctness is enforced by the pytest oracle-
-    equality gate instead (tests/test_pipeline.py)."""
+    equality gate instead (tests/test_pipeline.py). The struct-array
+    spans column is serialized to JSON for the registry so the driver
+    canonicalizer (pandas sort/factorize) can hash the rows."""
     from yomitoku_spark.datagen import transcripts_df
     from yomitoku_spark.plans.pipeline import extract
 
-    return extract(transcripts_df(spark, n_convs=40, seed=42))
+    return extract(transcripts_df(spark, n_convs=40, seed=42)).withColumn(
+        "spans", F.to_json("spans")
+    )
 
 
 def extract_transcripts_staged(spark, sf_dir):
     from yomitoku_spark.datagen import transcripts_df
     from yomitoku_spark.plans.pipeline import extract_staged
 
-    return extract_staged(transcripts_df(spark, n_convs=40, seed=42))
+    return extract_staged(transcripts_df(spark, n_convs=40, seed=42)).withColumn(
+        "spans", F.to_json("spans")
+    )
 
 
 def segment_features(spark, sf_dir):
