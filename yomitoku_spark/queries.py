@@ -1022,6 +1022,448 @@ def segment_features(spark, sf_dir):
 
 
 # ===================================================================
+# semantic layout parsing (§2.3 joins / §2.7 — the rule cascade,
+# geometric KV recovery, table-field match, template override)
+# ===================================================================
+
+from yomitoku_spark.operators import adjacency as AJ  # noqa: E402
+from yomitoku_spark.sources import layout as LY  # noqa: E402
+
+
+def _sql_ov(a: str, b: str) -> str:
+    return (
+        f"GREATEST(LEAST({a}.x2,{b}.x2)-GREATEST({a}.x1,{b}.x1),0)"
+        f"*GREATEST(LEAST({a}.y2,{b}.y2)-GREATEST({a}.y1,{b}.y1),0)"
+    )
+
+
+def _sql_norm(expr: str) -> str:
+    return f"replace(replace({expr}, ' ', ''), '　', '')"
+
+
+def adjacency_rules(spark, sf_dir):
+    """Full adjacency rule family over synthetic part boxes (§2.2;
+    reference utils/misc.py:299-427 soft/hard/nest/child). Squared-
+    integer predicates — bit-exact vs the SQL twin. The coarse
+    |Δx|,|Δy| < 60 prefilter is part of the query spec on both engines
+    (adjacency implies proximity; the prefilter keeps the theta join's
+    candidate count linear-ish in practice)."""
+    parts = _part_boxes(spark, sf_dir)
+    a = parts.select(F.col("p_partkey").alias("a_key"), F.col("box").alias("abox")).alias("a")
+    b = parts.select(F.col("p_partkey").alias("b_key"), F.col("box").alias("bbox_")).alias("b")
+    pre = (
+        (F.col("a_key") != F.col("b_key"))
+        & (F.abs(F.col("abox.y1") - F.col("bbox_.y1")) < 60)
+        & (F.abs(F.col("abox.x1") - F.col("bbox_.x1")) < 60)
+    )
+    j = a.join(b, pre)
+    cols = {
+        "r_soft": AJ.right_adjacent("abox", "bbox_", "soft"),
+        "r_hard": AJ.right_adjacent("abox", "bbox_", "hard"),
+        "r_nest": AJ.right_adjacent("abox", "bbox_", "nest"),
+        "b_soft": AJ.bottom_adjacent("abox", "bbox_", "soft"),
+        "b_hard": AJ.bottom_adjacent("abox", "bbox_", "hard"),
+        "b_nest": AJ.bottom_adjacent("abox", "bbox_", "nest"),
+        "b_child": AJ.bottom_adjacent("abox", "bbox_", "child"),
+    }
+    out = j.select(
+        "a_key", "b_key", *[v.cast("int").alias(k) for k, v in cols.items()]
+    )
+    return out.filter((F.col("r_soft") == 1) | (F.col("b_soft") == 1))
+
+
+SQL_ADJ_RULES = f"""
+WITH pb AS ({SQL_PART_BOX})
+SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+  CAST({AJ.sql_right_adjacent('a', 'b', 'soft')} AS INT) AS r_soft,
+  CAST({AJ.sql_right_adjacent('a', 'b', 'hard')} AS INT) AS r_hard,
+  CAST({AJ.sql_right_adjacent('a', 'b', 'nest')} AS INT) AS r_nest,
+  CAST({AJ.sql_bottom_adjacent('a', 'b', 'soft')} AS INT) AS b_soft,
+  CAST({AJ.sql_bottom_adjacent('a', 'b', 'hard')} AS INT) AS b_hard,
+  CAST({AJ.sql_bottom_adjacent('a', 'b', 'nest')} AS INT) AS b_nest,
+  CAST({AJ.sql_bottom_adjacent('a', 'b', 'child')} AS INT) AS b_child
+FROM pb a JOIN pb b
+  ON a.p_partkey <> b.p_partkey
+ AND ABS(a.y1 - b.y1) < 60 AND ABS(a.x1 - b.x1) < 60
+WHERE {AJ.sql_right_adjacent('a', 'b', 'soft')}
+   OR {AJ.sql_bottom_adjacent('a', 'b', 'soft')}
+"""
+
+
+def kv_items_geometric(spark, sf_dir):
+    """Geometric KV recovery over the deterministic form corpus (§2.3;
+    reference kv_parser.py:14-345). The engine runs the full
+    group-match → adjacency-DAG → orientation-vote → DFS parser per
+    document; the DuckDB oracle recomputes the expected items for this
+    corpus from the same squared-integer adjacency predicates + vote."""
+    from yomitoku_spark.operators.kv_graph import parse_kv_items
+
+    return parse_kv_items(LY.form_cells(spark, sf_dir))
+
+
+def _sql_kv_cte() -> str:
+    """CTE chain: fc_base/fc_cells → matched (cell→group argmax) →
+    adjacency pairs → per-group orientation vote → adopted+keyless
+    (as ``kvall``)."""
+    ovgc = _sql_ov("g", "c")
+    return f"""{LY.SQL_FORM_BASE},{LY.SQL_FORM_CELLS},
+ng AS (SELECT * FROM fc_cells WHERE role <> 'group'),
+gr AS (SELECT * FROM fc_cells WHERE role = 'group'),
+matched AS (
+  SELECT c.doc_id, c.cell_id, c.role, c.x1, c.y1, c.x2, c.y2, c.contents,
+         g.cell_id AS group_id
+  FROM ng c JOIN gr g
+    ON g.doc_id = c.doc_id
+   AND {ovgc} * 5 > (c.x2-c.x1)*(c.y2-c.y1)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY c.doc_id, c.cell_id
+            ORDER BY CAST({ovgc} AS DOUBLE)/((g.x2-g.x1)*(g.y2-g.y1)) DESC,
+                     g.cell_id) = 1
+),
+pr AS (
+  SELECT h.doc_id, h.group_id, h.cell_id AS key_cell, h.contents AS key_text,
+         c.cell_id AS value_cell, c.contents AS value_text
+  FROM matched h JOIN matched c
+    ON h.doc_id = c.doc_id AND h.group_id = c.group_id
+   AND h.role = 'header' AND c.role IN ('cell','empty')
+   AND {AJ.sql_right_adjacent('h', 'c')}
+),
+pd AS (
+  SELECT h.doc_id, h.group_id, h.cell_id AS key_cell, h.contents AS key_text,
+         c.cell_id AS value_cell, c.contents AS value_text
+  FROM matched h JOIN matched c
+    ON h.doc_id = c.doc_id AND h.group_id = c.group_id
+   AND h.role = 'header' AND c.role IN ('cell','empty')
+   AND {AJ.sql_bottom_adjacent('h', 'c')}
+),
+vote AS (
+  SELECT doc_id, group_id,
+         COUNT(DISTINCT CASE WHEN d='R' THEN value_cell END) AS h_cnt,
+         COUNT(DISTINCT CASE WHEN d='D' THEN value_cell END) AS v_cnt
+  FROM (SELECT doc_id, group_id, value_cell, 'R' AS d FROM pr
+        UNION ALL SELECT doc_id, group_id, value_cell, 'D' FROM pd)
+  GROUP BY doc_id, group_id
+),
+adopted AS (
+  SELECT p.doc_id, p.key_cell AS key_cells, p.key_text,
+         p.value_cell, p.value_text, 'H' AS dir
+  FROM pr p JOIN vote v ON p.doc_id = v.doc_id AND p.group_id = v.group_id
+  WHERE v.v_cnt <= v.h_cnt
+  UNION ALL
+  SELECT p.doc_id, p.key_cell, p.key_text, p.value_cell, p.value_text, 'V'
+  FROM pd p JOIN vote v ON p.doc_id = v.doc_id AND p.group_id = v.group_id
+  WHERE v.v_cnt > v.h_cnt
+),
+kvall AS (
+  SELECT * FROM adopted
+  UNION ALL
+  SELECT c.doc_id, '' AS key_cells, '' AS key_text,
+         c.cell_id AS value_cell, c.contents AS value_text, '' AS dir
+  FROM ng c
+  WHERE c.role IN ('cell','empty')
+    AND NOT EXISTS (SELECT 1 FROM adopted a
+                    WHERE a.doc_id = c.doc_id AND a.value_cell = c.cell_id)
+)"""
+
+
+SQL_KV_GEOMETRIC = f"""
+WITH {_sql_kv_cte()}
+SELECT doc_id, key_cells, key_text, value_cell, value_text, dir FROM kvall
+"""
+
+
+# -- scalar-field cascade -------------------------------------------------
+
+from yomitoku_spark.semantic import ScalarField, TableColumn  # noqa: E402
+from yomitoku_spark import semantic as SEM  # noqa: E402
+
+CASCADE_FIELDS = [
+    ScalarField("f_cellid", cell_id="c3"),
+    ScalarField("f_bbox", bbox=(0, 40, 240, 62)),
+    ScalarField("f_kv", description="hkey5"),
+    ScalarField("f_kv_merge", description="vkey", merge_values=True, separator="|"),
+    ScalarField("f_cellq", description="Supplier#"),
+    ScalarField("f_para", description="note:"),
+    ScalarField("f_regex", regex="[0-9]{3,}"),
+    ScalarField("f_word", regex="ZQW[0-9]+X"),
+    ScalarField("f_missing", description="zzznothing"),
+]
+
+
+def extract_scalar_cascade(spark, sf_dir):
+    """Full scalar-field extraction cascade over the form corpus (§2.3;
+    reference rule_pipeline.py:141-262): cell_id equi → bbox
+    containment → KV key (with axis-spread merge) → cell-content
+    substring → paragraph substring → regex over cells/paragraphs/words
+    → not_found."""
+    cells = LY.form_cells(spark, sf_dir)
+    from yomitoku_spark.operators.kv_graph import parse_kv_items
+
+    kv = parse_kv_items(cells)
+    return SEM.extract_scalar_fields(
+        cells, kv, LY.form_paragraphs(spark, sf_dir), LY.form_words(spark, sf_dir),
+        CASCADE_FIELDS,
+    )
+
+
+def _sql_field_simple(name: str, src_sql: str, source: str, conf: str) -> str:
+    """Left-join-or-not_found wrapper: ``src_sql`` yields at most one
+    (doc_id, v) row per document."""
+    return f"""
+SELECT d.doc_id, '{name}' AS field, COALESCE(x.v, '') AS value,
+       CASE WHEN x.doc_id IS NOT NULL THEN '{source}' ELSE 'not_found' END AS source,
+       CASE WHEN x.doc_id IS NOT NULL THEN '{conf}' ELSE 'low' END AS confidence
+FROM docs d LEFT JOIN ({src_sql}) x ON x.doc_id = d.doc_id"""
+
+
+def _sql_field_tiers(name: str, tiers_sql: str) -> str:
+    """``tiers_sql`` yields (doc_id, tier, o1, o2, o3, v, source, conf)
+    candidates; pick min (tier, o1, o2, o3) per doc, else not_found."""
+    return f"""
+SELECT d.doc_id, '{name}' AS field, COALESCE(x.v, '') AS value,
+       COALESCE(x.source, 'not_found') AS source,
+       COALESCE(x.conf, 'low') AS confidence
+FROM docs d LEFT JOIN (
+  SELECT doc_id, v, source, conf FROM ({tiers_sql})
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tier, o1, o2, o3) = 1
+) x ON x.doc_id = d.doc_id"""
+
+
+def _sql_cascade() -> str:
+    n = _sql_norm
+    kv_first = """
+SELECT k.doc_id, 3 AS tier, c.y1 AS o1, c.x1 AS o2, k.value_cell AS o3,
+       k.value_text AS v, 'kv' AS source, 'high' AS conf
+FROM kvall k JOIN ng c ON c.doc_id = k.doc_id AND c.cell_id = k.value_cell
+WHERE contains({key}, '{q}')"""
+    cellq = """
+SELECT doc_id, 4 AS tier, y1 AS o1, x1 AS o2, cell_id AS o3,
+       contents AS v, 'cell_query' AS source, 'medium' AS conf
+FROM ng WHERE contents <> '' AND contains({cnorm}, '{q}')"""
+    para = """
+SELECT doc_id, 5 AS tier, y1 AS o1, x1 AS o2, par_id AS o3,
+       contents AS v, 'paragraph' AS source, 'medium' AS conf
+FROM fc_paragraphs WHERE contents <> '' AND contains({cnorm}, '{q}')"""
+
+    def desc_tiers(q: str) -> str:
+        return (
+            kv_first.format(key=n("k.key_text"), q=q)
+            + " UNION ALL "
+            + cellq.format(cnorm=n("contents"), q=q)
+            + " UNION ALL "
+            + para.format(cnorm=n("contents"), q=q)
+        )
+
+    def regex_tiers(rx: str) -> str:
+        return f"""
+SELECT doc_id, 6 AS tier, y1 AS o1, x1 AS o2, cell_id AS o3,
+       regexp_extract(contents, '{rx}') AS v, 'regex' AS source, 'high' AS conf
+FROM ng WHERE contents <> '' AND regexp_extract(contents, '{rx}') <> ''
+UNION ALL
+SELECT doc_id, 7, y1, x1, par_id, regexp_extract(contents, '{rx}'), 'regex', 'high'
+FROM fc_paragraphs WHERE contents <> '' AND regexp_extract(contents, '{rx}') <> ''
+UNION ALL
+SELECT doc_id, 8, y1, x1, word_id, regexp_extract(content, '{rx}'), 'regex', 'high'
+FROM fc_words WHERE content <> '' AND regexp_extract(content, '{rx}') <> ''"""
+
+    f_cellid = _sql_field_simple(
+        "f_cellid", "SELECT doc_id, contents AS v FROM ng WHERE cell_id = 'c3'",
+        "cell_id", "high",
+    )
+    f_bbox = _sql_field_simple(
+        "f_bbox",
+        """SELECT doc_id, contents AS v FROM ng
+ WHERE 2*GREATEST(LEAST(240,x2)-GREATEST(0,x1),0)*GREATEST(LEAST(62,y2)-GREATEST(40,y1),0)
+       > (x2-x1)*(y2-y1)
+ QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY y1, x1, cell_id) = 1""",
+        "bbox", "high",
+    )
+    f_kv = _sql_field_tiers("f_kv", desc_tiers("hkey5"))
+    merge_src = f"""
+SELECT k.doc_id, 3 AS tier, 0 AS o1, 0 AS o2, '' AS o3,
+       CASE WHEN MAX(c.y1)-MIN(c.y1) >= MAX(c.x1)-MIN(c.x1)
+            THEN string_agg(k.value_text, '|' ORDER BY c.y1, c.x1, k.value_cell, k.value_text)
+            ELSE string_agg(k.value_text, '|' ORDER BY c.x1, c.y1, k.value_cell, k.value_text)
+       END AS v, 'kv' AS source, 'high' AS conf
+FROM kvall k JOIN ng c ON c.doc_id = k.doc_id AND c.cell_id = k.value_cell
+WHERE contains({n('k.key_text')}, 'vkey')
+GROUP BY k.doc_id"""
+    f_kv_merge = _sql_field_tiers(
+        "f_kv_merge",
+        merge_src
+        + " UNION ALL "
+        + cellq.format(cnorm=n("contents"), q="vkey")
+        + " UNION ALL "
+        + para.format(cnorm=n("contents"), q="vkey"),
+    )
+    f_cellq = _sql_field_tiers(
+        "f_cellq",
+        cellq.format(cnorm=n("contents"), q="Supplier#")
+        + " UNION ALL "
+        + para.format(cnorm=n("contents"), q="Supplier#"),
+    )
+    f_para = _sql_field_tiers(
+        "f_para",
+        cellq.format(cnorm=n("contents"), q="note:")
+        + " UNION ALL "
+        + para.format(cnorm=n("contents"), q="note:"),
+    )
+    f_regex = _sql_field_tiers("f_regex", regex_tiers("[0-9]{3,}"))
+    f_word = _sql_field_tiers("f_word", regex_tiers("ZQW[0-9]+X"))
+    f_missing = (
+        "SELECT doc_id, 'f_missing' AS field, '' AS value, "
+        "'not_found' AS source, 'low' AS confidence FROM docs"
+    )
+    fields = [f_cellid, f_bbox, f_kv, f_kv_merge, f_cellq, f_para, f_regex, f_word, f_missing]
+    return "\nUNION ALL\n".join(f"({f})" for f in fields)
+
+
+SQL_SCALAR_CASCADE = f"""
+WITH {_sql_kv_cte()},
+{LY.SQL_FORM_PARAGRAPHS.lstrip()},
+{LY.SQL_FORM_WORDS.lstrip()},
+docs AS (SELECT DISTINCT doc_id FROM fc_base)
+{_sql_cascade()}
+"""
+
+
+# -- table-field extraction -----------------------------------------------
+
+TABLE_COLUMNS = [
+    TableColumn("alpha", description="vkey3"),
+    TableColumn("beta", cell_id="h17"),
+    TableColumn("gamma", bbox=(1165, 295, 1295, 320)),
+    TableColumn("delta", description="vkey"),
+]
+
+
+def extract_table_field(spark, sf_dir):
+    """Table-field extraction: schema columns matched to grid columns
+    by cell_id / bbox-overlap / normalized header-text substring (§2.3;
+    reference rule_pipeline.py:265-361). A grid column goes to the
+    first matching schema column; `delta` demonstrates one schema
+    column collecting many grid columns (values concatenated in
+    column order)."""
+    gh, gd = LY.form_grids(spark, sf_dir)
+    return SEM.extract_table_field(LY.form_cells(spark, sf_dir), gh, gd, TABLE_COLUMNS)
+
+
+SQL_TABLE_FIELD = f"""
+WITH {LY.SQL_FORM_BASE},{LY.SQL_FORM_CELLS},{LY.SQL_FORM_GRIDS.lstrip()},
+hdr AS (
+  SELECT gh.doc_id, gh.grid_id, gh.col, gh.hdr_pos, gh.cell_id,
+         c.x1, c.y1, c.x2, c.y2, c.contents AS h_contents
+  FROM fc_grid_headers gh
+  LEFT JOIN fc_cells c ON c.doc_id = gh.doc_id AND c.cell_id = gh.cell_id
+),
+col_text AS (
+  SELECT doc_id, grid_id, col,
+         string_agg(h_contents, '' ORDER BY hdr_pos) AS header_text
+  FROM hdr GROUP BY doc_id, grid_id, col
+),
+matches AS (
+  SELECT doc_id, grid_id, col, 0 AS prio, 'alpha' AS col_name
+  FROM col_text WHERE contains({_sql_norm('header_text')}, 'vkey3')
+  UNION ALL
+  SELECT doc_id, grid_id, col, 1, 'beta' FROM hdr WHERE cell_id = 'h17'
+  UNION ALL
+  SELECT doc_id, grid_id, col, 2, 'gamma' FROM hdr
+  WHERE 2*GREATEST(LEAST(1295,x2)-GREATEST(1165,x1),0)
+         *GREATEST(LEAST(320,y2)-GREATEST(295,y1),0) > (x2-x1)*(y2-y1)
+  UNION ALL
+  SELECT doc_id, grid_id, col, 3, 'delta'
+  FROM col_text WHERE contains({_sql_norm('header_text')}, 'vkey')
+),
+col_map AS (
+  SELECT doc_id, grid_id, col, col_name FROM matches
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, grid_id, col ORDER BY prio) = 1
+),
+hdr_ids AS (SELECT DISTINCT doc_id, grid_id, cell_id FROM fc_grid_headers),
+value_rows AS (
+  SELECT d.doc_id, d.grid_id, d.row
+  FROM fc_grid_data d LEFT JOIN hdr_ids h
+    ON h.doc_id = d.doc_id AND h.grid_id = d.grid_id AND h.cell_id = d.cell_id
+  GROUP BY d.doc_id, d.grid_id, d.row
+  HAVING COUNT(*) = 0 OR MAX(CASE WHEN h.cell_id IS NULL THEN 1 ELSE 0 END) = 1
+)
+SELECT d.doc_id, d.grid_id, d.row, m.col_name,
+       string_agg(COALESCE(c.contents, ''), '' ORDER BY d.col) AS value,
+       string_agg(d.cell_id, '/' ORDER BY d.col) AS cell_ids
+FROM fc_grid_data d
+JOIN value_rows vr ON vr.doc_id = d.doc_id AND vr.grid_id = d.grid_id AND vr.row = d.row
+JOIN col_map m ON m.doc_id = d.doc_id AND m.grid_id = d.grid_id AND m.col = d.col
+LEFT JOIN fc_cells c ON c.doc_id = d.doc_id AND c.cell_id = d.cell_id
+GROUP BY d.doc_id, d.grid_id, d.row, m.col_name
+"""
+
+
+# -- template override ----------------------------------------------------
+
+TEMPLATE_ROWS = [
+    # (tbl box, tcell_id, tc box or None, role_override, contents_override)
+    (0, 0, 240, 230, "h0", None, None, None, None, None, "OVERRIDDEN"),
+    (0, 0, 240, 230, "e40", None, None, None, None, "cell", None),
+    (0, 290, 1290, 370, "h15", None, None, None, None, None, "VHDR"),
+]
+TEMPLATE_SCHEMA = (
+    "tbl_x1 int, tbl_y1 int, tbl_x2 int, tbl_y2 int, tcell_id string, "
+    "tc_x1 int, tc_y1 int, tc_x2 int, tc_y2 int, "
+    "role_override string, contents_override string"
+)
+
+
+def template_override(spark, sf_dir):
+    """Semantic-template application (§2.3/§2.9; reference
+    schemas/table_semantic_parser.py:748-794): template tables matched
+    to document tables (the form groups) by position argmax, then
+    cell_id-matched role/contents overrides."""
+    tmpl = spark.createDataFrame(TEMPLATE_ROWS, TEMPLATE_SCHEMA)
+    out = SEM.apply_template(LY.form_cells(spark, sf_dir), tmpl, policy="cell_id")
+    return out.select("doc_id", "cell_id", "role", "contents")
+
+
+SQL_TEMPLATE_OVERRIDE = f"""
+WITH {LY.SQL_FORM_BASE},{LY.SQL_FORM_CELLS},
+ng AS (SELECT * FROM fc_cells WHERE role <> 'group'),
+gr AS (SELECT * FROM fc_cells WHERE role = 'group'),
+tmpl AS (
+  SELECT * FROM (VALUES
+    (0, 0, 240, 230, 'h0', NULL, 'OVERRIDDEN'),
+    (0, 0, 240, 230, 'e40', 'cell', NULL),
+    (0, 290, 1290, 370, 'h15', NULL, 'VHDR')
+  ) AS t(tbl_x1, tbl_y1, tbl_x2, tbl_y2, tcell_id, role_override, contents_override)
+),
+placed AS (
+  SELECT g.doc_id, g.cell_id AS table_id, t.tcell_id, t.role_override, t.contents_override
+  FROM gr g JOIN tmpl t
+    ON GREATEST(LEAST(t.tbl_x2,g.x2)-GREATEST(t.tbl_x1,g.x1),0)
+       *GREATEST(LEAST(t.tbl_y2,g.y2)-GREATEST(t.tbl_y1,g.y1),0) * 2
+       > (g.x2-g.x1)*(g.y2-g.y1)
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY g.doc_id, t.tcell_id, t.tbl_x1, t.tbl_y1
+    ORDER BY CAST(GREATEST(LEAST(t.tbl_x2,g.x2)-GREATEST(t.tbl_x1,g.x1),0)
+                  *GREATEST(LEAST(t.tbl_y2,g.y2)-GREATEST(t.tbl_y1,g.y1),0) AS DOUBLE)
+             /((g.x2-g.x1)*(g.y2-g.y1)) DESC, g.cell_id) = 1
+),
+cell_tbl AS (
+  SELECT c.doc_id, c.cell_id, c.role, c.contents, g.cell_id AS table_id
+  FROM ng c LEFT JOIN gr g
+    ON g.doc_id = c.doc_id
+   AND {_sql_ov('g', 'c')} * 5 > (c.x2-c.x1)*(c.y2-c.y1)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY c.doc_id, c.cell_id
+            ORDER BY CAST({_sql_ov('g', 'c')} AS DOUBLE)
+                     /NULLIF((g.x2-g.x1)*(g.y2-g.y1),0) DESC NULLS LAST,
+                     g.cell_id) = 1
+)
+SELECT c.doc_id, c.cell_id,
+       COALESCE(p.role_override, c.role) AS role,
+       COALESCE(p.contents_override, c.contents) AS contents
+FROM cell_tbl c
+LEFT JOIN placed p
+  ON p.doc_id = c.doc_id AND p.table_id = c.table_id AND p.tcell_id = c.cell_id
+"""
+
+
+# ===================================================================
 # registry
 # ===================================================================
 
@@ -1068,6 +1510,11 @@ QUERIES = {
     "simhash_pairs": simhash_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "multimodal_features": multimodal_features,
+    "adjacency_rules": adjacency_rules,
+    "kv_items_geometric": kv_items_geometric,
+    "extract_scalar_cascade": extract_scalar_cascade,
+    "extract_table_field": extract_table_field,
+    "template_override": template_override,
 }
 
 ORACLE = {
@@ -1105,6 +1552,11 @@ ORACLE = {
     "grid_recovery": SQL_GRID_RECOVERY,
     "asof_join": SQL_ASOF,
     "rollup_revenue": SQL_ROLLUP,
+    "adjacency_rules": SQL_ADJ_RULES,
+    "kv_items_geometric": SQL_KV_GEOMETRIC,
+    "extract_scalar_cascade": SQL_SCALAR_CASCADE,
+    "extract_table_field": SQL_TABLE_FIELD,
+    "template_override": SQL_TEMPLATE_OVERRIDE,
     # extract_transcripts / extract_transcripts_staged / segment_features:
     # non-SQL-expressible (graph reading-order, pandas-UDF stages) →
     # rows-only driver check; byte-equality enforced by tests/ oracle gate.
