@@ -66,9 +66,50 @@ def test_engine_equals_oracle_on_arbitrary_payloads(payload):
 @settings(max_examples=300, deadline=None)
 def test_reading_order_numpy_equals_oracle(raw):
     boxes = [(x, y, x + w, y + h) for x, y, w, h in raw]
-    want = oracle.reading_order(boxes)
-    got = reading_order_numpy(np.asarray(boxes).reshape(-1, 4)).tolist()
-    assert got == want
+    for direction in ("top2bottom", "right2left", "left2right"):
+        want = oracle.reading_order(boxes, direction)
+        got = reading_order_numpy(
+            np.asarray(boxes).reshape(-1, 4), direction
+        ).tolist()
+        assert got == want, direction
+
+
+def test_vertical_page_reads_right_to_left():
+    # 3 vertical columns: right column first (document_analyzer.py:575-581)
+    blocks = [
+        {"id": i, "box": [x, 0, x + 50, 300], "text": t, "direction": "vertical",
+         "role": "paragraph"}
+        for i, (x, t) in enumerate([(0, "left"), (200, "mid"), (400, "right")])
+    ]
+    payload = json.dumps({"blocks": blocks})
+    got = _engine_one(payload)
+    assert got["extracted_text"].split("\n\n") == ["right", "mid", "left"]
+    assert got == oracle.extract_payload(payload, "")
+
+
+def test_header_footer_order_offsets():
+    # headers get orders before main content, footers after
+    # (document_analyzer.py:572-588); both stay dropped from the text
+    from yomitoku_spark.plans.pipeline import _layout_order
+    from yomitoku_spark.plans.segment import BLOCK_FIELDS, segment_turn
+
+    blocks = [
+        {"id": 0, "box": [0, 500, 600, 540], "text": "foot", "role": "page_footer"},
+        {"id": 1, "box": [0, 100, 600, 140], "text": "body1", "role": "paragraph"},
+        {"id": 2, "box": [0, 0, 600, 40], "text": "head", "role": "page_header"},
+        {"id": 3, "box": [0, 200, 600, 240], "text": "body2", "role": "paragraph"},
+    ]
+    payload = json.dumps({"blocks": blocks})
+    blks = segment_turn(payload, "")
+    order = _layout_order(blks).tolist()
+    rid = BLOCK_FIELDS.index("role")
+    by_role = {blks[i][rid]: order[i] for i in range(4) if blks[i][rid]}
+    assert by_role["page_header"] == 0
+    assert by_role["page_footer"] == 3
+    assert sorted(order) == [0, 1, 2, 3]
+    got = _engine_one(payload)
+    assert got["extracted_text"] == "body1\n\nbody2"
+    assert got == oracle.extract_payload(payload, "")
 
 
 @given(
@@ -83,6 +124,7 @@ def test_reading_order_numpy_equals_oracle(raw):
                     ["paragraph", "section_headings", "page_header", "page_footer", "figure"]
                 ),
                 "text": st.text(alphabet="abcde fgh", min_size=0, max_size=20),
+                "direction": st.sampled_from(["horizontal", "vertical"]),
             }
         ),
         max_size=8,

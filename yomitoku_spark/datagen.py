@@ -148,17 +148,36 @@ def _gen_layout(rng: random.Random, uniq: int) -> str:
     items = []
     bid = 0
 
-    def add(box, role, nw):
+    def add(box, role, nw, direction=None):
         nonlocal bid
-        items.append(
-            {
-                "id": bid,
-                "box": [int(v) for v in box],
-                "role": role,
-                "text": f"blk{uniq}x{bid} " + _words(rng, nw),
-            }
-        )
+        it = {
+            "id": bid,
+            "box": [int(v) for v in box],
+            "role": role,
+            "text": f"blk{uniq}x{bid} " + _words(rng, nw),
+        }
+        if direction:
+            it["direction"] = direction
+        items.append(it)
         bid += 1
+
+    if rng.random() < 0.2:
+        # vertical page: right-to-left columns of vertical text blocks
+        # (the page-direction vote flips the reading order to right2left)
+        if rng.random() < 0.5:
+            add([0, 0, 600, 30], "page_header", 2)
+        for c in range(rng.randint(2, 5)):
+            x2 = 600 - c * 70
+            yy = 40
+            for _ in range(rng.randint(1, 3)):
+                h = rng.randint(80, 200)
+                add([x2 - 50, yy, x2, yy + h], "paragraph", rng.randint(4, 10),
+                    direction="vertical")
+                yy += h + 20
+        if rng.random() < 0.5:
+            add([0, 900, 600, 930], "page_footer", 2)
+        rng.shuffle(items)
+        return json.dumps({"blocks": items}, ensure_ascii=False)
 
     if rng.random() < 0.6:
         add([0, 0, 600, 40], "page_header", 3)

@@ -24,33 +24,57 @@ import heapq
 import numpy as np
 
 
-def reading_order_numpy(boxes: np.ndarray) -> np.ndarray:
+def reading_order_numpy(boxes: np.ndarray, direction: str = "top2bottom") -> np.ndarray:
     """Return emit positions: perm[i] gives the index of the block emitted
-    i-th, for an (n,4) int array of [x1,y1,x2,y2] boxes."""
+    i-th, for an (n,4) int array of [x1,y1,x2,y2] boxes.
+
+    Directions (reference reading_order.py:123-198):
+
+    * ``top2bottom`` — edge i→j when the boxes x-overlap and i lies
+      entirely above j; ready-node priority (x1, y1).
+    * ``right2left`` — vertical-page order: edge from the box with the
+      GREATER x2 (read first) to the lesser among y-overlapping boxes;
+      priority distance (max_x − x2) + y1 (reference :147-170).
+    * ``left2right`` — header/footer rows: edge from lesser x2 to
+      greater; priority distance x1 + 5·y1 (reference :173-198).
+    """
     n = len(boxes)
     if n == 0:
         return np.empty(0, dtype=np.int64)
     x1, y1, x2, y2 = (boxes[:, i].astype(np.int64) for i in range(4))
-    x_overlap = (np.minimum.outer(x2, x2) - np.maximum.outer(x1, x1)) > 0
-    above = y2[:, None] <= y1[None, :]
-    cand = x_overlap & above
+    if direction == "top2bottom":
+        overlap = (np.minimum.outer(x2, x2) - np.maximum.outer(x1, x1)) > 0
+        before = y2[:, None] <= y1[None, :]
+        prio = [(int(x1[i]), int(y1[i]), i) for i in range(n)]
+    elif direction in ("right2left", "left2right"):
+        overlap = (np.minimum.outer(y2, y2) - np.maximum.outer(y1, y1)) > 0
+        if direction == "right2left":
+            before = x2[:, None] > x2[None, :]
+            dist = (int(x2.max()) - x2) + y1
+        else:
+            before = x2[:, None] < x2[None, :]
+            dist = x1 + 5 * y1
+        prio = [(int(dist[i]), int(y1[i]), int(x1[i]), i) for i in range(n)]
+    else:
+        raise ValueError(f"unknown reading-order direction {direction!r}")
+    cand = overlap & before
     np.fill_diagonal(cand, False)
     # occlusion: drop edge i→j when some k is a candidate-successor of i
     # and candidate-predecessor of j (boolean matrix product)
     occluded = (cand.astype(np.int32) @ cand.astype(np.int32)) > 0
     edges = cand & ~occluded
     indeg = edges.sum(axis=0)
-    heap = [(int(x1[i]), int(y1[i]), i) for i in range(n) if indeg[i] == 0]
+    heap = [prio[i] for i in range(n) if indeg[i] == 0]
     heapq.heapify(heap)
     out: list[int] = []
     indeg = indeg.copy()
     while heap:
-        _, _, i = heapq.heappop(heap)
+        i = heapq.heappop(heap)[-1]
         out.append(i)
         for j in np.nonzero(edges[i])[0]:
             indeg[j] -= 1
             if indeg[j] == 0:
-                heapq.heappush(heap, (int(x1[j]), int(y1[j]), int(j)))
-    if len(out) < n:  # cycles impossible (edges strictly increase y); stay total
+                heapq.heappush(heap, prio[int(j)])
+    if len(out) < n:  # cycles impossible (edges strictly order the axis); stay total
         out += sorted(set(range(n)) - set(out))
     return np.asarray(out, dtype=np.int64)

@@ -235,21 +235,43 @@ def _html_blocks(payload: str) -> list[Block]:
 # ---------------------------------------------------------------- layout
 
 
-def reading_order(boxes: list[tuple[int, int, int, int]]) -> list[int]:
+def reading_order(
+    boxes: list[tuple[int, int, int, int]], direction: str = "top2bottom"
+) -> list[int]:
     """Deterministic reading-order over layout boxes.
 
-    Semantics modeled on the reference's top-to-bottom graph + priority
-    traversal (reading_order.py:123-145, 14-82): an edge i→j when the two
-    boxes overlap horizontally, i lies entirely above j, and no third
-    x-overlapping box lies between them; then a topological sort that
-    always emits the ready node with the smallest (x1, y1) — which walks
-    a left column to its end before starting the right column.
+    Semantics modeled on the reference's direction graphs + priority
+    traversal (reading_order.py:123-198, 14-82): an edge i→j when the
+    two boxes overlap on the perpendicular axis, i precedes j along the
+    reading axis, and no third overlapping box lies between them; then
+    a topological sort that always emits the ready node with the
+    smallest priority. top2bottom: priority (x1, y1) — walks a left
+    column to its end before starting the right one. right2left
+    (vertical pages): edge from greater x2 to lesser, priority
+    ((max_x − x2) + y1, y1, x1). left2right (header/footer rows):
+    edge from lesser x2 to greater, priority (x1 + 5·y1, y1, x1).
     Returns the permutation order (position list of indices).
     """
     n = len(boxes)
 
     def x_overlap(a, b) -> bool:
         return min(a[2], b[2]) - max(a[0], b[0]) > 0
+
+    def y_overlap(a, b) -> bool:
+        return min(a[3], b[3]) - max(a[1], b[1]) > 0
+
+    if direction == "top2bottom":
+        cand = lambda a, b: x_overlap(a, b) and a[3] <= b[1]  # noqa: E731
+        prio = [(boxes[i][0], boxes[i][1], i) for i in range(n)]
+    elif direction == "right2left":
+        cand = lambda a, b: y_overlap(a, b) and a[2] > b[2]  # noqa: E731
+        mx = max((b[2] for b in boxes), default=0)
+        prio = [((mx - boxes[i][2]) + boxes[i][1], boxes[i][1], boxes[i][0], i) for i in range(n)]
+    elif direction == "left2right":
+        cand = lambda a, b: y_overlap(a, b) and a[2] < b[2]  # noqa: E731
+        prio = [(boxes[i][0] + 5 * boxes[i][1], boxes[i][1], boxes[i][0], i) for i in range(n)]
+    else:
+        raise ValueError(f"unknown reading-order direction {direction!r}")
 
     adj = [[] for _ in range(n)]
     indeg = [0] * n
@@ -258,33 +280,26 @@ def reading_order(boxes: list[tuple[int, int, int, int]]) -> list[int]:
             if i == j:
                 continue
             a, b = boxes[i], boxes[j]
-            if not (x_overlap(a, b) and a[3] <= b[1]):
+            if not cand(a, b):
                 continue
             occluded = any(
-                k != i
-                and k != j
-                and x_overlap(a, boxes[k])
-                and x_overlap(boxes[k], b)
-                and a[3] <= boxes[k][1]
-                and boxes[k][3] <= b[1]
+                k != i and k != j and cand(a, boxes[k]) and cand(boxes[k], b)
                 for k in range(n)
             )
             if not occluded:
                 adj[i].append(j)
                 indeg[j] += 1
-    heap = [
-        (boxes[i][0], boxes[i][1], i) for i in range(n) if indeg[i] == 0
-    ]
+    heap = [prio[i] for i in range(n) if indeg[i] == 0]
     heapq.heapify(heap)
     order = []
     while heap:
-        _, _, i = heapq.heappop(heap)
+        i = heapq.heappop(heap)[-1]
         order.append(i)
         for j in adj[i]:
             indeg[j] -= 1
             if indeg[j] == 0:
-                heapq.heappush(heap, (boxes[j][0], boxes[j][1], j))
-    # cycles cannot happen (edges strictly increase y), but stay total:
+                heapq.heappush(heap, prio[j])
+    # cycles cannot happen (edges strictly order the axis), but stay total:
     if len(order) < n:
         order += sorted(set(range(n)) - set(order))
     return order
@@ -296,7 +311,11 @@ def _layout_blocks(payload: str) -> list[Block]:
     kept_idx = [i for i, it in enumerate(items) if it.get("role") not in spec.META_ROLES]
     dropped = [i for i in range(len(items)) if i not in kept_idx]
     boxes = [tuple(items[i]["box"]) for i in kept_idx]
-    perm = reading_order(boxes)
+    # page-direction vote (reference document_analyzer.py:575-581):
+    # majority-vertical content → right2left order, else top2bottom
+    n_vert = sum(1 for i in kept_idx if items[i].get("direction") == "vertical")
+    vertical_page = n_vert > len(kept_idx) - n_vert
+    perm = reading_order(boxes, "right2left" if vertical_page else "top2bottom")
     blocks: list[Block] = []
     for i in dropped:
         it = items[i]

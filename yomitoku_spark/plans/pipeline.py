@@ -83,17 +83,47 @@ def _keep_mask(bdf: pd.DataFrame) -> np.ndarray:
     return keep.astype(bool)
 
 
+def _layout_order_arrays(
+    roles: np.ndarray, verticals: np.ndarray, boxes: np.ndarray
+) -> np.ndarray:
+    """Emit order for one layout page with the reference's offset rule
+    (document_analyzer.py:572-588): page headers first (ordered
+    left2right among themselves), then main content, then page footers
+    (left2right). Main content auto-picks right2left when the page is
+    majority-vertical (:575-581), else top2bottom. Header/footer blocks
+    are still DROPPED from the extracted text by the ignore-meta keep
+    rule — the offsets order the block table the way the reference
+    orders its paragraph list."""
+    n = len(roles)
+    order = np.full(n, -1, dtype=np.int64)
+    hdr = roles == spec.ROLE_PAGE_HEADER
+    ftr = roles == spec.ROLE_PAGE_FOOTER
+    h_pos = np.nonzero(hdr)[0]
+    f_pos = np.nonzero(ftr)[0]
+    m_pos = np.nonzero(~(hdr | ftr))[0]  # META_ROLES == {header, footer}
+    if len(h_pos):
+        perm = reading_order_numpy(boxes[h_pos], "left2right")
+        order[h_pos[perm]] = np.arange(len(perm))
+    if len(m_pos):
+        nv = int(verticals[m_pos].sum())
+        d = "right2left" if nv > len(m_pos) - nv else "top2bottom"
+        perm = reading_order_numpy(boxes[m_pos], d)
+        order[m_pos[perm]] = len(h_pos) + np.arange(len(perm))
+    if len(f_pos):
+        perm = reading_order_numpy(boxes[f_pos], "left2right")
+        order[f_pos[perm]] = len(h_pos) + len(m_pos) + np.arange(len(perm))
+    return order
+
+
 def _layout_order(blocks: list[tuple]) -> np.ndarray:
     """Emit order for one layout turn's raw block tuples (doc order)."""
-    meta_col = BLOCK_FIELDS.index("meta")
+    role_col = BLOCK_FIELDS.index("role")
+    vert_col = BLOCK_FIELDS.index("vertical")
     box_cols = [BLOCK_FIELDS.index(c) for c in ("x1", "y1", "x2", "y2")]
-    order = np.full(len(blocks), -1, dtype=np.int64)
-    nm_pos = np.asarray([i for i, b in enumerate(blocks) if not b[meta_col]])
-    if len(nm_pos):
-        boxes = np.asarray([[blocks[i][c] for c in box_cols] for i in nm_pos])
-        perm = reading_order_numpy(boxes)
-        order[nm_pos[perm]] = np.arange(len(perm))
-    return order
+    roles = np.asarray([b[role_col] for b in blocks], dtype=object)
+    verts = np.asarray([b[vert_col] for b in blocks], dtype=bool)
+    boxes = np.asarray([[b[c] for c in box_cols] for b in blocks], dtype=np.int64)
+    return _layout_order_arrays(roles, verts, boxes.reshape(-1, 4))
 
 
 # ------------------------------------------------------------------
@@ -218,12 +248,11 @@ def order_blocks(blocks: DataFrame) -> DataFrame:
 
     def og(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) and pdf["source"].iat[0] == "layout":
-            nm = (~pdf["meta"].to_numpy()).nonzero()[0]
-            order = np.full(len(pdf), -1, dtype=np.int64)
-            if len(nm):
-                boxes = pdf.iloc[nm][["x1", "y1", "x2", "y2"]].to_numpy()
-                perm = reading_order_numpy(boxes)
-                order[nm[perm]] = np.arange(len(perm))
+            order = _layout_order_arrays(
+                pdf["role"].to_numpy(dtype=object),
+                pdf["vertical"].to_numpy(dtype=bool),
+                pdf[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.int64).reshape(-1, 4),
+            )
         else:
             order = pdf["block_id"].to_numpy()
         return pdf.assign(order=order.astype("int32"))

@@ -40,6 +40,7 @@ BLOCK_FIELDS = [
     "boiler",
     "meta",
     "role",
+    "vertical",
     "x1",
     "y1",
     "x2",
@@ -50,7 +51,7 @@ BLOCKS_SCHEMA = (
     "conv_id string, turn_idx int, block_id int, source string, kind string, "
     "start int, end int, rendered string, content_len int, link_chars int, "
     "visible_len int, boiler boolean, meta boolean, role string, "
-    "x1 int, y1 int, x2 int, y2 int"
+    "vertical boolean, x1 int, y1 int, x2 int, y2 int"
 )
 
 
@@ -65,11 +66,12 @@ def _cws(s: str) -> str:
 
 
 def _mk(bid, source, kind, start, end, rendered, content_len, link_chars,
-        visible_len, boiler=False, meta=False, role="", box=(-1, -1, -1, -1)):
+        visible_len, boiler=False, meta=False, role="", vertical=False,
+        box=(-1, -1, -1, -1)):
     return (
         bid, source, kind, int(start), int(end), rendered, int(content_len),
         int(link_chars), int(visible_len), bool(boiler), bool(meta), role,
-        int(box[0]), int(box[1]), int(box[2]), int(box[3]),
+        bool(vertical), int(box[0]), int(box[1]), int(box[2]), int(box[3]),
     )
 
 
@@ -253,8 +255,10 @@ def _segment_layout(payload: str) -> list[tuple]:
         # non-meta blocks require a box (missing → raise → textual fallback);
         # meta blocks never consult it — matches the oracle's access pattern
         box = it["box"] if not meta else it.get("box", [-1, -1, -1, -1])
+        vertical = it.get("direction") == "vertical"
         out.append(_mk(bid, "layout", kind, idx, idx + len(raw), rendered,
-                       len(text), 0, len(text), meta=meta, role=role, box=box))
+                       len(text), 0, len(text), meta=meta, role=role,
+                       vertical=vertical, box=box))
     return out
 
 
