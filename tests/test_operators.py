@@ -257,3 +257,18 @@ def test_lsh_ann_recall_vs_brute_force(spark, emb):
     # 6 tables × 4 hyperplanes over 200 vectors: recall well above
     # chance (3/199 ≈ 0.015) and above the single-table ~0.15 level
     assert recall > 0.5, recall
+
+
+def test_lsh_ann_quantized_recall_vs_brute_force(spark, emb):
+    """Recall@3 of the oracle-checkable quantized ANN (md5-sign planes,
+    integer dot re-rank) against exact brute force."""
+    sub = emb.limit(200)
+    exact = {}
+    for r in SIM.brute_force_topk(sub, sub, k=3).collect():
+        exact.setdefault(r.query_id, set()).add(r.corpus_id)
+    approx = {}
+    for r in SIM.lsh_ann_topk_quantized(sub, k=3, n_planes=4, n_tables=6).collect():
+        approx.setdefault(r.query_id, set()).add(r.corpus_id)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total > 0.5, hits / total

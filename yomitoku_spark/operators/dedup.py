@@ -221,34 +221,42 @@ def jaccard_pairs(
 # ------------------------------------------------------------ SimHash
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document (Arrow-batched numpy bit votes).
+SIMHASH_BITS = 60
 
-    Tokens hashed with the blake2b-64 of the token bytes; each bit
-    position accumulates ±1 votes across tokens; sign → bit. Returns
-    (id, simhash bigint). Near-dup pairs are then Hamming-close —
-    candidate generation joins on rotated prefix bands like MinHash."""
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash per document (Arrow-batched numpy bit votes).
+
+    Tokens are ASCII-whitespace splits of the lowercased text, hashed
+    with the md5-hex→int60 hash (functions.textstats.hash64's
+    construction) so the SAME computation is expressible in DuckDB SQL
+    for the oracle — and the value is always non-negative, so band keys
+    never see a sign bit. Each bit position accumulates ±1 votes across
+    tokens; positive vote → bit set. Returns (id, simhash bigint).
+    Near-dup pairs are then Hamming-close — candidate generation joins
+    on prefix bands like MinHash."""
     import hashlib
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\x0c\r]+")
 
     def batch(it):
         for pdf in it:
             out = np.zeros(len(pdf), dtype=np.uint64)
             for i, txt in enumerate(pdf[text_col].tolist()):
-                toks = (txt or "").lower().split()
+                toks = [t for t in ws.split((txt or "").lower()) if t]
                 if not toks:
                     continue
-                votes = np.zeros(64, dtype=np.int64)
-                shifts = np.arange(64, dtype=np.uint64)
+                votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
+                shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
                 for t in toks:
-                    h = np.uint64(
-                        int.from_bytes(
-                            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-                        )
-                    )
+                    h = np.uint64(int(hashlib.md5(t.encode()).hexdigest()[:15], 16))
                     bits = (h >> shifts) & np.uint64(1)
                     votes += 2 * bits.astype(np.int64) - 1
                 bits = (votes > 0).astype(np.uint64)
-                out[i] = np.bitwise_or.reduce(bits << np.arange(64, dtype=np.uint64))
+                out[i] = np.bitwise_or.reduce(
+                    bits << np.arange(SIMHASH_BITS, dtype=np.uint64)
+                )
             yield pd.DataFrame(
                 {"id": pdf[id_col], "simhash": out.astype(np.int64)}
             )
@@ -256,26 +264,48 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col, text_col).mapInPandas(batch, schema="id bigint, simhash bigint")
 
 
+SQL_SIMHASH = """
+WITH toks AS (
+  SELECT {id_col} AS id,
+         unnest(list_filter(
+           regexp_split_to_array(lower({text_col}), '[ \\t\\n\\x0b\\x0c\\r]+'),
+           t -> t <> '')) AS tok
+  FROM {table}
+),
+th AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+votes AS (
+  SELECT id, j, SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, range(60) r(j) GROUP BY id, j
+),
+sh AS (
+  SELECT id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                           ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY id
+)
+SELECT t.{id_col} AS id, COALESCE(sh.simhash, 0) AS simhash
+FROM {table} t LEFT JOIN sh ON sh.id = t.{id_col}
+"""
+
+
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, prefix_bits: int = 16
+    df: DataFrame, id_col: str, text_col: str, prefix_bits: int = 15
 ) -> DataFrame:
     """SimHash candidate pairs sharing a ``prefix_bits`` band (one of 4
-    rotations), refined by exact Hamming distance ≤ 3."""
+    non-overlapping 15-bit bands of the 60-bit hash), refined by exact
+    Hamming distance ≤ 3. Band keys are plain unsigned masks — the
+    60-bit simhash is non-negative, so no sign-extension hazard."""
     sh = simhash64(df, id_col, text_col)
+    mask = (1 << prefix_bits) - 1
     rots = []
     for r in range(4):
-        shift = r * 16
         rots.append(
             sh.select(
                 "id",
                 "simhash",
                 F.lit(r).alias("band"),
-                # unsigned shift: the arithmetic shiftright would
-                # sign-extend bands containing the simhash sign bit,
-                # silently splitting those buckets and losing recall
-                F.shiftrightunsigned(
-                    F.shiftleft("simhash", shift), 64 - prefix_bits
-                ).alias("key"),
+                F.shiftrightunsigned("simhash", r * prefix_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
             )
         )
     banded = rots[0]

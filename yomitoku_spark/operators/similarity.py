@@ -147,6 +147,104 @@ def brute_force_topk_quantized(
     )
 
 
+def signed_planes_md5(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
+    """±1 (Rademacher) hyperplanes derived from md5 parity — the SAME
+    construction is one CASE expression in ANSI SQL, so the LSH
+    bucketing is reproducible in the DuckDB oracle. Sign of plane
+    (t, p) element i = +1 iff the first hex digit of md5("t:p:i") is
+    odd. Shape (n_tables, n_planes, dim), dtype int64."""
+    import hashlib
+
+    s = np.empty((n_tables, n_planes, dim), dtype=np.int64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for i in range(dim):
+                digit = int(hashlib.md5(f"{t}:{p}:{i}".encode()).hexdigest()[0], 16)
+                s[t, p, i] = 1 if digit % 2 == 1 else -1
+    return s
+
+
+def lsh_buckets_quantized(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Integer-exact LSH buckets: vectors quantized to round(x·scale)
+    int64, bucket bit p of table t = [q · plane(t,p) > 0]. One numpy
+    matmul per Arrow batch against the closure-captured plane tensor.
+    Output (id, table, bucket) — one row per table."""
+    planes = signed_planes_md5(dim, n_planes, n_tables)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def sig(it):
+        for pdf in it:
+            mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if len(mat) == 0:
+                continue
+            q = np.rint(mat * scale).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for t in range(n_tables):
+                bits = (q @ planes[t].T) > 0  # (n, n_planes), exact int dot
+                bucket = (bits.astype(np.int64) * weights).sum(axis=1)
+                frames.append(
+                    pd.DataFrame({"id": ids, "table": np.int32(t), "bucket": bucket})
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select(id_col, vec_col).mapInPandas(
+        sig, schema="id bigint, table int, bucket bigint"
+    )
+
+
+def lsh_ann_topk_quantized(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    k: int = 3,
+    n_tables: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Oracle-checkable ANN: md5-sign LSH buckets (integer-exact) →
+    ids-only (table, bucket) candidate join → pair dedup → exact
+    re-rank by the quantized integer dot product. Every step is
+    bit-reproducible in DuckDB, so the full approximate pipeline gets a
+    3-axis correctness check — not just the brute-force referee.
+
+    Same shuffle discipline as :func:`lsh_ann_topk`: vectors never ride
+    through candidate generation; they join back once for the re-rank."""
+    sigs = lsh_buckets_quantized(corpus, id_col, vec_col, dim, n_planes, n_tables, scale)
+    a = sigs.select(F.col("id").alias("query_id"), "table", "bucket")
+    b = sigs.select(F.col("id").alias("corpus_id"), "table", "bucket")
+    pairs = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id")
+        .distinct()
+    )
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    j = pairs.join(
+        vecs.withColumnRenamed("id", "query_id").withColumnRenamed("vec", "qvec"),
+        "query_id",
+    ).join(
+        vecs.withColumnRenamed("id", "corpus_id").withColumnRenamed("vec", "cvec"),
+        "corpus_id",
+    )
+    dq = dot_quantized(F.col("qvec"), F.col("cvec"), scale).alias("dot_q")
+    w = W.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("corpus_id"))
+    return (
+        j.select("query_id", "corpus_id", dq)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).astype(np.float64)

@@ -954,18 +954,69 @@ def extract_fields_kv(spark, sf_dir):
 
 
 def simhash_pairs(spark, sf_dir):
-    """SimHash near-dup candidates over documents (rows-only: the
-    blake2b bit-votes are not SQL-expressible)."""
+    """60-bit SimHash digests over documents (md5-token bit votes —
+    the identical computation runs in the DuckDB oracle)."""
     d = t(spark, sf_dir, "documents")
     return DD.simhash64(d, "doc_id", "text")
 
 
+SQL_SIMHASH_DOCS = DD.SQL_SIMHASH.format(
+    table="documents", id_col="doc_id", text_col="text"
+)
+
+
 def ann_lsh_topk(spark, sf_dir):
-    """Random-hyperplane LSH ANN (rows-only: float cosine re-rank)."""
+    """LSH-bucketed ANN with integer-exact md5-sign hyperplanes and a
+    quantized-dot re-rank — the full approximate pipeline (bucketing,
+    candidate join, dedup, re-rank) is reproduced by the DuckDB oracle
+    bit-for-bit. Recall vs brute force is measured separately in
+    tests/test_operators.py."""
     e = t(spark, sf_dir, "embeddings")
-    return SIM.lsh_ann_topk(e, k=3, n_planes=6).select(
-        "query_id", "corpus_id", F.round("sim", 6).alias("sim"), "rank"
-    )
+    return SIM.lsh_ann_topk_quantized(e, k=3, n_planes=6, n_tables=2)
+
+
+SQL_ANN_LSH = """
+WITH planes AS (
+  SELECT CAST(t AS INT) AS t, CAST(p AS INT) AS p, CAST(i AS INT) AS i,
+         CASE WHEN ('0x' || substr(md5(CAST(t AS VARCHAR) || ':' ||
+                    CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1))::INT
+                   % 2 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM range(2) tt(t), range(6) pp(p), range(64) ii(i)
+),
+qv AS (
+  SELECT vec_id, CAST(i AS INT) AS i,
+         CAST(ROUND(embedding[CAST(i AS INT) + 1] * 1000) AS BIGINT) AS q
+  FROM embeddings, range(64) r(i)
+),
+dots AS (
+  SELECT qv.vec_id, pl.t, pl.p, SUM(qv.q * pl.s) AS d
+  FROM qv JOIN planes pl ON pl.i = qv.i
+  GROUP BY qv.vec_id, pl.t, pl.p
+),
+buckets AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN d > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS corpus_id
+  FROM buckets a JOIN buckets b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+pairdot AS (
+  SELECT c.query_id, c.corpus_id, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot_q
+  FROM cand c
+  JOIN qv qa ON qa.vec_id = c.query_id
+  JOIN qv qb ON qb.vec_id = c.corpus_id AND qb.i = qa.i
+  GROUP BY c.query_id, c.corpus_id
+)
+SELECT query_id, corpus_id, dot_q, CAST(rk AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY dot_q DESC, corpus_id) rk
+  FROM pairdot
+) WHERE rk <= 3
+"""
 
 
 def multimodal_features(spark, sf_dir):
@@ -1552,6 +1603,8 @@ ORACLE = {
     "grid_recovery": SQL_GRID_RECOVERY,
     "asof_join": SQL_ASOF,
     "rollup_revenue": SQL_ROLLUP,
+    "simhash_pairs": SQL_SIMHASH_DOCS,
+    "ann_lsh_topk": SQL_ANN_LSH,
     "adjacency_rules": SQL_ADJ_RULES,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
     "extract_scalar_cascade": SQL_SCALAR_CASCADE,
