@@ -32,6 +32,10 @@ BENCH_QUERIES = [
     "doc_lang_id",
     "minhash_lsh_pairs",
     "embedding_topk",
+    "simhash_pairs",
+    "ann_lsh_topk",
+    "kv_items_geometric",
+    "extract_scalar_cascade",
 ]
 
 

@@ -58,6 +58,23 @@ def dot_quantized(a: Column, b: Column, scale: int = 1000) -> Column:
     )
 
 
+def dot_quantized_arrow(scale: int = 1000):
+    """Arrow-batched pandas UDF computing the SAME quantized integer
+    dot as :func:`dot_quantized` (int64 products — bit-exact), but
+    vectorized with numpy instead of interpreted Catalyst higher-order
+    expressions (~50× faster on wide candidate sets; HOFs are not
+    codegen'd)."""
+    import pandas as pd  # noqa: F811
+
+    @F.pandas_udf("bigint")
+    def _dq(q: pd.Series, c: pd.Series) -> pd.Series:
+        qm = np.rint(np.asarray(q.tolist(), dtype=np.float64) * scale).astype(np.int64)
+        cm = np.rint(np.asarray(c.tolist(), dtype=np.float64) * scale).astype(np.int64)
+        return pd.Series((qm * cm).sum(axis=1))
+
+    return _dq
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -220,6 +237,9 @@ def lsh_ann_topk_quantized(
     Same shuffle discipline as :func:`lsh_ann_topk`: vectors never ride
     through candidate generation; they join back once for the re-rank."""
     sigs = lsh_buckets_quantized(corpus, id_col, vec_col, dim, n_planes, n_tables, scale)
+    # exchange barrier: both sides of the self-join reuse ONE run of
+    # the Arrow bucketing stage (ReusedExchange) instead of two
+    sigs = sigs.repartition("table", "bucket")
     a = sigs.select(F.col("id").alias("query_id"), "table", "bucket")
     b = sigs.select(F.col("id").alias("corpus_id"), "table", "bucket")
     pairs = (
@@ -236,7 +256,7 @@ def lsh_ann_topk_quantized(
         vecs.withColumnRenamed("id", "corpus_id").withColumnRenamed("vec", "cvec"),
         "corpus_id",
     )
-    dq = dot_quantized(F.col("qvec"), F.col("cvec"), scale).alias("dot_q")
+    dq = dot_quantized_arrow(scale)(F.col("qvec"), F.col("cvec")).alias("dot_q")
     w = W.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("corpus_id"))
     return (
         j.select("query_id", "corpus_id", dq)
@@ -316,6 +336,9 @@ def lsh_ann_topk(
     n_tables at linear candidate cost (measured in
     tests/test_operators.py::test_lsh_ann_recall_vs_brute_force)."""
     sigs = lsh_signatures(corpus, id_col, vec_col, dim, n_planes, seed, n_tables)
+    # exchange barrier: both sides of the self-join reuse ONE run of
+    # the Arrow signature stage (ReusedExchange) instead of two
+    sigs = sigs.repartition("table", "bucket")
     a = sigs.select(F.col("id").alias("query_id"), "table", "bucket")
     b = sigs.select(F.col("id").alias("corpus_id"), "table", "bucket")
     pairs = (

@@ -1246,9 +1246,9 @@ def extract_scalar_cascade(spark, sf_dir):
     containment → KV key (with axis-spread merge) → cell-content
     substring → paragraph substring → regex over cells/paragraphs/words
     → not_found."""
-    cells = LY.form_cells(spark, sf_dir)
     from yomitoku_spark.operators.kv_graph import parse_kv_items
 
+    cells = LY.form_cells(spark, sf_dir)
     kv = parse_kv_items(cells)
     return SEM.extract_scalar_fields(
         cells, kv, LY.form_paragraphs(spark, sf_dir), LY.form_words(spark, sf_dir),

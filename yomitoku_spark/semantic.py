@@ -81,16 +81,18 @@ class ScalarField:
     regex: str | None = None
 
 
-CAND_COLS = ["doc_id", "tier", "o1", "o2", "o3", "value", "source", "confidence"]
-
-
-def _cand(df: DataFrame, tier: int, o1, o2, o3, value, source: str, conf: str) -> DataFrame:
+def _cand2(
+    df: DataFrame, tier: int, o1: str, o2: str, o3: str, value, source: str, conf: str
+) -> DataFrame:
+    """Normalize a tier's candidates to the shared union shape; the
+    tier's own deterministic order is (o1, o2, o3) = (y1, x1, id)."""
     return df.select(
         "doc_id",
+        "field",
         F.lit(tier).alias("tier"),
-        o1.cast("bigint").alias("o1"),
-        o2.cast("bigint").alias("o2"),
-        F.lit(o3).alias("o3") if isinstance(o3, str) else o3.alias("o3"),
+        F.col(o1).cast("bigint").alias("o1"),
+        F.col(o2).cast("bigint").alias("o2"),
+        F.col(o3).alias("o3"),
         value.alias("value"),
         F.lit(source).alias("source"),
         F.lit(conf).alias("confidence"),
@@ -105,7 +107,19 @@ def extract_scalar_fields(
     fields: list[ScalarField],
 ) -> DataFrame:
     """Resolve every field for every document: returns
-    (doc_id, field, value, source, confidence)."""
+    (doc_id, field, value, source, confidence).
+
+    The extraction schema is DATA, not plan structure: fields become a
+    broadcast literal table and ALL item-scanning tiers (cell_id equi,
+    bbox containment, cell/paragraph substring, regex over
+    cells/paragraphs/words) evaluate in ONE codegen'd join of the
+    unified item corpus against it — an item's candidate tier is the
+    least applicable tier number, which yields the same winner as
+    per-tier unions under the global min-(tier, y1, x1, id) pick. Only
+    the KV tier (different input relation, plus the merge_values
+    aggregate) adds branches, so the plan is 3 branches + one window
+    regardless of schema width."""
+    spark = cells.sparkSession
     noncells = _boxed(cells.filter(F.col("role") != "group"))
     paras = _boxed(paragraphs)
     wrds = _boxed(words)
@@ -116,127 +130,151 @@ def extract_scalar_fields(
     )
     docs = cells.select("doc_id").distinct()
 
-    outs = []
-    for f in fields:
-        cands = []
-        if f.cell_id:
-            t1 = noncells.filter(F.col("cell_id") == f.cell_id)
-            cands.append(
-                _cand(t1, 1, F.col("y1"), F.col("x1"), F.col("cell_id"),
-                      F.col("contents"), "cell_id", "high")
-            )
-        if f.bbox:
-            # is_contained(bbox, cell, 0.5): overlap/cell_area > 0.5, strict
-            ov = SP.overlap_area("q", "box")
-            t2 = noncells.withColumn("q", _lit_box(f.bbox)).filter(
-                ov * 2 > SP.box_area("box")
-            )
-            cands.append(
-                _cand(t2, 2, F.col("y1"), F.col("x1"), F.col("cell_id"),
-                      F.col("contents"), "bbox", "high")
-            )
-        if f.description:
-            q = norm_text(F.lit(f.description))
-            kvm = kv_boxed.filter(norm_text(F.col("key_text")).contains(q))
-            if f.merge_values:
-                # axis-spread-ordered separator join
-                # (table_semantic_parser.py:462-514): sort by y when the
-                # value boxes spread at least as far vertically, else by x
-                agg = kvm.groupBy("doc_id").agg(
-                    (F.max("y1") - F.min("y1") >= F.max("x1") - F.min("x1")).alias("by_y"),
-                    F.array_join(
-                        F.transform(
-                            F.array_sort(
-                                F.collect_list(F.struct("y1", "x1", "value_cell", "value_text"))
-                            ),
-                            lambda s: s["value_text"],
-                        ),
-                        f.separator,
-                    ).alias("vy"),
-                    F.array_join(
-                        F.transform(
-                            F.array_sort(
-                                F.collect_list(F.struct("x1", "y1", "value_cell", "value_text"))
-                            ),
-                            lambda s: s["value_text"],
-                        ),
-                        f.separator,
-                    ).alias("vx"),
-                )
-                t3 = agg.select(
-                    "doc_id",
-                    F.when(F.col("by_y"), F.col("vy")).otherwise(F.col("vx")).alias("v"),
-                )
-                cands.append(
-                    _cand(t3, 3, F.lit(0), F.lit(0), F.lit(""), F.col("v"), "kv", "high")
-                )
-            else:
-                cands.append(
-                    _cand(kvm, 3, F.col("y1"), F.col("x1"), F.col("value_cell"),
-                          F.col("value_text"), "kv", "high")
-                )
-            t4 = noncells.filter(
-                (F.col("contents") != "") & norm_text(F.col("contents")).contains(q)
-            )
-            cands.append(
-                _cand(t4, 4, F.col("y1"), F.col("x1"), F.col("cell_id"),
-                      F.col("contents"), "cell_query", "medium")
-            )
-            t5 = paras.filter(
-                (F.col("contents") != "") & norm_text(F.col("contents")).contains(q)
-            )
-            cands.append(
-                _cand(t5, 5, F.col("y1"), F.col("x1"), F.col("par_id"),
-                      F.col("contents"), "paragraph", "medium")
-            )
-        if f.regex:
-            m6 = F.regexp_extract("contents", f.regex, 0)
-            t6 = noncells.filter((F.col("contents") != "") & (m6 != ""))
-            cands.append(
-                _cand(t6, 6, F.col("y1"), F.col("x1"), F.col("cell_id"),
-                      m6, "regex", "high")
-            )
-            m7 = F.regexp_extract("contents", f.regex, 0)
-            t7 = paras.filter((F.col("contents") != "") & (m7 != ""))
-            cands.append(
-                _cand(t7, 7, F.col("y1"), F.col("x1"), F.col("par_id"),
-                      m7, "regex", "high")
-            )
-            m8 = F.regexp_extract("content", f.regex, 0)
-            t8 = wrds.filter((F.col("content") != "") & (m8 != ""))
-            cands.append(
-                _cand(t8, 8, F.col("y1"), F.col("x1"), F.col("word_id"),
-                      m8, "regex", "high")
-            )
-        if cands:
-            allc = cands[0]
-            for c in cands[1:]:
-                allc = allc.unionByName(c)
-            w = W.partitionBy("doc_id").orderBy("tier", "o1", "o2", "o3")
-            best = allc.withColumn("__rk", F.row_number().over(w)).filter(
-                F.col("__rk") == 1
-            )
-            resolved = docs.join(best, "doc_id", "left")
-        else:
-            resolved = docs.select(
-                "doc_id",
-                F.lit(None).cast("string").alias("value"),
-                F.lit(None).cast("string").alias("source"),
-                F.lit(None).cast("string").alias("confidence"),
-            )
-        outs.append(
-            resolved.select(
-                "doc_id",
-                F.lit(f.name).alias("field"),
-                F.coalesce(F.col("value"), F.lit("")).alias("value"),
-                F.coalesce(F.col("source"), F.lit("not_found")).alias("source"),
-                F.coalesce(F.col("confidence"), F.lit("low")).alias("confidence"),
+    frows = [
+        (
+            f.name, f.cell_id,
+            *(tuple(int(v) for v in f.bbox) if f.bbox else (None,) * 4),
+            f.description, bool(f.merge_values), f.separator, f.regex,
+        )
+        for f in fields
+    ]
+    fdf = spark.createDataFrame(
+        frows,
+        "field string, f_cell_id string, qx1 int, qy1 int, qx2 int, qy2 int, "
+        "f_desc string, f_merge boolean, f_sep string, f_regex string",
+    )
+
+    def fb(cond):
+        return F.broadcast(fdf.filter(cond))
+
+    cands = []
+
+    # ---- tiers 1,2,4,5,6,7,8 in ONE broadcast join -----------------
+    # A searchable item (cell / paragraph / word) × the field table,
+    # with every tier's predicate evaluated as a column: an item's
+    # candidate tier is the LEAST applicable tier number. This is
+    # equivalent to per-tier unions (the global min-(tier, y1, x1, id)
+    # pick is unchanged) but compiles to one codegen'd nested-loop join
+    # regardless of how many fields the schema has.
+    items = (
+        noncells.select(
+            "doc_id", F.lit("cell").alias("src"), F.col("cell_id").alias("item_id"),
+            "y1", "x1", "box", "contents",
+        )
+        .unionByName(
+            paras.select(
+                "doc_id", F.lit("para").alias("src"), F.col("par_id").alias("item_id"),
+                "y1", "x1", "box", "contents",
             )
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        .unionByName(
+            wrds.select(
+                "doc_id", F.lit("word").alias("src"), F.col("word_id").alias("item_id"),
+                "y1", "x1", "box", F.col("content").alias("contents"),
+            )
+        )
+    )
+    qbox = F.struct(
+        F.col("qx1").alias("x1"), F.col("qy1").alias("y1"),
+        F.col("qx2").alias("x2"), F.col("qy2").alias("y2"),
+    )
+    is_cell = F.col("src") == "cell"
+    has_text = F.col("contents") != ""
+    desc_hit = F.col("f_desc").isNotNull() & has_text & norm_text(
+        F.col("contents")
+    ).contains(norm_text(F.col("f_desc")))
+    rx = F.expr("regexp_extract(contents, f_regex, 0)")
+    rx_hit = F.col("f_regex").isNotNull() & has_text & (rx != "")
+    tier = F.least(
+        F.when(is_cell & (F.col("item_id") == F.col("f_cell_id")), 1),
+        F.when(
+            is_cell
+            & F.col("qx1").isNotNull()
+            & (SP.overlap_area("q", "box") * 2 > SP.box_area("box")),
+            2,
+        ),
+        F.when(is_cell & desc_hit, 4),
+        F.when((F.col("src") == "para") & desc_hit, 5),
+        F.when(is_cell & rx_hit, 6),
+        F.when((F.col("src") == "para") & rx_hit, 7),
+        F.when((F.col("src") == "word") & rx_hit, 8),
+    )
+    j = (
+        items.crossJoin(fb(F.lit(True)).withColumn("q", qbox))
+        .withColumn("tier", tier)
+        .filter(F.col("tier").isNotNull())
+    )
+    flat = j.select(
+        "doc_id",
+        "field",
+        "tier",
+        F.col("y1").cast("bigint").alias("o1"),
+        F.col("x1").cast("bigint").alias("o2"),
+        F.col("item_id").alias("o3"),
+        F.when(F.col("tier").isin(1, 2, 4, 5), F.col("contents")).otherwise(rx).alias("value"),
+        F.when(F.col("tier") == 1, F.lit("cell_id"))
+        .when(F.col("tier") == 2, F.lit("bbox"))
+        .when(F.col("tier") == 4, F.lit("cell_query"))
+        .when(F.col("tier") == 5, F.lit("paragraph"))
+        .otherwise(F.lit("regex"))
+        .alias("source"),
+        F.when(F.col("tier").isin(4, 5), F.lit("medium")).otherwise(F.lit("high")).alias(
+            "confidence"
+        ),
+    )
+    cands.append(flat)
+
+    # ---- tier 3: KV key substring (space-stripped match) -----------
+    kvm = kv_boxed.join(
+        fb(F.col("f_desc").isNotNull()),
+        norm_text(F.col("key_text")).contains(norm_text(F.col("f_desc"))),
+    )
+    # exchange barrier: the single-value and merge_values branches both
+    # read this join (whose input is typically the pandas-UDF KV
+    # parser); the repartition lets ReusedExchange serve both from one
+    # evaluation instead of re-running the parser per branch
+    kvm = kvm.repartition("doc_id", "field")
+    single = kvm.filter(~F.col("f_merge"))
+    cands.append(
+        _cand2(single, 3, "y1", "x1", "value_cell", F.col("value_text"), "kv", "high")
+    )
+    # merge_values: axis-spread-ordered separator join
+    # (table_semantic_parser.py:462-514) — sort by y when the value
+    # boxes spread at least as far vertically, else by x
+    agg = kvm.filter(F.col("f_merge")).groupBy("doc_id", "field", "f_sep").agg(
+        (F.max("y1") - F.min("y1") >= F.max("x1") - F.min("x1")).alias("by_y"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("y1", "x1", "value_cell", "value_text"))),
+            lambda s: s["value_text"],
+        ).alias("vy"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("x1", "y1", "value_cell", "value_text"))),
+            lambda s: s["value_text"],
+        ).alias("vx"),
+    )
+    merged = agg.select(
+        "doc_id", "field", F.lit(3).alias("tier"),
+        F.lit(0).cast("bigint").alias("o1"), F.lit(0).cast("bigint").alias("o2"),
+        F.lit("").alias("o3"),
+        F.expr("array_join(CASE WHEN by_y THEN vy ELSE vx END, f_sep)").alias("value"),
+        F.lit("kv").alias("source"), F.lit("high").alias("confidence"),
+    )
+    cands.append(merged)
+
+    allc = cands[0]
+    for c in cands[1:]:
+        allc = allc.unionByName(c)
+    w = W.partitionBy("doc_id", "field").orderBy("tier", "o1", "o2", "o3")
+    best = allc.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") == 1)
+
+    grid = docs.crossJoin(F.broadcast(fdf.select("field")))
+    return grid.join(best, ["doc_id", "field"], "left").select(
+        "doc_id",
+        "field",
+        F.coalesce(F.col("value"), F.lit("")).alias("value"),
+        F.coalesce(F.col("source"), F.lit("not_found")).alias("source"),
+        F.coalesce(F.col("confidence"), F.lit("low")).alias("confidence"),
+    )
 
 
 # ------------------------------------------------------------- table field

@@ -39,7 +39,13 @@ CELLS_COLS = ["doc_id", "cell_id", "role", "x1", "y1", "x2", "y2", "contents"]
 
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the supplier scan is tiny but local-mode splitting would hand
+    # every downstream union branch 32 sliver partitions (task-schedule
+    # overhead dwarfs the work); one partition per ~100k rows is plenty,
+    # and grouped/pandas stages re-shuffle to full width anyway
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = max(1, s.rdd.getNumPartitions() // 8)
+    s = s.coalesce(n)
     return s.select(
         F.floor(F.col("s_suppkey") / 20).cast("bigint").alias("doc_id"),
         (F.col("s_suppkey") % 20).cast("int").alias("i"),
