@@ -57,3 +57,24 @@ def test_metrics_exactly_once(spark, tdf, tmp_path):
     ).collect()[0]
     assert totals.nt == res.nt and totals.ce == res.ce
     assert all(r.lineage for r in state.collect())
+
+
+def test_bigint_turn_idx_buckets_consistently(spark, tdf, tmp_path):
+    """xxhash64 is type-sensitive: a caller passing bigint turn_idx must
+    still land every row in the bucket that selected it (the input-side
+    filter and output-side write hash explicitly typed keys), or a later
+    wave's dynamic partition overwrite silently deletes rows."""
+    out = str(tmp_path / "out_bigint")
+    wide = tdf.withColumn("turn_idx", F.col("turn_idx").cast("bigint"))
+    CP.run_resumable(wide, out, n_buckets=8, wave_size=2)
+    got = CP.read_result(spark, out)
+    assert got.count() == tdf.count()
+    want = extract(tdf).toPandas()
+    assert _sorted(got.toPandas()).equals(_sorted(want))
+
+
+def test_overwrite_mode_conf_restored(spark, tdf, tmp_path):
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    CP.run_resumable(tdf.limit(50), str(tmp_path / "out_conf"), n_buckets=4, wave_size=4)
+    after = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    assert after == prev
