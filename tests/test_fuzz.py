@@ -87,6 +87,25 @@ def test_vertical_page_reads_right_to_left():
     assert got == oracle.extract_payload(payload, "")
 
 
+def test_figure_absorbs_contained_paragraphs():
+    # paragraphs ≥0.7 inside a figure emit right after it, inner l2r,
+    # regardless of page-level geometry (document_analyzer.py:43-66)
+    blocks = [
+        {"id": 0, "box": [0, 0, 600, 40], "text": "intro", "role": "paragraph"},
+        {"id": 1, "box": [50, 100, 550, 400], "text": "FIG", "role": "figure"},
+        # inside the figure, right one listed first
+        {"id": 2, "box": [320, 150, 480, 200], "text": "right cap", "role": "paragraph"},
+        {"id": 3, "box": [60, 150, 220, 200], "text": "left cap", "role": "paragraph"},
+        {"id": 4, "box": [0, 500, 600, 540], "text": "outro", "role": "paragraph"},
+    ]
+    payload = json.dumps({"blocks": blocks})
+    got = _engine_one(payload)
+    assert got["extracted_text"].split("\n\n") == [
+        "intro", "FIG", "left cap", "right cap", "outro"
+    ]
+    assert got == oracle.extract_payload(payload, "")
+
+
 def test_header_footer_order_offsets():
     # headers get orders before main content, footers after
     # (document_analyzer.py:572-588); both stay dropped from the text

@@ -201,6 +201,12 @@ def _gen_layout(rng: random.Random, uniq: int) -> str:
             role = "figure" if rng.random() < 0.15 else "paragraph"
             add([0, yy, 600, yy + h], role, rng.randint(4, 12))
             yy += h + 20
+    if rng.random() < 0.3:
+        # a figure that absorbs its contained paragraphs (inner l2r order)
+        add([50, 1000, 550, 1300], "figure", 3)
+        for k in range(rng.randint(1, 3)):
+            add([60 + k * 160, 1040, 200 + k * 160, 1090], "paragraph",
+                rng.randint(2, 5))
     if rng.random() < 0.6:
         add([0, 2000, 600, 2040], "page_footer", 2)
     rng.shuffle(items)

@@ -305,17 +305,69 @@ def reading_order(
     return order
 
 
+def _area(b) -> int:
+    return (b[2] - b[0]) * (b[3] - b[1])
+
+
+def _vote_vertical(items, idxs) -> bool:
+    """Area-weighted direction vote (reference judge_page_direction,
+    document_analyzer.py:20-40): vertical wins on strictly greater
+    summed area."""
+    v = h = 0
+    for i in idxs:
+        a = _area(items[i]["box"])
+        if items[i].get("direction") == "vertical":
+            v += a
+        else:
+            h += a
+    return v > h
+
+
 def _layout_blocks(payload: str) -> list[Block]:
     doc = json.loads(payload)
     items = doc.get("blocks", [])
     kept_idx = [i for i, it in enumerate(items) if it.get("role") not in spec.META_ROLES]
     dropped = [i for i in range(len(items)) if i not in kept_idx]
-    boxes = [tuple(items[i]["box"]) for i in kept_idx]
-    # page-direction vote (reference document_analyzer.py:575-581):
-    # majority-vertical content → right2left order, else top2bottom
-    n_vert = sum(1 for i in kept_idx if items[i].get("direction") == "vertical")
-    vertical_page = n_vert > len(kept_idx) - n_vert
-    perm = reading_order(boxes, "right2left" if vertical_page else "top2bottom")
+    vertical_page = _vote_vertical(items, kept_idx)
+    # figure absorption (reference extract_paragraph_within_figure,
+    # document_analyzer.py:43-66): paragraph/heading blocks >0.7 inside
+    # a figure box belong to their FIRST containing figure and emit
+    # right after it, inner-ordered l2r (or r2l on a vertical vote)
+    fig_loc = [k for k, i in enumerate(kept_idx)
+               if items[i].get("role") == spec.ROLE_FIGURE]
+    owner = {}
+    for k, i in enumerate(kept_idx):
+        role = items[i].get("role", spec.ROLE_PARAGRAPH)
+        if role not in (spec.ROLE_PARAGRAPH, spec.ROLE_HEADING):
+            continue
+        pb = items[i]["box"]
+        for fk in fig_loc:
+            fb = items[kept_idx[fk]]["box"]
+            ov = max(min(fb[2], pb[2]) - max(fb[0], pb[0]), 0) * max(
+                min(fb[3], pb[3]) - max(fb[1], pb[1]), 0
+            )
+            if 10 * ov > 7 * _area(pb):
+                owner[k] = fk
+                break
+    top = [k for k in range(len(kept_idx)) if k not in owner]
+    boxes = [tuple(items[kept_idx[k]]["box"]) for k in top]
+    tperm = reading_order(boxes, "right2left" if vertical_page else "top2bottom")
+    perm = []
+    for t in tperm:
+        k = top[t]
+        perm.append(k)
+        if k in fig_loc:
+            kids = [p for p, f in owner.items() if f == k]
+            if kids:
+                inner = (
+                    "right2left"
+                    if _vote_vertical(items, [kept_idx[p] for p in kids])
+                    else "left2right"
+                )
+                kperm = reading_order(
+                    [tuple(items[kept_idx[p]]["box"]) for p in kids], inner
+                )
+                perm.extend(kids[q] for q in kperm)
     blocks: list[Block] = []
     for i in dropped:
         it = items[i]

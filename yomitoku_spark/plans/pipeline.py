@@ -83,17 +83,36 @@ def _keep_mask(bdf: pd.DataFrame) -> np.ndarray:
     return keep.astype(bool)
 
 
+def _areas(b: np.ndarray) -> np.ndarray:
+    return (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+
+
+def _vote_vertical(verticals: np.ndarray, boxes: np.ndarray) -> bool:
+    """Area-weighted page/figure direction vote (reference
+    judge_page_direction, document_analyzer.py:20-40): vertical wins
+    only when its summed block area strictly exceeds horizontal's."""
+    a = _areas(boxes)
+    v = int(a[verticals].sum())
+    return v > int(a.sum()) - v
+
+
 def _layout_order_arrays(
     roles: np.ndarray, verticals: np.ndarray, boxes: np.ndarray
 ) -> np.ndarray:
     """Emit order for one layout page with the reference's offset rule
     (document_analyzer.py:572-588): page headers first (ordered
     left2right among themselves), then main content, then page footers
-    (left2right). Main content auto-picks right2left when the page is
-    majority-vertical (:575-581), else top2bottom. Header/footer blocks
-    are still DROPPED from the extracted text by the ignore-meta keep
-    rule — the offsets order the block table the way the reference
-    orders its paragraph list."""
+    (left2right). Main content auto-picks right2left when the page's
+    area-weighted direction vote is vertical (:575-581), else
+    top2bottom. Paragraph/heading blocks ≥0.7-contained in a figure box
+    are absorbed by their FIRST containing figure (deviation: the
+    reference copies a paragraph into every containing figure,
+    document_analyzer.py:43-66; one owner keeps extraction
+    duplication-free) and emit immediately after it, inner-ordered
+    left2right (or right2left when the absorbed set votes vertical).
+    Header/footer blocks are still DROPPED from the extracted text by
+    the ignore-meta keep rule — the offsets order the block table the
+    way the reference orders its paragraph list."""
     n = len(roles)
     order = np.full(n, -1, dtype=np.int64)
     hdr = roles == spec.ROLE_PAGE_HEADER
@@ -105,10 +124,43 @@ def _layout_order_arrays(
         perm = reading_order_numpy(boxes[h_pos], "left2right")
         order[h_pos[perm]] = np.arange(len(perm))
     if len(m_pos):
-        nv = int(verticals[m_pos].sum())
-        d = "right2left" if nv > len(m_pos) - nv else "top2bottom"
-        perm = reading_order_numpy(boxes[m_pos], d)
-        order[m_pos[perm]] = len(h_pos) + np.arange(len(perm))
+        mb = boxes[m_pos]
+        mv = verticals[m_pos]
+        d = "right2left" if _vote_vertical(mv, mb) else "top2bottom"
+        # figure absorption (reference extract_paragraph_within_figure:
+        # contained > 0.7 of the paragraph's area → 10·overlap > 7·area)
+        is_fig = roles[m_pos] == spec.ROLE_FIGURE
+        absorbable = (roles[m_pos] == spec.ROLE_PARAGRAPH) | (
+            roles[m_pos] == spec.ROLE_HEADING
+        )
+        owner = np.full(len(m_pos), -1, dtype=np.int64)
+        fig_loc = np.nonzero(is_fig)[0]
+        pa = _areas(mb)
+        for pi in np.nonzero(absorbable)[0]:
+            for fi in fig_loc:
+                w = min(mb[fi][2], mb[pi][2]) - max(mb[fi][0], mb[pi][0])
+                h = min(mb[fi][3], mb[pi][3]) - max(mb[fi][1], mb[pi][1])
+                ov = max(w, 0) * max(h, 0)
+                if 10 * ov > 7 * pa[pi]:
+                    owner[pi] = fi
+                    break
+        top = np.nonzero(owner < 0)[0]
+        perm = reading_order_numpy(mb[top], d)
+        seq: list[int] = []
+        for t in perm:
+            li = int(top[t])
+            seq.append(li)
+            if is_fig[li]:
+                kids = np.nonzero(owner == li)[0]
+                if len(kids):
+                    inner = (
+                        "right2left"
+                        if _vote_vertical(mv[kids], mb[kids])
+                        else "left2right"
+                    )
+                    kperm = reading_order_numpy(mb[kids], inner)
+                    seq.extend(int(k) for k in kids[kperm])
+        order[m_pos[np.asarray(seq, dtype=np.int64)]] = len(h_pos) + np.arange(len(seq))
     if len(f_pos):
         perm = reading_order_numpy(boxes[f_pos], "left2right")
         order[f_pos[perm]] = len(h_pos) + len(m_pos) + np.arange(len(perm))

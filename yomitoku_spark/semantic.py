@@ -225,23 +225,19 @@ def extract_scalar_fields(
     cands.append(flat)
 
     # ---- tier 3: KV key substring (space-stripped match) -----------
+    # ONE aggregation serves both shapes (so the KV parser upstream
+    # evaluates once): the y-sorted value list's head IS the
+    # first-match single value, and merge_values fields take the
+    # axis-spread-ordered separator join instead
+    # (table_semantic_parser.py:462-514 — sort by y when the value
+    # boxes spread at least as far vertically, else by x). At most one
+    # tier-3 candidate per (doc, field) survives, so its within-tier
+    # order keys are constants.
     kvm = kv_boxed.join(
         fb(F.col("f_desc").isNotNull()),
         norm_text(F.col("key_text")).contains(norm_text(F.col("f_desc"))),
     )
-    # exchange barrier: the single-value and merge_values branches both
-    # read this join (whose input is typically the pandas-UDF KV
-    # parser); the repartition lets ReusedExchange serve both from one
-    # evaluation instead of re-running the parser per branch
-    kvm = kvm.repartition("doc_id", "field")
-    single = kvm.filter(~F.col("f_merge"))
-    cands.append(
-        _cand2(single, 3, "y1", "x1", "value_cell", F.col("value_text"), "kv", "high")
-    )
-    # merge_values: axis-spread-ordered separator join
-    # (table_semantic_parser.py:462-514) — sort by y when the value
-    # boxes spread at least as far vertically, else by x
-    agg = kvm.filter(F.col("f_merge")).groupBy("doc_id", "field", "f_sep").agg(
+    agg = kvm.groupBy("doc_id", "field", "f_sep", "f_merge").agg(
         (F.max("y1") - F.min("y1") >= F.max("x1") - F.min("x1")).alias("by_y"),
         F.transform(
             F.array_sort(F.collect_list(F.struct("y1", "x1", "value_cell", "value_text"))),
@@ -252,14 +248,19 @@ def extract_scalar_fields(
             lambda s: s["value_text"],
         ).alias("vx"),
     )
-    merged = agg.select(
+    kv3 = agg.select(
         "doc_id", "field", F.lit(3).alias("tier"),
         F.lit(0).cast("bigint").alias("o1"), F.lit(0).cast("bigint").alias("o2"),
         F.lit("").alias("o3"),
-        F.expr("array_join(CASE WHEN by_y THEN vy ELSE vx END, f_sep)").alias("value"),
+        F.when(
+            F.col("f_merge"),
+            F.expr("array_join(CASE WHEN by_y THEN vy ELSE vx END, f_sep)"),
+        )
+        .otherwise(F.element_at("vy", 1))
+        .alias("value"),
         F.lit("kv").alias("source"), F.lit("high").alias("confidence"),
     )
-    cands.append(merged)
+    cands.append(kv3)
 
     allc = cands[0]
     for c in cands[1:]:
