@@ -52,6 +52,15 @@ def contains(outer: str, inner: str, threshold: float = 0.8) -> Column:
     return overlap_area(outer, inner) * 1000 >= num * box_area(inner)
 
 
+def vertical_aspect(a: str, ratio: int = 2) -> Column:
+    """Aspect-based verticality: height strictly greater than
+    ``ratio``× width (reference is_vertical,
+    document_analyzer.py:240-245 / text_recognizer.py:158-164)."""
+    return (F.col(f"{a}.y2") - F.col(f"{a}.y1")) > ratio * (
+        F.col(f"{a}.x2") - F.col(f"{a}.x1")
+    )
+
+
 def iou(a: str, b: str) -> Column:
     """reference: utils/misc.py:182-201 ``calc_iou``."""
     inter = overlap_area(a, b)

@@ -1118,7 +1118,10 @@ def adjacency_rules(spark, sf_dir):
         "b_child": AJ.bottom_adjacent("abox", "bbox_", "child"),
     }
     out = j.select(
-        "a_key", "b_key", *[v.cast("int").alias(k) for k, v in cols.items()]
+        "a_key",
+        "b_key",
+        *[v.cast("int").alias(k) for k, v in cols.items()],
+        SP.vertical_aspect("abox").cast("int").alias("a_vertical"),
     )
     return out.filter((F.col("r_soft") == 1) | (F.col("b_soft") == 1))
 
@@ -1132,7 +1135,8 @@ SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
   CAST({AJ.sql_bottom_adjacent('a', 'b', 'soft')} AS INT) AS b_soft,
   CAST({AJ.sql_bottom_adjacent('a', 'b', 'hard')} AS INT) AS b_hard,
   CAST({AJ.sql_bottom_adjacent('a', 'b', 'nest')} AS INT) AS b_nest,
-  CAST({AJ.sql_bottom_adjacent('a', 'b', 'child')} AS INT) AS b_child
+  CAST({AJ.sql_bottom_adjacent('a', 'b', 'child')} AS INT) AS b_child,
+  CAST((a.y2 - a.y1) > 2 * (a.x2 - a.x1) AS INT) AS a_vertical
 FROM pb a JOIN pb b
   ON a.p_partkey <> b.p_partkey
  AND ABS(a.y1 - b.y1) < 60 AND ABS(a.x1 - b.x1) < 60
