@@ -290,14 +290,21 @@ FROM {table} t LEFT JOIN sh ON sh.id = t.{id_col}
 def simhash_near_pairs(
     df: DataFrame, id_col: str, text_col: str, prefix_bits: int = 15
 ) -> DataFrame:
-    """SimHash candidate pairs sharing a ``prefix_bits`` band (one of 4
-    non-overlapping 15-bit bands of the 60-bit hash), refined by exact
-    Hamming distance ≤ 3. Band keys are plain unsigned masks — the
-    60-bit simhash is non-negative, so no sign-extension hazard."""
+    """SimHash candidate pairs sharing one ``prefix_bits``-wide band of
+    the 60-bit hash, refined by exact Hamming distance. The band count
+    is DERIVED (⌈60/prefix_bits⌉) so the bands always tile the full
+    hash, and the pigeonhole guarantee follows: any pair within Hamming
+    distance (bands − 1) shares at least one identical band, so the
+    refine threshold is set to exactly that. Band keys are plain
+    unsigned masks — the 60-bit simhash is non-negative, so no
+    sign-extension hazard. Defaults: 15-bit bands → 4 bands →
+    all pairs at Hamming ≤ 3 are found."""
+    n_bands = -(-SIMHASH_BITS // prefix_bits)
+    max_hamming = n_bands - 1
     sh = simhash64(df, id_col, text_col)
     mask = (1 << prefix_bits) - 1
     rots = []
-    for r in range(4):
+    for r in range(n_bands):
         rots.append(
             sh.select(
                 "id",
@@ -328,4 +335,4 @@ def simhash_near_pairs(
         )
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= 3)
+    return pairs.filter(F.col("hamming") <= max_hamming)

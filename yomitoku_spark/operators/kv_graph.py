@@ -123,21 +123,11 @@ def parse_kv_doc(cells: list[dict]) -> list[dict]:
             same = grp[a["id"]] == grp[b["id"]]
             pseudo = PSEUDO_GROUP in (grp[a["id"]], grp[b["id"]])
             if same or pseudo:
-                if right_adjacent_scalar(a["box"], b["box"]):
-                    link(a, b, "R")
-                    link(b, a, "L")
-                if bottom_adjacent_scalar(a["box"], b["box"]):
-                    link(a, b, "D")
-                    link(b, a, "U")
+                both(a, b)
     for a in plain:  # cell→cell, same group only (empties excluded)
         for b in plain:
             if a["id"] != b["id"] and grp[a["id"]] is not None and grp[a["id"]] == grp[b["id"]]:
-                if right_adjacent_scalar(a["box"], b["box"]):
-                    link(a, b, "R")
-                    link(b, a, "L")
-                if bottom_adjacent_scalar(a["box"], b["box"]):
-                    link(a, b, "D")
-                    link(b, a, "U")
+                both(a, b)
 
     # deterministic successor order for the DFS
     for k in succ:
@@ -176,7 +166,17 @@ def parse_kv_doc(cells: list[dict]) -> list[dict]:
                 out.append(hid)
         return [h for h in sorted(out, key=lambda i: order(by_id[i]))]
 
+    # DFS step budget: diamond-shaped header adjacency enumerates every
+    # simple path, which is exponential in the worst case — a malformed
+    # or adversarial payload must degrade (truncated key paths), never
+    # hang the executor (same bad-row tolerance as the segmenter)
+    MAX_DFS_STEPS = 50_000
+    budget = [MAX_DFS_STEPS]
+
     def dfs(node_id: str, key_path: list[str], items: list, direction: str):
+        if budget[0] <= 0:
+            return
+        budget[0] -= 1
         node = by_id[node_id]
         if node["role"] in ("cell", "empty"):
             items.append((list(key_path), node_id))

@@ -47,6 +47,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _q_away(v: np.ndarray) -> np.ndarray:
+    """Round half away from zero to int64 — the semantics of Spark's
+    ROUND (HALF_UP) and DuckDB's ROUND. numpy's rint rounds half to
+    EVEN, which silently flips any value landing exactly on .5 (e.g.
+    62.5 → 62 vs 63) and breaks the cross-engine value hash."""
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+
 def dot_quantized(a: Column, b: Column, scale: int = 1000) -> Column:
     """Integer dot product of round(x*scale) vectors — bit-exact across
     engines (no float summation-order sensitivity)."""
@@ -68,8 +76,8 @@ def dot_quantized_arrow(scale: int = 1000):
 
     @F.pandas_udf("bigint")
     def _dq(q: pd.Series, c: pd.Series) -> pd.Series:
-        qm = np.rint(np.asarray(q.tolist(), dtype=np.float64) * scale).astype(np.int64)
-        cm = np.rint(np.asarray(c.tolist(), dtype=np.float64) * scale).astype(np.int64)
+        qm = _q_away(np.asarray(q.tolist(), dtype=np.float64) * scale)
+        cm = _q_away(np.asarray(c.tolist(), dtype=np.float64) * scale)
         return pd.Series((qm * cm).sum(axis=1))
 
     return _dq
@@ -120,9 +128,7 @@ def brute_force_topk_quantized(
     spark = corpus.sparkSession
     rows = corpus.select(id_col, vec_col).collect()
     c_ids = np.asarray([r[0] for r in rows], dtype=np.int64)
-    c_mat = np.rint(np.asarray([r[1] for r in rows], dtype=np.float64) * scale).astype(
-        np.int64
-    )
+    c_mat = _q_away(np.asarray([r[1] for r in rows], dtype=np.float64) * scale)
     order = np.argsort(c_ids)
     c_ids, c_mat = c_ids[order], c_mat[order]
     bc = spark.sparkContext.broadcast((c_ids, c_mat))
@@ -131,9 +137,7 @@ def brute_force_topk_quantized(
         ids, mat = bc.value
         for pdf in batches:
             q_ids = pdf[id_col].to_numpy()
-            q = np.rint(
-                np.asarray(pdf[vec_col].tolist(), dtype=np.float64) * scale
-            ).astype(np.int64)
+            q = _q_away(np.asarray(pdf[vec_col].tolist(), dtype=np.float64) * scale)
             if len(q) == 0:
                 continue
             dots = q @ mat.T  # (b, n) int64 — exact
@@ -202,7 +206,7 @@ def lsh_buckets_quantized(
             mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             if len(mat) == 0:
                 continue
-            q = np.rint(mat * scale).astype(np.int64)
+            q = _q_away(mat * scale)
             ids = pdf[id_col].to_numpy()
             frames = []
             for t in range(n_tables):

@@ -1438,7 +1438,7 @@ value_rows AS (
   FROM fc_grid_data d LEFT JOIN hdr_ids h
     ON h.doc_id = d.doc_id AND h.grid_id = d.grid_id AND h.cell_id = d.cell_id
   GROUP BY d.doc_id, d.grid_id, d.row
-  HAVING COUNT(*) = 0 OR MAX(CASE WHEN h.cell_id IS NULL THEN 1 ELSE 0 END) = 1
+  HAVING MAX(CASE WHEN h.cell_id IS NULL THEN 1 ELSE 0 END) = 1
 )
 SELECT d.doc_id, d.grid_id, d.row, m.col_name,
        string_agg(COALESCE(c.contents, ''), '' ORDER BY d.col) AS value,

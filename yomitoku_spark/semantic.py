@@ -81,24 +81,6 @@ class ScalarField:
     regex: str | None = None
 
 
-def _cand2(
-    df: DataFrame, tier: int, o1: str, o2: str, o3: str, value, source: str, conf: str
-) -> DataFrame:
-    """Normalize a tier's candidates to the shared union shape; the
-    tier's own deterministic order is (o1, o2, o3) = (y1, x1, id)."""
-    return df.select(
-        "doc_id",
-        "field",
-        F.lit(tier).alias("tier"),
-        F.col(o1).cast("bigint").alias("o1"),
-        F.col(o2).cast("bigint").alias("o2"),
-        F.col(o3).alias("o3"),
-        value.alias("value"),
-        F.lit(source).alias("source"),
-        F.lit(conf).alias("confidence"),
-    )
-
-
 def extract_scalar_fields(
     cells: DataFrame,
     kv_items: DataFrame,
@@ -363,12 +345,11 @@ def extract_table_field(
         "left",
     )
     row_kind = data_flagged.groupBy("doc_id", "grid_id", "row").agg(
-        (F.count(F.lit(1)) > 0).alias("has_cells"),
         F.max(F.when(F.col("__is_hdr").isNull(), 1).otherwise(0)).alias("has_non_hdr"),
     )
-    value_rows = row_kind.filter(
-        ~F.col("has_cells") | (F.col("has_non_hdr") == 1)
-    ).select("doc_id", "grid_id", "row")
+    value_rows = row_kind.filter(F.col("has_non_hdr") == 1).select(
+        "doc_id", "grid_id", "row"
+    )
 
     joined = (
         grid_data.join(value_rows, ["doc_id", "grid_id", "row"])

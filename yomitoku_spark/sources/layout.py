@@ -23,7 +23,9 @@ gets a 3-axis correctness check. Geometry per document:
   headers ``h{10+j}`` (R-chain, 10 px gaps) each bottom-adjacent to
   value ``c{10+j}``, plus a second value row ``c{20+j}`` adjacent only
   to the first value row (→ keyless in KV parsing, row 1 in the grid);
-* one ``empty`` cell ``e40`` inside group A adjacent to nothing.
+* one ``empty`` cell ``e40`` inside group A that stays keyless: no
+  header is adjacent to it (c9 above it IS soft-bottom-adjacent, but
+  the KV edge family never links cell→empty, kv_parser.py:163-196).
 
 All coordinates are integers and all adjacency relations are decided
 by the squared-integer rule family (operators/adjacency.py), so the
