@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "embedding_topk",
     "simhash_pairs",
     "ann_lsh_topk",
+    "ivf_flat_topk",
     "kv_items_geometric",
     "extract_scalar_cascade",
 ]

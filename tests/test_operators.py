@@ -259,6 +259,28 @@ def test_lsh_ann_recall_vs_brute_force(spark, emb):
     assert recall > 0.5, recall
 
 
+def test_ivf_flat_recall_vs_brute_force(spark, emb):
+    """Recall@3 of the IVF-flat path against exact brute force — the
+    inverted-list quality/speed trade, and the n_probe recall lever
+    (more probes → monotonically more candidates → higher recall)."""
+    sub = emb.limit(200)
+    exact = {}
+    for r in SIM.brute_force_topk(sub, sub, k=3).collect():
+        exact.setdefault(r.query_id, set()).add(r.corpus_id)
+
+    def recall(n_probe):
+        approx = {}
+        for r in SIM.ivf_flat_topk(sub, n_cells=8, n_probe=n_probe, k=3).collect():
+            approx.setdefault(r.query_id, set()).add(r.corpus_id)
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    r2, r4 = recall(2), recall(4)
+    assert r2 > 0.3, r2  # well above chance (3/199) with a quarter probed
+    assert r4 >= r2
+    assert r4 > 0.5, r4
+
+
 def test_lsh_ann_quantized_recall_vs_brute_force(spark, emb):
     """Recall@3 of the oracle-checkable quantized ANN (md5-sign planes,
     integer dot re-rank) against exact brute force."""

@@ -67,3 +67,75 @@ def test_event_rates_windowed(spark, tmp_path):
     # and the sink table exists with valid schema
     out = spark.sql("SELECT * FROM rates")
     assert {"win_start", "win_end", "event_type", "n", "value_milli"} <= set(out.columns)
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_stream_sessionize_stateful_equals_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization == the batch window rule,
+    with state surviving a checkpointed restart between two time-ordered
+    appends."""
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "sess_in")
+    out_dir = str(tmp_path / "sess_out")
+    cp_dir = str(tmp_path / "sess_cp")
+
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    for user in range(5):
+        t = base + pd.Timedelta(minutes=user)
+        for burst in range(3):
+            for k in range(4):
+                rows.append((user, eid, t))
+                eid += 1
+                t += pd.Timedelta(minutes=10)
+            t += pd.Timedelta(hours=2)  # session break
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts"])
+    events = spark.createDataFrame(pdf)
+    cut = pdf["ts"].median()
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            ST.stream_sessionize(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # time-ordered appends: first half, run, second half, run (restart)
+    # one file per append: the operator's contract is event-time-ordered
+    # appends per user, so each micro-batch must be a time-slice
+    events.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    events.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+
+    got = (
+        spark.read.parquet(out_dir)
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    # batch referee: lag + cumulative sum of >1h gaps
+    ref = pdf.sort_values(["user_id", "ts", "event_id"]).copy()
+    sec = ref["ts"].astype("int64") // 1_000_000_000
+    prev = sec.groupby(ref["user_id"]).shift()
+    ref["session_no"] = (
+        (prev.isna() | (sec - prev > 3600)).groupby(ref["user_id"]).cumsum()
+    )
+    want = (
+        ref[["user_id", "event_id", "session_no"]]
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -269,6 +269,84 @@ def lsh_ann_topk_quantized(
     )
 
 
+def ivf_flat_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_probe: int = 2,
+    k: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-flat approximate top-k: a coarse quantizer partitions the
+    corpus into ``n_cells`` inverted lists; each query probes its
+    ``n_probe`` best cells and exact-re-ranks only those lists.
+
+    The coarse centroids here are the ``n_cells`` corpus vectors with
+    the lowest ids — deterministic and data-dependent, so the WHOLE
+    pipeline (assignment, probing, re-rank) is reproducible in the
+    DuckDB oracle; a production build would Lloyd-refine the same
+    seeds, changing recall but not the plan shape. All similarity math
+    is the quantized integer dot (argmax assignment with lowest-id
+    tiebreak), bit-exact across engines.
+
+    Scale shape: centroid tensor is broadcast (tiny); assignment and
+    probing are one Arrow matmul per batch; the candidate join is
+    ids-only on the cell key; vectors join back once for the re-rank —
+    the inverted-list analog of the LSH path, with candidate count
+    ~ n_probe/n_cells of the corpus per query."""
+    cent_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    c_ids = np.asarray([r[0] for r in cent_rows], dtype=np.int64)
+    c_mat = _q_away(np.asarray([r[1] for r in cent_rows], dtype=np.float64) * scale)
+
+    def assign(batches):
+        for pdf in batches:
+            mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if len(mat) == 0:
+                continue
+            q = _q_away(mat * scale)
+            dots = q @ c_mat.T  # (n, n_cells) int64, exact
+            ids = pdf[id_col].to_numpy()
+            # argmax with lowest-centroid-id tiebreak (ids are sorted)
+            own = np.argmax(dots, axis=1)
+            out = {"id": ids, "cell": c_ids[own]}
+            # top-n_probe probes per vector-as-query
+            idx = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe]
+            for p in range(n_probe):
+                out[f"p{p}"] = c_ids[idx[:, p]]
+            yield pd.DataFrame(out)
+
+    schema = "id bigint, cell bigint, " + ", ".join(f"p{p} bigint" for p in range(n_probe))
+    ap = corpus.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+    ap = ap.repartition("id")  # one evaluation serves the probe + list sides
+    lists = ap.select(F.col("id").alias("corpus_id"), "cell")
+    probes = ap.select(
+        F.col("id").alias("query_id"),
+        F.explode(F.array(*[F.col(f"p{p}") for p in range(n_probe)])).alias("cell"),
+    )
+    pairs = (
+        probes.join(lists, "cell")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id")
+        .distinct()
+    )
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    j = pairs.join(
+        vecs.withColumnRenamed("id", "query_id").withColumnRenamed("vec", "qvec"),
+        "query_id",
+    ).join(
+        vecs.withColumnRenamed("id", "corpus_id").withColumnRenamed("vec", "cvec"),
+        "corpus_id",
+    )
+    dq = dot_quantized_arrow(scale)(F.col("qvec"), F.col("cvec")).alias("dot_q")
+    w = W.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("corpus_id"))
+    return (
+        j.select("query_id", "corpus_id", dq)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).astype(np.float64)

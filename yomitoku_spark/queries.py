@@ -1226,6 +1226,60 @@ SELECT doc_id, key_cells, key_text, value_cell, value_text, dir FROM kvall
 """
 
 
+def ivf_flat_topk(spark, sf_dir):
+    """IVF-flat ANN: deterministic coarse quantizer (lowest-id corpus
+    vectors as centroids), argmax cell assignment, 2-probe search,
+    quantized-dot re-rank — the inverted-list scale path, fully
+    reproduced in the DuckDB oracle."""
+    e = t(spark, sf_dir, "embeddings")
+    return SIM.ivf_flat_topk(e, n_cells=8, n_probe=2, k=3)
+
+
+SQL_IVF = """
+WITH qv AS (
+  SELECT vec_id, CAST(i AS INT) AS i,
+         CAST(CASE WHEN embedding[CAST(i AS INT) + 1] >= 0
+              THEN FLOOR(ABS(embedding[CAST(i AS INT) + 1] * 1000) + 0.5)
+              ELSE -FLOOR(ABS(embedding[CAST(i AS INT) + 1] * 1000) + 0.5)
+              END AS BIGINT) AS q
+  FROM embeddings, range(64) r(i)
+),
+cent AS (
+  SELECT vec_id AS cent_id, i, q FROM qv
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+cdots AS (
+  SELECT v.vec_id, c.cent_id, SUM(v.q * c.q) AS d
+  FROM qv v JOIN cent c ON c.i = v.i
+  GROUP BY v.vec_id, c.cent_id
+),
+ranked AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cent_id) AS rk
+  FROM cdots
+),
+lists AS (SELECT vec_id AS corpus_id, cent_id AS cell FROM ranked WHERE rk = 1),
+probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM ranked WHERE rk <= 2),
+cand AS (
+  SELECT DISTINCT p.query_id, l.corpus_id
+  FROM probes p JOIN lists l ON l.cell = p.cell
+  WHERE p.query_id <> l.corpus_id
+),
+pairdot AS (
+  SELECT c.query_id, c.corpus_id, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot_q
+  FROM cand c
+  JOIN qv qa ON qa.vec_id = c.query_id
+  JOIN qv qb ON qb.vec_id = c.corpus_id AND qb.i = qa.i
+  GROUP BY c.query_id, c.corpus_id
+)
+SELECT query_id, corpus_id, dot_q, CAST(rk AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY dot_q DESC, corpus_id) rk
+  FROM pairdot
+) WHERE rk <= 3
+"""
+
+
 # -- scalar-field cascade -------------------------------------------------
 
 from yomitoku_spark.semantic import ScalarField, TableColumn  # noqa: E402
@@ -1565,6 +1619,7 @@ QUERIES = {
     "simhash_pairs": simhash_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "multimodal_features": multimodal_features,
+    "ivf_flat_topk": ivf_flat_topk,
     "adjacency_rules": adjacency_rules,
     "kv_items_geometric": kv_items_geometric,
     "extract_scalar_cascade": extract_scalar_cascade,
@@ -1609,6 +1664,7 @@ ORACLE = {
     "rollup_revenue": SQL_ROLLUP,
     "simhash_pairs": SQL_SIMHASH_DOCS,
     "ann_lsh_topk": SQL_ANN_LSH,
+    "ivf_flat_topk": SQL_IVF,
     "adjacency_rules": SQL_ADJ_RULES,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
     "extract_scalar_cascade": SQL_SCALAR_CASCADE,

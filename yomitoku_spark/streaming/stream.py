@@ -70,3 +70,50 @@ def event_rates(events_stream: DataFrame, window: str = "5 minutes", slide: str 
             "value_milli",
         )
     )
+
+
+def stream_sessionize(events_stream: DataFrame, gap_sec: int = 3600) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with
+    ``applyInPandasWithState`` — the arbitrary-state surface Spark
+    offers where built-in windows can't express the semantics (a
+    session break depends on the PREVIOUS event, not a fixed window).
+
+    State per user = (last event epoch-second, running session_no),
+    carried across micro-batches and across restarts via the streaming
+    checkpoint. Within a micro-batch events are processed in
+    (ts, event_id) order; the operator assumes event-time-ordered
+    appends per user across batches (the append-only transcripts/events
+    ingestion shape), matching the batch ``sessionize`` query exactly —
+    tests pin stream == batch across a two-run restart."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id bigint, event_id bigint, session_no bigint"
+    state_schema = "last_sec bigint, session_no bigint"
+
+    def fn(key, pdfs, state):
+        user = key[0]
+        if state.exists:
+            last_sec, sess = state.get
+        else:
+            last_sec, sess = None, 0
+        frames = [pdf for pdf in pdfs]
+        rows = pd.concat(frames).sort_values(["ts", "event_id"])
+        out_e, out_s = [], []
+        for ts, eid in zip(rows["ts"], rows["event_id"]):
+            # whole-second truncation, same as the batch query's
+            # date_trunc('second', ...) gap rule
+            sec = int(pd.Timestamp(ts).value // 1_000_000_000)
+            if last_sec is None or sec - last_sec > gap_sec:
+                sess += 1
+            last_sec = sec
+            out_e.append(int(eid))
+            out_s.append(int(sess))
+        state.update((last_sec, sess))
+        yield pd.DataFrame(
+            {"user_id": [user] * len(out_e), "event_id": out_e, "session_no": out_s}
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
