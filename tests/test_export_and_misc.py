@@ -88,3 +88,25 @@ def test_connected_components(spark):
     assert got[("t1", 1)] == got[("t1", 3)] == 1
     assert got[("t1", 10)] == got[("t1", 11)] == 10
     assert got[("t2", 5)] == 1
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located bucketed join (SURVEY §4): both sides bucketed by the
+    join key → SortMergeJoin with ZERO Exchange in the plan."""
+    from yomitoku_spark.sources.tables import bucketed_join, write_bucketed
+
+    a = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS vb")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(a, "bk_a", ["k"], n_buckets=8)
+        write_bucketed(b, "bk_b", ["k"], n_buckets=8)
+        j = bucketed_join(spark, "bk_a", "bk_b", ["k"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
