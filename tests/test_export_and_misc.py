@@ -110,3 +110,49 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_searchable_pdf_text_layer(spark, tmp_path):
+    """Text-layer plumbing (reference searchable_pdf.py:140-200): word→
+    container assignment at 0.7 containment, per-container direction
+    sort, integer-exact font fit on the 0.50..0.99 rate grid, and the
+    stubbed renderer boundary."""
+    from yomitoku_spark.plans import searchable_pdf as SPDF
+
+    containers = spark.createDataFrame(
+        [
+            (0, 0, 0, False, 0, 0, 600, 100),     # horizontal paragraph
+            (0, 1, 0, True, 0, 200, 200, 600),    # vertical column
+        ],
+        "page int, order int, sub_order int, vertical boolean, "
+        "x1 int, y1 int, x2 int, y2 int",
+    )
+    words = spark.createDataFrame(
+        [
+            (0, "w_b", "beta", 300, 10, 400, 30),    # horiz, right
+            (0, "w_a", "alpha", 10, 10, 110, 30),    # horiz, left (y ties -> x)
+            (0, "w_v2", "col2", 20, 250, 60, 350),   # vertical, left col
+            (0, "w_v1", "col1", 120, 250, 160, 350), # vertical, right col first
+            (0, "w_out", "orphan", 900, 900, 950, 920),  # in no container
+        ],
+        "page int, word_id string, content string, x1 int, y1 int, x2 int, y2 int",
+    )
+    layer = SPDF.text_layer(containers, words).orderBy("seq")
+    rows = layer.collect()
+    assert [r.text for r in rows] == ["alpha", "beta", "ｃｏｌ１", "ｃｏｌ２"]
+    # font fit, horizontal 'alpha': h=20, w=100; diff=|550*5*20*r - 100000*100|
+    # minimized at the grid edge r=99 (stub metric underestimates) →
+    # font_centi = 20*99
+    assert rows[0].font_centi == 20 * 99
+    # vertical 'col1': base = box width 40, target = height 100 → the
+    # grid point closest to 100000*100/(550*4*40) ≈ 113.6 is r=99
+    assert rows[2].font_centi == 40 * 99 and rows[2].vertical
+
+    out = str(tmp_path / "layer")
+    SPDF.write_text_layer(layer, out)
+    assert spark.read.json(out).count() == 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        SPDF.render_pdf(layer, images=None, output_path=str(tmp_path / "x.pdf"))

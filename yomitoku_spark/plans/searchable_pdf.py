@@ -1,0 +1,147 @@
+"""Searchable-PDF text layer as a DataFrame plan (renderer stubbed).
+
+The reference's searchable-PDF sink (utils/searchable_pdf.py:74-229)
+lays an invisible text layer over the page image: containers
+(paragraphs / tables / figure-paragraphs) sorted by (order, sub_order),
+words assigned to containers by ≥0.7 containment, per-container word
+sort — vertical containers (−x1, y1), horizontal (y1, x1)
+(:153-180) — and a per-word font size fitted so the rendered string
+width best matches the word box (:44-57, rate grid 0.50..0.99 of the
+box height).
+
+Everything DATA-shaped is computed here as Spark column expressions —
+the text-layer table (word sequence, position, fitted font size) is the
+real, tested artifact. Two pieces are stubbed for this container, the
+same policy as multimodal/media.py:
+
+* font metrics — reportlab's ``stringWidth`` needs the bundled font;
+  the stub metric is width = 0.55 · font_size · len(text), evaluated on
+  the SAME 50-step rate grid with integer-scaled arithmetic
+  (diff = |55·n·h·rate − 10000·w|), so the argmin is bit-exact and
+  engine-testable;
+* the PDF canvas itself — :func:`render_pdf` raises unless reportlab
+  is importable; :func:`write_text_layer` writes the layer as JSON
+  lines, the deterministic sink the tests check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+CHAR_W_PERMILLE = 550  # stub metric: width = 0.55 * font_size * n_chars
+
+# half→full width for vertical text (reference to_full_width,
+# searchable_pdf.py:59-71): ASCII 0x21-0x7E → U+FF01.., space → U+3000,
+# plus the two explicit map entries
+_HALF = " " + "".join(chr(c) for c in range(0x21, 0x7F)) + "¥·"
+_FULL = "　" + "".join(chr(c + 0xFEE0) for c in range(0x21, 0x7F)) + "￥・"
+
+
+def to_full_width(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, _HALF, _FULL)
+
+
+def fitted_font_centi(text, h, w) -> F.Column:
+    """Best font size (in centi-units: font·100) from the reference's
+    rate grid: rate ∈ {0.50 .. 0.99}, font = h·rate, keep the rate whose
+    stub string width is closest to the box width; first (lowest) rate
+    wins ties, like the reference's strict-< improvement scan. The
+    scaled integer diff makes the argmin engine-exact."""
+    n = F.length(text)
+    # array of (diff, rate) structs; array_min picks lexicographic min
+    cands = F.array(
+        *[
+            F.struct(
+                F.abs(
+                    F.lit(CHAR_W_PERMILLE) * n * h * F.lit(rate_pct)
+                    - F.lit(100 * 1000) * w
+                ).alias("diff"),
+                F.lit(rate_pct).alias("rate"),
+            )
+            for rate_pct in range(50, 100)
+        ]
+    )
+    return (F.array_min(cands)["rate"] * h).alias("font_centi")
+
+
+def text_layer(containers: DataFrame, words: DataFrame) -> DataFrame:
+    """Build the per-page text layer.
+
+    ``containers``: (page, order, sub_order, vertical boolean,
+    x1,y1,x2,y2) — the reading-ordered elements (figure-paragraphs
+    carry their figure's order + their own sub_order).
+    ``words``: (page, word_id, content, x1,y1,x2,y2) — OCR words.
+
+    Returns one row per placed word: (page, seq, text, x, y,
+    font_centi, vertical) where seq is the global draw order —
+    containers by (order, sub_order), words inside a vertical container
+    by (−x1, y1), inside a horizontal one by (y1, x1)
+    (searchable_pdf.py:153-180). Words on several containers place
+    once per container (reference behavior); words on none are absent
+    from the layer."""
+    c = containers.select(
+        "page",
+        "order",
+        "sub_order",
+        "vertical",
+        F.col("x1").alias("cx1"),
+        F.col("y1").alias("cy1"),
+        F.col("x2").alias("cx2"),
+        F.col("y2").alias("cy2"),
+    )
+    ov_w = F.least(F.col("cx2"), F.col("x2")) - F.greatest(F.col("cx1"), F.col("x1"))
+    ov_h = F.least(F.col("cy2"), F.col("y2")) - F.greatest(F.col("cy1"), F.col("y1"))
+    ov = F.greatest(ov_w, F.lit(0)) * F.greatest(ov_h, F.lit(0))
+    area = (F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+    j = words.join(c, ["page"]).filter(ov * 10 > 7 * area)  # is_contained 0.7
+
+    inner1 = F.when(F.col("vertical"), -F.col("x1")).otherwise(F.col("y1"))
+    inner2 = F.when(F.col("vertical"), F.col("y1")).otherwise(F.col("x1"))
+    seq = F.row_number().over(
+        W.partitionBy("page").orderBy("order", "sub_order", inner1, inner2, "word_id")
+    )
+
+    h = F.col("y2") - F.col("y1")
+    w = F.col("x2") - F.col("x1")
+    text = F.when(F.col("vertical"), to_full_width("content")).otherwise(F.col("content"))
+    # vertical words fit font against swapped box dims (:188-193)
+    font = F.when(
+        F.col("vertical"), fitted_font_centi(text, w, h)
+    ).otherwise(fitted_font_centi(text, h, w))
+    return j.select(
+        "page",
+        seq.alias("seq"),
+        text.alias("text"),
+        F.col("x1").alias("x"),
+        F.col("y1").alias("y"),
+        font.alias("font_centi"),
+        "vertical",
+    )
+
+
+def write_text_layer(layer: DataFrame, path: str) -> None:
+    """Deterministic sink: the text layer as (page, seq)-ordered JSON
+    lines — what the canvas would draw, minus the canvas."""
+    (
+        layer.repartitionByRange("page", "seq")
+        .sortWithinPartitions("page", "seq")
+        .write.mode("overwrite")
+        .json(path)
+    )
+
+
+def render_pdf(layer: DataFrame, images, output_path: str):
+    """Real PDF rendering needs reportlab + the bundled font, absent in
+    this container — the plumbing above is real and tested; only the
+    canvas call is stubbed (same policy as multimodal.media)."""
+    try:
+        import reportlab  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "reportlab is not available in this environment; use "
+            "write_text_layer() for the deterministic text-layer artifact"
+        ) from e
+    raise NotImplementedError("canvas rendering not implemented in this build")
