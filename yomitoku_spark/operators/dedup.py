@@ -208,13 +208,15 @@ def jaccard_pairs(
     j = (
         inter.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-        )
+        .withColumn("uni", (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("bigint"))
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
     )
-    return j.filter(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    # integer-exact threshold (1000·inter ≥ ⌊th·1000⌉·union) — a float
+    # `inter/union >= 0.8` can flip exact-boundary pairs between engines
+    th = int(round(threshold * 1000))
+    return j.filter(F.col("inter") * 1000 >= th * F.col("uni")).select(
+        "id_a", "id_b", F.col("inter").cast("bigint").alias("inter"), "uni",
+        F.round("jaccard", 6).alias("jaccard"),
     )
 
 

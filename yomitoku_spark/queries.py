@@ -965,6 +965,49 @@ SQL_SIMHASH_DOCS = DD.SQL_SIMHASH.format(
 )
 
 
+def jaccard_near_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs over documents (§ training-
+    data ops): shingle equi-join with hot-shingle skew capping; the
+    integer (inter, union) columns make the ≥0.5 threshold bit-exact
+    across engines."""
+    d = t(spark, sf_dir, "documents")
+    return DD.jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.5, max_shingle_freq=100
+    ).select("id_a", "id_b", "inter", "uni")
+
+
+SQL_JACCARD = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\x0c\\r]+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(tk) >= 3
+           THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]
+           ELSE [array_to_string(tk, ' ')] END) AS s
+  FROM toks
+),
+sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+hot AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) > 100),
+exc AS (SELECT * FROM ex WHERE g NOT IN (SELECT g FROM hot)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM exc a JOIN exc b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b, i.inter,
+       CAST(sa.sz + sb.sz - i.inter AS BIGINT) AS uni
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.inter * 1000 >= 500 * (sa.sz + sb.sz - i.inter)
+"""
+
+
 def ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN with integer-exact md5-sign hyperplanes and a
     quantized-dot re-rank — the full approximate pipeline (bucketing,
@@ -1620,6 +1663,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "multimodal_features": multimodal_features,
     "ivf_flat_topk": ivf_flat_topk,
+    "jaccard_near_pairs": jaccard_near_pairs,
     "adjacency_rules": adjacency_rules,
     "kv_items_geometric": kv_items_geometric,
     "extract_scalar_cascade": extract_scalar_cascade,
@@ -1665,6 +1709,7 @@ ORACLE = {
     "simhash_pairs": SQL_SIMHASH_DOCS,
     "ann_lsh_topk": SQL_ANN_LSH,
     "ivf_flat_topk": SQL_IVF,
+    "jaccard_near_pairs": SQL_JACCARD,
     "adjacency_rules": SQL_ADJ_RULES,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
     "extract_scalar_cascade": SQL_SCALAR_CASCADE,
