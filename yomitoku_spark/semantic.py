@@ -81,6 +81,27 @@ class ScalarField:
     regex: str | None = None
 
 
+def load_schema(text_or_path: str) -> list[ScalarField]:
+    """YAML extraction schema → field specs (the declarative surface of
+    the reference's ExtractionSchema, extractor/schema.py:51-58, with
+    the layout-cascade matchers of rule_pipeline.py)."""
+    import os
+
+    import yaml
+
+    if os.path.exists(text_or_path):
+        with open(text_or_path) as f:
+            d = yaml.safe_load(f)
+    else:
+        d = yaml.safe_load(text_or_path)
+    out = []
+    for fd in d["fields"]:
+        if "bbox" in fd and fd["bbox"] is not None:
+            fd = {**fd, "bbox": tuple(fd["bbox"])}
+        out.append(ScalarField(**fd))
+    return out
+
+
 def extract_scalar_fields(
     cells: DataFrame,
     kv_items: DataFrame,
