@@ -965,6 +965,55 @@ SQL_SIMHASH_DOCS = DD.SQL_SIMHASH.format(
 )
 
 
+def connected_components_labels(spark, sf_dir):
+    """Per-group weakly-connected components (§2.6; reference
+    nx.weakly_connected_components + UnionFind,
+    table_semantic_parser.py:187 / utils/union_find.py): a two-level
+    anchor graph over suppliers per nation — stars s→⌊s/5⌋·5 merged by
+    anchor chains ⌊s/5⌋·5→⌊s/25⌋·25 — labeled by the component's
+    minimum node. The DuckDB referee computes the same labels with a
+    recursive min-reachability CTE."""
+    from yomitoku_spark.operators import components as CC
+
+    s = t(spark, sf_dir, "supplier")
+    g = F.col("s_nationkey").cast("bigint").alias("g")
+    a5 = (F.col("s_suppkey") - F.col("s_suppkey") % 5).alias("dst")
+    e1 = s.select(g, F.col("s_suppkey").alias("src"), a5)
+    e2 = s.select(
+        g,
+        (F.col("s_suppkey") - F.col("s_suppkey") % 5).alias("src"),
+        (F.col("s_suppkey") - F.col("s_suppkey") % 25).alias("dst"),
+    )
+    return CC.connected_components(e1.unionByName(e2), ["g"])
+
+
+SQL_CC = """
+WITH RECURSIVE e AS (
+  SELECT CAST(s_nationkey AS BIGINT) AS g, s_suppkey AS src,
+         s_suppkey - s_suppkey % 5 AS dst
+  FROM supplier
+  UNION ALL
+  SELECT CAST(s_nationkey AS BIGINT), s_suppkey - s_suppkey % 5,
+         s_suppkey - s_suppkey % 25
+  FROM supplier
+),
+und AS (
+  SELECT g, src AS a, dst AS b FROM e
+  UNION SELECT g, dst, src FROM e
+),
+nodes AS (SELECT DISTINCT g, src AS node FROM e
+          UNION SELECT DISTINCT g, dst FROM e),
+reach AS (
+  SELECT g, node, node AS peer FROM nodes
+  UNION
+  SELECT r.g, r.node, u.b AS peer
+  FROM reach r JOIN und u ON u.g = r.g AND u.a = r.peer
+)
+SELECT g, node, CAST(MIN(peer) AS BIGINT) AS component
+FROM reach GROUP BY g, node
+"""
+
+
 def jaccard_near_pairs(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs over documents (§ training-
     data ops): shingle equi-join with hot-shingle skew capping; the
@@ -1664,6 +1713,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "ivf_flat_topk": ivf_flat_topk,
     "jaccard_near_pairs": jaccard_near_pairs,
+    "connected_components_labels": connected_components_labels,
     "adjacency_rules": adjacency_rules,
     "kv_items_geometric": kv_items_geometric,
     "extract_scalar_cascade": extract_scalar_cascade,
@@ -1710,6 +1760,7 @@ ORACLE = {
     "ann_lsh_topk": SQL_ANN_LSH,
     "ivf_flat_topk": SQL_IVF,
     "jaccard_near_pairs": SQL_JACCARD,
+    "connected_components_labels": SQL_CC,
     "adjacency_rules": SQL_ADJ_RULES,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
     "extract_scalar_cascade": SQL_SCALAR_CASCADE,
