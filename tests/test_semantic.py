@@ -298,3 +298,35 @@ def test_template_bbox_policy(spark):
            apply_template(cells, tmpl, policy="bbox").collect()}
     assert out["x"] == ("header", "new")
     assert out["y"] == ("cell", "keep")
+
+
+def test_template_json_roundtrip(spark, tmp_path):
+    """save_template_json / load_template_json analog: template DF →
+    reference-shaped JSON → DF → identical apply_template result."""
+    from yomitoku_spark.semantic import (
+        TEMPLATE_DF_SCHEMA,
+        template_from_json,
+        template_to_json,
+    )
+
+    cells = spark.createDataFrame(
+        [
+            (0, "t0", "group", 0, 0, 300, 100, ""),
+            (0, "x", "cell", 10, 10, 100, 30, "old"),
+        ],
+        "doc_id long, cell_id string, role string, "
+        "x1 int, y1 int, x2 int, y2 int, contents string",
+    )
+    tmpl = spark.createDataFrame(
+        [(0, 0, 300, 100, "x", None, None, None, None, "header", "new")],
+        TEMPLATE_DF_SCHEMA,
+    )
+    path = str(tmp_path / "tmpl.json")
+    template_to_json(tmpl, path)
+    loaded, policy = template_from_json(spark, path)
+    assert policy == "cell_id"
+    a = apply_template(cells, tmpl, policy="cell_id").collect()
+    b = apply_template(cells, loaded, policy=policy).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    got = {r.cell_id: (r.role, r.contents) for r in b}
+    assert got["x"] == ("header", "new")

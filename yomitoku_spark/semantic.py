@@ -405,6 +405,65 @@ def extract_table_field(
 
 # --------------------------------------------------------------- template
 
+TEMPLATE_DF_SCHEMA = (
+    "tbl_x1 int, tbl_y1 int, tbl_x2 int, tbl_y2 int, tcell_id string, "
+    "tc_x1 int, tc_y1 int, tc_x2 int, tc_y2 int, "
+    "role_override string, contents_override string"
+)
+
+
+def template_to_json(template: DataFrame, path: str, match_policy: str = "cell_id") -> None:
+    """Persist a template as the reference's JSON shape
+    (TableSemanticParserTemplateSchema, save_template_json,
+    schemas/table_semantic_parser.py:708-745): meta + per-table box +
+    cells keyed by id with optional box/role/contents."""
+    import json
+    from collections import OrderedDict
+
+    tables: "OrderedDict[tuple, dict]" = OrderedDict()
+    for r in template.collect():
+        key = (r.tbl_x1, r.tbl_y1, r.tbl_x2, r.tbl_y2)
+        t = tables.setdefault(key, {"box": list(key), "cells": {}})
+        cell = {"id": r.tcell_id}
+        if r.tc_x1 is not None:
+            cell["box"] = [r.tc_x1, r.tc_y1, r.tc_x2, r.tc_y2]
+        if r.role_override is not None:
+            cell["role"] = r.role_override
+        if r.contents_override is not None:
+            cell["contents"] = r.contents_override
+        t["cells"][r.tcell_id or f"b{len(t['cells'])}"] = cell
+    doc = {
+        "meta": {"template_version": "beta", "match_policy": match_policy},
+        "tables": list(tables.values()),
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(doc, f, ensure_ascii=False, indent=2)
+
+
+def template_from_json(spark, path: str) -> tuple[DataFrame, str]:
+    """Load a template JSON back into the template DataFrame shape +
+    the match policy (load_template_json,
+    schemas/table_semantic_parser.py:702-706)."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        doc = json.load(f)
+    rows = []
+    for t in doc["tables"]:
+        bx = t["box"]
+        for c in t.get("cells", {}).values():
+            cb = c.get("box") or (None, None, None, None)
+            rows.append(
+                (
+                    int(bx[0]), int(bx[1]), int(bx[2]), int(bx[3]),
+                    c.get("id"),
+                    *(int(v) if v is not None else None for v in cb),
+                    c.get("role"), c.get("contents"),
+                )
+            )
+    policy = doc.get("meta", {}).get("match_policy", "cell_id")
+    return spark.createDataFrame(rows, TEMPLATE_DF_SCHEMA), policy
+
 
 def apply_template(
     cells: DataFrame,
