@@ -156,3 +156,35 @@ def test_searchable_pdf_text_layer(spark, tmp_path):
 
     with _pytest.raises(NotImplementedError):
         SPDF.render_pdf(layer, images=None, output_path=str(tmp_path / "x.pdf"))
+
+
+def test_searchable_pdf_no_int32_overflow_and_boundary_containment(spark):
+    """550·len·h·rate must be bigint (a 100-char word in a 400px box
+    passes 2^31 under ANSI mode), and a word exactly 70%-contained is
+    kept (>= convention, spatial.contains)."""
+    from yomitoku_spark.plans import searchable_pdf as SPDF
+
+    containers = spark.createDataFrame(
+        [(0, 0, 0, False, 0, 0, 1000, 500)],
+        "page int, order int, sub_order int, vertical boolean, "
+        "x1 int, y1 int, x2 int, y2 int",
+    )
+    words = spark.createDataFrame(
+        [
+            (0, "w_long", "x" * 100, 10, 10, 900, 410),
+            # 10x10 word, overlap exactly 70 of area 100 → kept (>=)
+            (0, "w_edge", "e", 993, 10, 1003, 20),
+        ],
+        "page int, word_id string, content string, x1 int, y1 int, x2 int, y2 int",
+    )
+    rows = SPDF.text_layer(containers, words).orderBy("seq").collect()
+    assert [r.text for r in rows] == ["x" * 100, "e"]
+    assert rows[0].font_centi == 400 * 50  # stub metric overshoots → min rate
+
+
+def test_ivf_probe_clamp(spark):
+    from yomitoku_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(5)
+    out = SIM.ivf_flat_topk(emb, n_cells=8, n_probe=10, k=2)
+    assert out.count() > 0  # no executor IndexError

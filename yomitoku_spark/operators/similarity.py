@@ -298,6 +298,9 @@ def ivf_flat_topk(
     cent_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     c_ids = np.asarray([r[0] for r in cent_rows], dtype=np.int64)
     c_mat = _q_away(np.asarray([r[1] for r in cent_rows], dtype=np.float64) * scale)
+    # a corpus smaller than n_cells yields fewer centroids; probing
+    # more cells than exist would index past the argsort slice
+    n_probe = min(n_probe, len(c_ids))
 
     def assign(batches):
         for pdf in batches:

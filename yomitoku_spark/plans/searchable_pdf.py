@@ -50,14 +50,14 @@ def fitted_font_centi(text, h, w) -> F.Column:
     stub string width is closest to the box width; first (lowest) rate
     wins ties, like the reference's strict-< improvement scan. The
     scaled integer diff makes the argmin engine-exact."""
-    n = F.length(text)
+    n = F.length(text).cast("bigint")  # bigint chain: 550·n·h·rate can pass 2^31
     # array of (diff, rate) structs; array_min picks lexicographic min
     cands = F.array(
         *[
             F.struct(
                 F.abs(
-                    F.lit(CHAR_W_PERMILLE) * n * h * F.lit(rate_pct)
-                    - F.lit(100 * 1000) * w
+                    F.lit(CHAR_W_PERMILLE).cast("bigint") * n * h * F.lit(rate_pct)
+                    - F.lit(100 * 1000).cast("bigint") * w
                 ).alias("diff"),
                 F.lit(rate_pct).alias("rate"),
             )
@@ -92,11 +92,18 @@ def text_layer(containers: DataFrame, words: DataFrame) -> DataFrame:
         F.col("x2").alias("cx2"),
         F.col("y2").alias("cy2"),
     )
-    ov_w = F.least(F.col("cx2"), F.col("x2")) - F.greatest(F.col("cx1"), F.col("x1"))
-    ov_h = F.least(F.col("cy2"), F.col("y2")) - F.greatest(F.col("cy1"), F.col("y1"))
-    ov = F.greatest(ov_w, F.lit(0)) * F.greatest(ov_h, F.lit(0))
-    area = (F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1"))
-    j = words.join(c, ["page"]).filter(ov * 10 > 7 * area)  # is_contained 0.7
+    # containment at the repo's integer-exact ≥ convention
+    # (spatial.contains, overlap·1000 ≥ 700·area)
+    jj = words.join(c, ["page"]).withColumn(
+        "cbox",
+        F.struct(
+            F.col("cx1").alias("x1"), F.col("cy1").alias("y1"),
+            F.col("cx2").alias("x2"), F.col("cy2").alias("y2"),
+        ),
+    ).withColumn("wbox", F.struct("x1", "y1", "x2", "y2"))
+    from yomitoku_spark.operators import spatial as SP
+
+    j = jj.filter(SP.contains("cbox", "wbox", 0.7)).drop("cbox", "wbox")
 
     inner1 = F.when(F.col("vertical"), -F.col("x1")).otherwise(F.col("y1"))
     inner2 = F.when(F.col("vertical"), F.col("y1")).otherwise(F.col("x1"))

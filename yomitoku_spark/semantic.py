@@ -431,7 +431,11 @@ def template_to_json(template: DataFrame, path: str, match_policy: str = "cell_i
             cell["role"] = r.role_override
         if r.contents_override is not None:
             cell["contents"] = r.contents_override
-        t["cells"][r.tcell_id or f"b{len(t['cells'])}"] = cell
+        # the dict key is "cell_id OR arbitrary key" in the reference
+        # schema (CellTemplateSchema) — a running unique key never
+        # collapses two rows sharing a tcell_id (matching uses the
+        # cell's own id field, not the key)
+        t["cells"][f"k{len(t['cells'])}"] = cell
     doc = {
         "meta": {"template_version": "beta", "match_policy": match_policy},
         "tables": list(tables.values()),
