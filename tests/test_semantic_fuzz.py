@@ -160,3 +160,176 @@ def test_cascade_matches_scalar_referee_on_random_layouts(spark, seed):
         for f in FIELDS:
             want = referee(cells, kv_rows, paragraphs, words, f)
             assert got[(d, f.name)] == want, (d, f.name, got[(d, f.name)], want)
+
+
+# ---------------------------------------------------------------- KV graph
+
+
+def kv_referee(cells):
+    """Independent re-derivation of kv_parser.py:14-345 (BFS-flavored
+    path enumeration instead of the engine's recursive DFS; separate
+    group matching)."""
+    from yomitoku_spark.operators.adjacency import (
+        bottom_adjacent_scalar,
+        right_adjacent_scalar,
+    )
+
+    def okey(c):
+        return (c["box"][1], c["box"][0], c["id"])
+
+    groups = sorted((c for c in cells if c["role"] == "group"), key=lambda g: g["id"])
+    nodes = sorted((c for c in cells if c["role"] != "group"), key=okey)
+    by_id = {c["id"]: c for c in nodes}
+
+    def ov(a, b):
+        return max(min(a[2], b[2]) - max(a[0], b[0]), 0) * max(
+            min(a[3], b[3]) - max(a[1], b[1]), 0
+        )
+
+    def area(b):
+        return (b[2] - b[0]) * (b[3] - b[1])
+
+    grp = {}
+    for n in nodes:
+        if not groups:
+            grp[n["id"]] = None
+            continue
+        best, bo, bga = None, 0, 1
+        for g in groups:
+            o = ov(g["box"], n["box"])
+            if o * 5 <= area(n["box"]):
+                continue
+            ga = area(g["box"])
+            if o * bga > bo * ga:
+                best, bo, bga = g["id"], o, ga
+        grp[n["id"]] = best if best is not None else "__unmatched__"
+
+    def linked(a, b):
+        ga, gb = grp[a["id"]], grp[b["id"]]
+        if ga is None or gb is None:
+            return False
+        ra, rb = a["role"], b["role"]
+        if ra == "header" and rb in ("cell", "empty"):
+            return ga == gb
+        if ra == "header" and rb == "header":
+            return ga == gb or "__unmatched__" in (ga, gb)
+        if ra == "cell" and rb == "cell":
+            return ga == gb
+        return False
+
+    succ = {n["id"]: [] for n in nodes}
+    for a in nodes:
+        for b in nodes:
+            if a["id"] == b["id"]:
+                continue
+            fwd = linked(a, b)
+            rev = linked(b, a)
+            if right_adjacent_scalar(a["box"], b["box"]):
+                if fwd:
+                    succ[a["id"]].append((b["id"], "R"))
+                if rev:
+                    succ[b["id"]].append((a["id"], "L"))
+            if bottom_adjacent_scalar(a["box"], b["box"]):
+                if fwd:
+                    succ[a["id"]].append((b["id"], "D"))
+                if rev:
+                    succ[b["id"]].append((a["id"], "U"))
+    for k in succ:
+        succ[k].sort(key=lambda vd: (*okey(by_id[vd[0]]), vd[1]))
+
+    # components via repeated neighborhood expansion
+    neigh = {n["id"]: {v for v, _ in succ[n["id"]]} for n in nodes}
+    for u, vs in succ.items():
+        for v, _ in vs:
+            neigh[v].add(u)
+    seen, comps = set(), []
+    for n in nodes:
+        if n["id"] in seen:
+            continue
+        comp, frontier = {n["id"]}, [n["id"]]
+        while frontier:
+            nxt = [v for f in frontier for v in neigh[f] if v not in comp]
+            comp.update(nxt)
+            frontier = nxt
+        seen |= comp
+        comps.append(comp)
+    comps.sort(key=min)
+
+    def walk(direction, comp):
+        roots = [
+            h for h in sorted((i for i in comp if by_id[i]["role"] == "header"),
+                              key=lambda i: okey(by_id[i]))
+            if not any(
+                d == direction and by_id[u]["role"] == "header"
+                for u in comp for v, d in succ[u] if v == h
+            )
+        ]
+        items, budget = [], [50_000]
+
+        # path accumulates header ids INCLUDING the current header
+        def rec2(nid, path):
+            if budget[0] <= 0:
+                return
+            budget[0] -= 1
+            node = by_id[nid]
+            if node["role"] in ("cell", "empty"):
+                items.append((tuple(path), nid))
+                return
+            for v, d in succ[nid]:
+                if d == direction and v not in path + [nid]:
+                    rec2(v, path + [nid])
+
+        for r in roots:
+            rec2(r, [])
+        return items
+
+    adopted = []
+    for comp in comps:
+        h_items = walk("R", comp)
+        v_items = walk("D", comp)
+        if len({v for _, v in v_items}) > len({v for _, v in h_items}):
+            adopted += [(k, v, "V") for k, v in v_items]
+        else:
+            adopted += [(k, v, "H") for k, v in h_items]
+    got_values = {v for _, v, _ in adopted}
+    keyless = [
+        ((), c["id"], "")
+        for c in sorted(
+            (c for c in nodes if c["role"] in ("cell", "empty")), key=okey
+        )
+        if c["id"] not in got_values
+    ]
+    return [
+        {
+            "key_cells": "/".join(k),
+            "key_text": "".join(by_id[i]["contents"] or "" for i in k),
+            "value_cell": v,
+            "value_text": by_id[v]["contents"] or "",
+            "dir": d,
+        }
+        for k, v, d in adopted + keyless
+    ]
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_kv_parser_matches_independent_referee(seed):
+    rng = random.Random(seed)
+    for _ in range(40):
+        cells = []
+        for g in range(rng.randint(0, 2)):
+            x, y = rng.randint(0, 60), rng.randint(0, 60)
+            cells.append({"id": f"g{g}", "role": "group",
+                          "box": (x, y, x + rng.randint(80, 300), y + rng.randint(80, 300)),
+                          "contents": ""})
+        for i in range(rng.randint(1, 9)):
+            x, y = rng.randint(0, 250), rng.randint(0, 250)
+            w, h = rng.randint(20, 100), rng.randint(10, 30)
+            cells.append({
+                "id": f"n{i}",
+                "role": rng.choice(["header", "header", "cell", "cell", "empty"]),
+                "box": (x, y, x + w, y + h),
+                "contents": rng.choice(["k", "v", "", "t1"]),
+            })
+        want = kv_referee(cells)
+        got = parse_kv_doc(cells)
+        assert sorted(map(repr, got)) == sorted(map(repr, want)), cells
