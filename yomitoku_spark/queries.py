@@ -965,6 +965,40 @@ SQL_SIMHASH_DOCS = DD.SQL_SIMHASH.format(
 )
 
 
+def embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup PAIRS (threshold form of the
+    similarity family): every (a < b) pair with quantized integer dot
+    ≥ 400000, computed with the Arrow numpy dot over the id-ordered
+    cross pairs. Exact by construction — the quadratic referee shape;
+    the scale paths are the LSH/IVF candidates (ann_lsh_topk /
+    ivf_flat_topk), which bound candidates per query instead."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    dq = SIM.dot_quantized_arrow(1000)(F.col("va"), F.col("vb")).alias("dot_q")
+    return (
+        pairs.select("id_a", "id_b", dq)
+        .filter(F.col("dot_q") >= 400000)
+    )
+
+
+SQL_EMB_NEAR_DUP = """
+WITH qv AS (
+  SELECT vec_id, CAST(i AS INT) AS i,
+         CAST(CASE WHEN embedding[CAST(i AS INT) + 1] >= 0
+              THEN FLOOR(ABS(embedding[CAST(i AS INT) + 1] * 1000) + 0.5)
+              ELSE -FLOOR(ABS(embedding[CAST(i AS INT) + 1] * 1000) + 0.5)
+              END AS BIGINT) AS q
+  FROM embeddings, range(64) r(i)
+)
+SELECT qa.vec_id AS id_a, qb.vec_id AS id_b, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot_q
+FROM qv qa JOIN qv qb ON qa.i = qb.i AND qa.vec_id < qb.vec_id
+GROUP BY qa.vec_id, qb.vec_id
+HAVING SUM(qa.q * qb.q) >= 400000
+"""
+
+
 def connected_components_labels(spark, sf_dir):
     """Per-group weakly-connected components (§2.6; reference
     nx.weakly_connected_components + UnionFind,
@@ -1714,6 +1748,7 @@ QUERIES = {
     "ivf_flat_topk": ivf_flat_topk,
     "jaccard_near_pairs": jaccard_near_pairs,
     "connected_components_labels": connected_components_labels,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "adjacency_rules": adjacency_rules,
     "kv_items_geometric": kv_items_geometric,
     "extract_scalar_cascade": extract_scalar_cascade,
@@ -1761,6 +1796,7 @@ ORACLE = {
     "ivf_flat_topk": SQL_IVF,
     "jaccard_near_pairs": SQL_JACCARD,
     "connected_components_labels": SQL_CC,
+    "embedding_near_dup_pairs": SQL_EMB_NEAR_DUP,
     "adjacency_rules": SQL_ADJ_RULES,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
     "extract_scalar_cascade": SQL_SCALAR_CASCADE,
