@@ -330,3 +330,46 @@ def test_template_json_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     got = {r.cell_id: (r.role, r.contents) for r in b}
     assert got["x"] == ("header", "new")
+
+
+def test_semantic_ops_on_degenerate_inputs(spark):
+    """Empty/degenerate inputs must yield empty or not_found results,
+    never raise (driver-gate insurance)."""
+    empty_cells = spark.createDataFrame(
+        [], "doc_id long, cell_id string, role string, "
+        "x1 int, y1 int, x2 int, y2 int, contents string"
+    )
+    empty_paras = spark.createDataFrame(
+        [], "doc_id long, par_id string, x1 int, y1 int, x2 int, y2 int, contents string"
+    )
+    empty_words = spark.createDataFrame(
+        [], "doc_id long, word_id string, x1 int, y1 int, x2 int, y2 int, content string"
+    )
+    kv = parse_kv_items(empty_cells)
+    assert kv.count() == 0
+    out = extract_scalar_fields(
+        empty_cells, kv, empty_paras, empty_words, [ScalarField("f", description="x")]
+    )
+    assert out.count() == 0  # no documents → no rows
+
+    # one doc with ONLY a group cell: grid of fields, all not_found
+    only_group = spark.createDataFrame(
+        [(0, "g", "group", 0, 0, 10, 10, "")],
+        "doc_id long, cell_id string, role string, "
+        "x1 int, y1 int, x2 int, y2 int, contents string",
+    )
+    out2 = extract_scalar_fields(
+        only_group, parse_kv_items(only_group), empty_paras, empty_words,
+        [ScalarField("f", description="x"), ScalarField("r", regex="[0-9]")],
+    ).collect()
+    assert {(r.field, r.source) for r in out2} == {("f", "not_found"), ("r", "not_found")}
+
+    # degenerate zero-area box never crashes the adjacency/group math
+    degen = spark.createDataFrame(
+        [(0, "g", "group", 0, 0, 100, 100, ""),
+         (0, "z", "cell", 5, 5, 5, 5, "pt")],
+        "doc_id long, cell_id string, role string, "
+        "x1 int, y1 int, x2 int, y2 int, contents string",
+    )
+    rows = parse_kv_items(degen).collect()
+    assert [(r.value_cell, r.key_cells) for r in rows] == [("z", "")]
