@@ -46,3 +46,27 @@ def test_sample_frames(spark):
     want = sum(1 + (r.n_frames - 1) // 30 for r in vids)
     assert frames.count() == want
     assert frames.filter(F.col("frame_idx") % 30 != 0).count() == 0
+
+
+def test_resize_media_dims_and_stub(spark):
+    from yomitoku_spark.multimodal.media import resize_media, synthetic_media
+
+    media = synthetic_media(spark, n=64)
+    out = resize_media(media, max_side=720)
+    rows = {r.media_id: r for r in out.collect()}
+    assert rows  # images exist in the synthetic mix
+    for r in rows.values():
+        assert max(r.dst_w, r.dst_h) <= 720
+        if max(r.src_w, r.src_h) <= 720:
+            assert (r.dst_w, r.dst_h) == (r.src_w, r.src_h)
+        else:  # aspect preserved within rounding
+            assert abs(r.dst_w * r.src_h - r.dst_h * r.src_w) <= max(r.src_w, r.src_h)
+        assert len(r.resized) == 16
+    # deterministic stub: same input → same digests
+    again = {r.media_id: r.resized for r in resize_media(media).collect()}
+    assert again == {k: v.resized for k, v in rows.items()}
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        resize_media(media, use_stub=False)

@@ -118,3 +118,54 @@ def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
             F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def resize_media(df: DataFrame, max_side: int = 720, use_stub: bool = True) -> DataFrame:
+    """Resize plan for image media: target dims fit within ``max_side``
+    preserving aspect (the reference's load_image size policy —
+    data/functions.py:33-78 validates ≥32 px and warns <720). The
+    TARGET-DIMENSION math is integer column expressions (JVM-side);
+    only the pixel resample crosses into the Arrow stub, which emits a
+    deterministic blake2b digest of (payload, target dims) in place of
+    real pixels — the same documented codec boundary as
+    extract_features (no image libraries in this container;
+    ``use_stub=False`` raises)."""
+    if not use_stub:
+        raise NotImplementedError(
+            "real pixel resampling needs an image codec; this container "
+            "has none (documented stub boundary)"
+        )
+    imgs = df.filter(F.col("kind") == "image")
+    w, h = F.col("meta.width"), F.col("meta.height")
+    long_side = F.greatest(w, h)
+    tw = F.when(long_side <= max_side, w).otherwise(
+        F.round(w * max_side / long_side).cast("int")
+    )
+    th = F.when(long_side <= max_side, h).otherwise(
+        F.round(h * max_side / long_side).cast("int")
+    )
+    planned = imgs.select(
+        "media_id", "payload",
+        w.alias("src_w"), h.alias("src_h"),
+        tw.alias("dst_w"), th.alias("dst_h"),
+    )
+
+    def stub(batches):
+        import hashlib
+
+        for pdf in batches:
+            digests = [
+                hashlib.blake2b(
+                    bytes(p) + f"{dw}x{dh}".encode(), digest_size=16
+                ).digest()
+                for p, dw, dh in zip(pdf["payload"], pdf["dst_w"], pdf["dst_h"])
+            ]
+            out = pdf[["media_id", "src_w", "src_h", "dst_w", "dst_h"]].copy()
+            out["resized"] = digests
+            yield out
+
+    return planned.mapInPandas(
+        stub,
+        schema="media_id bigint, src_w int, src_h int, dst_w int, dst_h int, "
+               "resized binary",
+    )
