@@ -22,7 +22,13 @@ and the scalar twin — no float sqrt anywhere. The scalar twins back the
 per-document pandas-UDF KV-graph parser and the property tests; the
 column twins back joins (search_cells_right_of_key-style lookups,
 table_semantic_parser.py:229-275) and the DuckDB-checked registry
-query. Coordinates are assumed integral (the engine's box contract).
+query. Coordinates are assumed integral (the engine's box contract);
+the Column twins route every delta through bigint before squaring so
+large-page coordinates (≥ ~46341) cannot wrap int32, matching the
+scalar twins' exact Python ints. The perpendicular-overlap gate clamps
+the overlap at 0 like the reference's ``overlap_interval``
+(misc.py:270-274): a degenerate zero-extent smaller box passes the gate
+even with disjoint intervals.
 """
 
 from __future__ import annotations
@@ -42,7 +48,13 @@ def _c(x) -> Column:
 
 
 def _d2_pp(px, py, qx, qy) -> Column:
-    return (px - qx) * (px - qx) + (py - qy) * (py - qy)
+    # deltas go through bigint BEFORE squaring: int32 squares silently
+    # wrap in non-ANSI Spark for coords ≥ ~46341 while the Python scalar
+    # twins use exact bigints (same discipline as the searchable-PDF
+    # font fit)
+    dx = (px - qx).cast("bigint")
+    dy = (py - qy).cast("bigint")
+    return dx * dx + dy * dy
 
 
 def _clamp(v, lo, hi) -> Column:
@@ -51,13 +63,15 @@ def _clamp(v, lo, hi) -> Column:
 
 def _d2_p_vseg(px, py, sx, sy1, sy2) -> Column:
     """Squared distance from point to the vertical segment x=sx, y∈[sy1,sy2]."""
-    dy = py - _clamp(py, sy1, sy2)
-    return (px - sx) * (px - sx) + dy * dy
+    dy = (py - _clamp(py, sy1, sy2)).cast("bigint")
+    dx = (px - sx).cast("bigint")
+    return dx * dx + dy * dy
 
 
 def _d2_p_hseg(px, py, sy, sx1, sx2) -> Column:
-    dx = px - _clamp(px, sx1, sx2)
-    return (py - sy) * (py - sy) + dx * dx
+    dx = (px - _clamp(px, sx1, sx2)).cast("bigint")
+    dy = (py - sy).cast("bigint")
+    return dy * dy + dx * dx
 
 
 def _box(prefix: str):
@@ -85,8 +99,13 @@ def right_adjacent(
     t2, ig2 = dist * dist, ignore_dist * ignore_dist
 
     direction = bx1 >= ax1
-    overlap_y = F.least(ay2, by2) - F.greatest(ay1, by1)
-    overlap_ok = overlap_y * 1000 >= overlap_permille * F.least(ay2 - ay1, by2 - by1)
+    # clamped at 0 like the reference's overlap_interval (misc.py:270-274):
+    # a zero-extent smaller box passes the gate (0 >= th*0) even when the
+    # intervals are disjoint
+    overlap_y = F.greatest(F.least(ay2, by2) - F.greatest(ay1, by1), F.lit(0))
+    overlap_ok = overlap_y.cast("bigint") * 1000 >= overlap_permille * F.least(
+        ay2 - ay1, by2 - by1
+    ).cast("bigint")
     corner_ok = (_d2_pp(ax2, ay2, bx1, by1) >= ig2) & (
         _d2_pp(ax2, ay1, bx1, by2) >= ig2
     )
@@ -129,8 +148,10 @@ def bottom_adjacent(
     t2, ig2 = dist * dist, ignore_dist * ignore_dist
 
     direction = by1 >= ay1
-    overlap_x = F.least(ax2, bx2) - F.greatest(ax1, bx1)
-    overlap_ok = overlap_x * 1000 >= overlap_permille * F.least(ax2 - ax1, bx2 - bx1)
+    overlap_x = F.greatest(F.least(ax2, bx2) - F.greatest(ax1, bx1), F.lit(0))
+    overlap_ok = overlap_x.cast("bigint") * 1000 >= overlap_permille * F.least(
+        ax2 - ax1, bx2 - bx1
+    ).cast("bigint")
     corner_ok = (_d2_pp(ax2, ay2, bx1, by1) >= ig2) & (
         _d2_pp(ax1, ay2, bx2, by1) >= ig2
     )
@@ -192,7 +213,7 @@ def right_adjacent_scalar(
     t2, ig2 = dist * dist, ignore_dist * ignore_dist
     if bx1 < ax1:
         return False
-    overlap_y = min(ay2, by2) - max(ay1, by1)
+    overlap_y = max(min(ay2, by2) - max(ay1, by1), 0)
     if overlap_y * 1000 < overlap_permille * min(ay2 - ay1, by2 - by1):
         return False
     if _s_d2_pp(ax2, ay2, bx1, by1) < ig2 or _s_d2_pp(ax2, ay1, bx1, by2) < ig2:
@@ -254,7 +275,7 @@ def sql_right_adjacent(
         raise ValueError(f"unknown right-adjacency rule {rule!r}")
     return (
         f"({b}.x1 >= {a}.x1"
-        f" AND (LEAST({a}.y2,{b}.y2) - GREATEST({a}.y1,{b}.y1)) * 1000"
+        f" AND GREATEST(LEAST({a}.y2,{b}.y2) - GREATEST({a}.y1,{b}.y1), 0) * 1000"
         f"     >= {overlap_permille} * LEAST({a}.y2-{a}.y1, {b}.y2-{b}.y1)"
         f" AND {pp(f'{a}.x2', f'{a}.y2', f'{b}.x1', f'{b}.y1')} >= {ig2}"
         f" AND {pp(f'{a}.x2', f'{a}.y1', f'{b}.x1', f'{b}.y2')} >= {ig2}"
@@ -304,7 +325,7 @@ def sql_bottom_adjacent(
         raise ValueError(f"unknown bottom-adjacency rule {rule!r}")
     return (
         f"({b}.y1 >= {a}.y1"
-        f" AND (LEAST({a}.x2,{b}.x2) - GREATEST({a}.x1,{b}.x1)) * 1000"
+        f" AND GREATEST(LEAST({a}.x2,{b}.x2) - GREATEST({a}.x1,{b}.x1), 0) * 1000"
         f"     >= {overlap_permille} * LEAST({a}.x2-{a}.x1, {b}.x2-{b}.x1)"
         f" AND {pp(f'{a}.x2', f'{a}.y2', f'{b}.x1', f'{b}.y1')} >= {ig2}"
         f" AND {pp(f'{a}.x1', f'{a}.y2', f'{b}.x2', f'{b}.y1')} >= {ig2}"
@@ -325,7 +346,7 @@ def bottom_adjacent_scalar(
     t2, ig2 = dist * dist, ignore_dist * ignore_dist
     if by1 < ay1:
         return False
-    overlap_x = min(ax2, bx2) - max(ax1, bx1)
+    overlap_x = max(min(ax2, bx2) - max(ax1, bx1), 0)
     if overlap_x * 1000 < overlap_permille * min(ax2 - ax1, bx2 - bx1):
         return False
     if _s_d2_pp(ax2, ay2, bx1, by1) < ig2 or _s_d2_pp(ax1, ay2, bx2, by1) < ig2:

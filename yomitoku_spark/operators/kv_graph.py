@@ -103,6 +103,14 @@ def parse_kv_doc(cells: list[dict]) -> list[dict]:
         succ[a["id"]].append((b["id"], d))
 
     def both(a, b):
+        # Documented deviation: when a pair is right- AND bottom-adjacent
+        # we record BOTH the R/L and D/U edges. The reference stores one
+        # edge per pair in an nx.DiGraph and overwrites its dir attribute
+        # (bottom checked last wins, kv_parser.py:117-160) — an artifact
+        # of the single-edge container, not a stated rule. Keeping both
+        # links preserves symmetry (the orientation vote still counts the
+        # pair once per direction) and is pinned by the corpus oracle +
+        # the randomized referee in tests/test_semantic_fuzz.py.
         if right_adjacent_scalar(a["box"], b["box"]):
             link(a, b, "R")
             link(b, a, "L")

@@ -477,12 +477,11 @@ FROM documents
 def doc_quality(spark, sf_dir):
     """Quality permille scores (integer-exact)."""
     d = t(spark, sf_dir, "documents")
-    toks = TS.tokens(F.lower(F.col("text")))
     stop = TS.stopword_count(F.col("text"), "en")
     punct = F.length(F.regexp_replace("text", r"[\w\s]", ""))
     return d.select(
         "doc_id",
-        F.floor(F.lit(1000) * stop / F.greatest(F.size(toks), F.lit(1)))
+        F.floor(F.lit(1000) * stop / F.greatest(TS.token_count(F.col("text")), F.lit(1)))
         .cast("bigint")
         .alias("stop_permille"),
         F.floor(F.lit(1000) * punct / F.greatest(F.length("text"), F.lit(1)))

@@ -236,6 +236,13 @@ def extract_scalar_fields(
     # boxes spread at least as far vertically, else by x). At most one
     # tier-3 candidate per (doc, field) survives, so its within-tier
     # order keys are constants.
+    # Documented deviation: only kv_items are scanned here; the
+    # reference's search_kv_items_by_key has a second branch matching
+    # the field description against concatenated grid column-header
+    # text (table_semantic_parser.py:302-316). That branch appends
+    # empty value lists (a grid column header has no KV value) and
+    # crashes downstream when taken, so it is deliberately dropped —
+    # grid columns are served by extract_table_field instead.
     kvm = kv_boxed.join(
         fb(F.col("f_desc").isNotNull()),
         norm_text(F.col("key_text")).contains(norm_text(F.col("f_desc"))),
