@@ -281,6 +281,33 @@ def test_ivf_flat_recall_vs_brute_force(spark, emb):
     assert r4 > 0.5, r4
 
 
+def test_ivf_lloyd_recall_improves(spark, emb):
+    """Lloyd refinement is a pure recall lever: same plan shape, better
+    centroids. On the synthetic corpus, 2 deterministic sweeps beat the
+    seed-only quantizer AND the registry LSH configuration (2 tables ×
+    6 planes) at equal k. Everything is integer-exact, so these recalls
+    are reproducible constants, not flaky thresholds (measured: plain
+    0.45, lloyd2 ≈ 0.53, lsh ≈ 0.075)."""
+    sub = emb.limit(200)
+    exact = {}
+    for r in SIM.brute_force_topk(sub, sub, k=3).collect():
+        exact.setdefault(r.query_id, set()).add(r.corpus_id)
+    total = sum(len(v) for v in exact.values())
+
+    def rec(df):
+        approx = {}
+        for r in df.collect():
+            approx.setdefault(r.query_id, set()).add(r.corpus_id)
+        return sum(len(exact[q] & approx.get(q, set())) for q in exact) / total
+
+    plain = rec(SIM.ivf_flat_topk(sub, n_cells=8, n_probe=2, k=3))
+    lloyd = rec(SIM.ivf_flat_topk(sub, n_cells=8, n_probe=2, k=3, lloyd_iters=2))
+    lsh = rec(SIM.lsh_ann_topk_quantized(sub, k=3, n_planes=6, n_tables=2))
+    assert lloyd > plain, (lloyd, plain)
+    assert lloyd >= 0.5, lloyd
+    assert lloyd > lsh, (lloyd, lsh)
+
+
 def test_lsh_ann_quantized_recall_vs_brute_force(spark, emb):
     """Recall@3 of the oracle-checkable quantized ANN (md5-sign planes,
     integer dot re-rank) against exact brute force."""

@@ -269,6 +269,85 @@ def lsh_ann_topk_quantized(
     )
 
 
+def _div_half_away(s: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Integer round-half-away division ``round(s / n)`` on int64:
+    floor((2|s| + n) / (2n)) with the sign reattached — the same value
+    DuckDB computes with its ``//`` floor division on the split-sign
+    form, so Lloyd-refined centroid components stay bit-identical
+    across engines."""
+    s = s.astype(np.int64)
+    n = n.astype(np.int64)
+    return np.sign(s) * ((2 * np.abs(s) + n) // (2 * n))
+
+
+def lloyd_refine_quantized(
+    corpus: DataFrame,
+    c_mat: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+    iters: int,
+) -> np.ndarray:
+    """Deterministic integer-exact Lloyd refinement of quantized
+    centroids (the production recall lever the seed-only coarse
+    quantizer lacks; reference ANN has no analog — this is the
+    IVF-training step of a Faiss-style index expressed Spark-first).
+
+    Each iteration: (1) assign every corpus vector to the centroid with
+    the max quantized integer dot (first-max / lowest-cell tiebreak, the
+    same rule as search-time assignment), via one broadcast numpy matmul
+    per Arrow batch; (2) per-partition partial sums + counts per cell
+    (map-side combine, ≤ partitions × n_cells tiny rows) are collected
+    and folded on the driver; (3) new centroid = round-half-away mean of
+    the member vectors' quantized components (:func:`_div_half_away`),
+    empty cells keep their previous centroid. Everything is int64
+    arithmetic, so a fixed iteration count unrolls into exact DuckDB CTEs
+    (the ``ivf_lloyd_topk`` registry oracle runs the identical training).
+    """
+    n_cells, dim = c_mat.shape
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        cent = c_mat.copy()
+        bc = spark.sparkContext.broadcast(cent)
+
+        def partials(batches):
+            for pdf in batches:
+                mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                if len(mat) == 0:
+                    continue
+                q = _q_away(mat * scale)
+                own = np.argmax(q @ bc.value.T, axis=1)  # first max wins
+                cells, inv = np.unique(own, return_inverse=True)
+                sums = np.zeros((len(cells), q.shape[1]), dtype=np.int64)
+                np.add.at(sums, inv, q)
+                counts = np.bincount(inv)
+                yield pd.DataFrame(
+                    {
+                        "cell": cells.astype("int64"),
+                        "n": counts.astype("int64"),
+                        "s": list(sums),
+                    }
+                )
+
+        rows = (
+            corpus.select(id_col, vec_col)
+            .mapInPandas(partials, schema="cell bigint, n bigint, s array<bigint>")
+            .collect()
+        )
+        sums = np.zeros_like(c_mat)
+        counts = np.zeros(n_cells, dtype=np.int64)
+        for r in rows:
+            sums[r["cell"]] += np.asarray(r["s"], dtype=np.int64)
+            counts[r["cell"]] += r["n"]
+        nonempty = counts > 0
+        c_mat = cent.copy()
+        c_mat[nonempty] = _div_half_away(
+            sums[nonempty], counts[nonempty, None]
+        )
+        bc.destroy()
+    return c_mat
+
+
 def ivf_flat_topk(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -277,27 +356,39 @@ def ivf_flat_topk(
     n_probe: int = 2,
     k: int = 3,
     scale: int = 1000,
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate top-k: a coarse quantizer partitions the
     corpus into ``n_cells`` inverted lists; each query probes its
     ``n_probe`` best cells and exact-re-ranks only those lists.
 
-    The coarse centroids here are the ``n_cells`` corpus vectors with
-    the lowest ids — deterministic and data-dependent, so the WHOLE
-    pipeline (assignment, probing, re-rank) is reproducible in the
-    DuckDB oracle; a production build would Lloyd-refine the same
-    seeds, changing recall but not the plan shape. All similarity math
-    is the quantized integer dot (argmax assignment with lowest-id
-    tiebreak), bit-exact across engines.
+    The coarse seeds are the ``n_cells`` corpus vectors with the lowest
+    ids — deterministic and data-dependent, so the WHOLE pipeline
+    (assignment, probing, re-rank) is reproducible in the DuckDB
+    oracle. ``lloyd_iters`` > 0 runs that many integer-exact Lloyd
+    refinement sweeps over the seeds (:func:`lloyd_refine_quantized`) —
+    the production recall lever; fixed iteration count keeps the oracle
+    expressible (unrolled CTEs). All similarity math is the quantized
+    integer dot (argmax assignment with lowest-cell tiebreak), bit-exact
+    across engines.
 
     Scale shape: centroid tensor is broadcast (tiny); assignment and
     probing are one Arrow matmul per batch; the candidate join is
     ids-only on the cell key; vectors join back once for the re-rank —
     the inverted-list analog of the LSH path, with candidate count
-    ~ n_probe/n_cells of the corpus per query."""
+    ~ n_probe/n_cells of the corpus per query. Each Lloyd sweep adds one
+    scan + a tiny driver fold (no shuffle of the corpus)."""
     cent_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
-    c_ids = np.asarray([r[0] for r in cent_rows], dtype=np.int64)
     c_mat = _q_away(np.asarray([r[1] for r in cent_rows], dtype=np.float64) * scale)
+    if lloyd_iters > 0:
+        c_mat = lloyd_refine_quantized(
+            corpus, c_mat, id_col, vec_col, scale, lloyd_iters
+        )
+        # cells are centroid INDICES after refinement (a refined centroid
+        # is no longer any corpus vector)
+        c_ids = np.arange(len(c_mat), dtype=np.int64)
+    else:
+        c_ids = np.asarray([r[0] for r in cent_rows], dtype=np.int64)
     # a corpus smaller than n_cells yields fewer centroids; probing
     # more cells than exist would index past the argsort slice
     n_probe = min(n_probe, len(c_ids))

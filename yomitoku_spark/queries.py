@@ -1405,6 +1405,95 @@ SELECT query_id, corpus_id, dot_q, CAST(rk AS INT) AS rank FROM (
 """
 
 
+def ivf_lloyd_topk(spark, sf_dir):
+    """IVF-flat ANN with 2 integer-exact Lloyd refinement sweeps over
+    the deterministic seeds (the production centroid-training step —
+    recall lever; the plan shape matches ivf_flat_topk). Assignment,
+    round-half-away centroid means, probing, and re-rank are all int64
+    arithmetic, so the DuckDB oracle unrolls the identical training as
+    CTEs and matches bit-for-bit."""
+    e = t(spark, sf_dir, "embeddings")
+    return SIM.ivf_flat_topk(e, n_cells=8, n_probe=2, k=3, lloyd_iters=2)
+
+
+def _sql_lloyd_iter(prev: str, cur: str) -> str:
+    """One Lloyd sweep as CTE text: assign to argmax-dot centroid
+    (ties → lowest cell), then per-(cell, dim) round-half-away mean;
+    empty cells keep the previous centroid."""
+    return f"""
+d{cur} AS (
+  SELECT v.vec_id, c.cell, SUM(v.q * c.c) AS d
+  FROM qv v JOIN {prev} c ON c.i = v.i
+  GROUP BY v.vec_id, c.cell
+),
+a{cur} AS (
+  SELECT vec_id, cell FROM d{cur}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) = 1
+),
+s{cur} AS (
+  SELECT a.cell, q.i, CAST(SUM(q.q) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM a{cur} a JOIN qv q ON q.vec_id = a.vec_id
+  GROUP BY a.cell, q.i
+),
+c{cur} AS (
+  SELECT cell, i,
+         CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+              ELSE -((2*(-s) + n) // (2*n)) END AS c
+  FROM s{cur}
+  UNION ALL
+  SELECT p.cell, p.i, p.c FROM {prev} p
+  WHERE p.cell NOT IN (SELECT cell FROM s{cur})
+)"""
+
+
+SQL_IVF_LLOYD = f"""
+WITH qv AS (
+  SELECT vec_id, CAST(i AS INT) AS i,
+         CAST(CASE WHEN embedding[CAST(i AS INT) + 1] >= 0
+              THEN FLOOR(ABS(embedding[CAST(i AS INT) + 1] * 1000) + 0.5)
+              ELSE -FLOOR(ABS(embedding[CAST(i AS INT) + 1] * 1000) + 0.5)
+              END AS BIGINT) AS q
+  FROM embeddings, range(64) r(i)
+),
+seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, vec_id
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+c0 AS (SELECT s.cell, q.i, q.q AS c FROM seeds s JOIN qv q ON q.vec_id = s.vec_id),
+{_sql_lloyd_iter('c0', '1')},
+{_sql_lloyd_iter('c1', '2')},
+sd AS (
+  SELECT v.vec_id, c.cell, SUM(v.q * c.c) AS d
+  FROM qv v JOIN c2 c ON c.i = v.i
+  GROUP BY v.vec_id, c.cell
+),
+ranked AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rk
+  FROM sd
+),
+lists AS (SELECT vec_id AS corpus_id, cell FROM ranked WHERE rk = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM ranked WHERE rk <= 2),
+cand AS (
+  SELECT DISTINCT p.query_id, l.corpus_id
+  FROM probes p JOIN lists l ON l.cell = p.cell
+  WHERE p.query_id <> l.corpus_id
+),
+pairdot AS (
+  SELECT c.query_id, c.corpus_id, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot_q
+  FROM cand c
+  JOIN qv qa ON qa.vec_id = c.query_id
+  JOIN qv qb ON qb.vec_id = c.corpus_id AND qb.i = qa.i
+  GROUP BY c.query_id, c.corpus_id
+)
+SELECT query_id, corpus_id, dot_q, CAST(rk AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY dot_q DESC, corpus_id) rk
+  FROM pairdot
+) WHERE rk <= 3
+"""
+
+
 # -- scalar-field cascade -------------------------------------------------
 
 from yomitoku_spark.semantic import ScalarField, TableColumn  # noqa: E402
@@ -1745,6 +1834,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "multimodal_features": multimodal_features,
     "ivf_flat_topk": ivf_flat_topk,
+    "ivf_lloyd_topk": ivf_lloyd_topk,
     "jaccard_near_pairs": jaccard_near_pairs,
     "connected_components_labels": connected_components_labels,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
@@ -1793,6 +1883,7 @@ ORACLE = {
     "simhash_pairs": SQL_SIMHASH_DOCS,
     "ann_lsh_topk": SQL_ANN_LSH,
     "ivf_flat_topk": SQL_IVF,
+    "ivf_lloyd_topk": SQL_IVF_LLOYD,
     "jaccard_near_pairs": SQL_JACCARD,
     "connected_components_labels": SQL_CC,
     "embedding_near_dup_pairs": SQL_EMB_NEAR_DUP,
