@@ -15,15 +15,12 @@ def test_rows_only_queries_documented():
     qs = entrymod.queries()
     osql = entrymod.oracle_sql()
     rows_only = set(qs) - set(osql)
-    # every rows-only entry runs the extraction pipeline over the
-    # synthetic transcripts corpus (datagen), which the DuckDB views
-    # cannot see — correctness comes from the pytest engine==oracle
-    # byte-equality gate instead
+    # the ONLY two rows-only entries: the datagen full mix (layout
+    # reading-order is graph-valued; correctness comes from the pytest
+    # engine==oracle byte-equality gate + scaling checksum) and the
+    # multimodal stub boundary. Everything else carries a DuckDB SQL
+    # referee over the parquet tables.
     assert rows_only == {
-        "export_formats",
-        "extract_transcripts",
-        "extract_transcripts_staged",
-        "segment_features",
-        "extract_fields_kv",
+        "extract_transcripts_mix",
         "multimodal_features",
     }

@@ -917,38 +917,54 @@ FROM nation, region
 
 
 def export_formats(spark, sf_dir):
-    """Per-turn markdown/html/csv/json export sinks (§2.1; rows-only —
-    rendering follows the pipeline spec, enforced by pytest)."""
-    from yomitoku_spark.datagen import transcripts_df
+    """Per-turn markdown/html/csv/json export sinks (§2.1; reference
+    export_markdown.py / export_html.py:149-227 / export_csv.py:120-158
+    / export_json.py:61-97) over the parquet-derived transcript corpus —
+    every rendered format is reproduced by the DuckDB referee."""
     from yomitoku_spark.plans.export import export_blocks
     from yomitoku_spark.plans.pipeline import classify, featurize, order_blocks, segment_blocks
+    from yomitoku_spark.sources.transcripts_corpus import corpus_transcripts
 
     blocks = classify(
-        featurize(order_blocks(segment_blocks(transcripts_df(spark, n_convs=20, seed=42))))
+        featurize(order_blocks(segment_blocks(corpus_transcripts(spark, sf_dir))))
     )
     return export_blocks(blocks)
 
 
 def extract_fields_kv(spark, sf_dir):
-    """Declarative schema extraction over synthetic transcripts
-    (reference yomitoku_extract cascade — KV match → regex → normalize)."""
-    from yomitoku_spark.datagen import transcripts_df
+    """Declarative schema extraction over the corpus transcripts
+    (reference yomitoku_extract cascade — KV key match → regex fallback
+    → normalize, rule_pipeline.py:141-262). The KV tier fires on the
+    variant-4 forms, the regex tier on the digit token planted in
+    variant-0 prose; the DuckDB referee recomputes both."""
     from yomitoku_spark.extractor import ExtractionSchema, extract_fields
+    from yomitoku_spark.sources.transcripts_corpus import corpus_transcripts
 
     schema = ExtractionSchema.from_dict(
         {
             "fields": [
-                {"name": "invoice_no", "keys": ["invoice no", "order id"], "normalize": "digits"},
+                {
+                    "name": "invoice_no",
+                    "keys": ["invoice no", "order id"],
+                    "regex": r"\d{3,}",
+                    "normalize": "digits",
+                },
                 {"name": "due_date", "keys": ["due date", "date"], "normalize": "identity"},
                 {"name": "status", "keys": ["status"], "normalize": "collapse_ws"},
             ]
         }
     )
-    df = extract_fields(transcripts_df(spark, n_convs=40, seed=42), schema)
+    df = extract_fields(corpus_transcripts(spark, sf_dir), schema)
     return df.filter(
         F.col("invoice_no").isNotNull()
         | F.col("due_date").isNotNull()
         | F.col("status").isNotNull()
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.coalesce("invoice_no", F.lit("")).alias("invoice_no"),
+        F.coalesce("due_date", F.lit("")).alias("due_date"),
+        F.coalesce("status", F.lit("")).alias("status"),
     )
 
 
@@ -1159,13 +1175,51 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+def _extract_corpus_result(spark, sf_dir, extract_fn):
+    from yomitoku_spark.sources.transcripts_corpus import corpus_transcripts
+
+    res = extract_fn(corpus_transcripts(spark, sf_dir))
+    return res.select(
+        "conv_id",
+        "turn_idx",
+        "extracted_text",
+        F.to_json("spans").alias("spans"),
+        "blocks_kept",
+        "blocks_dropped",
+        "chars_emitted",
+    )
+
+
 def extract_transcripts(spark, sf_dir):
-    """Flagship: full fused extraction over the deterministic synthetic
-    transcripts table (north rule). Spans/reading-order are not
-    SQL-expressible — correctness is enforced by the pytest oracle-
-    equality gate instead (tests/test_pipeline.py). The struct-array
-    spans column is serialized to JSON for the registry so the driver
-    canonicalizer (pandas sort/factorize) can hash the rows."""
+    """Flagship row, HARD-checked: the FUSED extraction pipeline (the
+    exact north-rule plan — one mapInPandas stage, zero shuffles) over
+    the parquet-derived transcript corpus. The corpus payloads cover
+    every SQL-expressible class (prose/heading/list/code/kv/html/empty),
+    so extracted text, span offsets, and keep metrics are all verified
+    by the DuckDB referee. The full synthetic mix (incl. layout
+    reading-order) stays registered as extract_transcripts_mix and is
+    byte-checked against the pure-Python oracle in pytest."""
+    from yomitoku_spark.plans.pipeline import extract
+
+    return _extract_corpus_result(spark, sf_dir, extract)
+
+
+def extract_transcripts_staged(spark, sf_dir):
+    """The STAGED decomposition of the same pipeline over the same
+    corpus — must produce byte-identical rows; shares the fused row's
+    oracle SQL, so the driver hard-checks both engine paths."""
+    from yomitoku_spark.plans.pipeline import extract_staged
+
+    return _extract_corpus_result(spark, sf_dir, extract_staged)
+
+
+def extract_transcripts_mix(spark, sf_dir):
+    """The full synthetic payload mix (north-rule flagship smoke):
+    layout reading-order is graph-valued (not SQL-expressible) →
+    rows-only driver check; byte-equality vs the pure-Python oracle is
+    enforced by tests/test_pipeline.py + the 791k-turn scaling
+    checksum. The struct-array spans column is serialized to JSON so
+    the driver canonicalizer can hash the rows."""
     from yomitoku_spark.datagen import transcripts_df
     from yomitoku_spark.plans.pipeline import extract
 
@@ -1174,27 +1228,194 @@ def extract_transcripts(spark, sf_dir):
     )
 
 
-def extract_transcripts_staged(spark, sf_dir):
-    from yomitoku_spark.datagen import transcripts_df
-    from yomitoku_spark.plans.pipeline import extract_staged
-
-    return extract_staged(transcripts_df(spark, n_convs=40, seed=42)).withColumn(
-        "spans", F.to_json("spans")
-    )
-
-
 def segment_features(spark, sf_dir):
-    """Long-form block features (the queryable intermediate)."""
-    from yomitoku_spark.datagen import transcripts_df
+    """Long-form block features (the queryable intermediate) over the
+    corpus transcripts — kinds, content lengths, link densities
+    (integer permille), keep decisions, and block order all recomputed
+    by the DuckDB referee."""
     from yomitoku_spark.plans.pipeline import classify, featurize, order_blocks, segment_blocks
+    from yomitoku_spark.sources.transcripts_corpus import corpus_transcripts
 
     blocks = classify(
-        featurize(order_blocks(segment_blocks(transcripts_df(spark, n_convs=40, seed=42))))
+        featurize(order_blocks(segment_blocks(corpus_transcripts(spark, sf_dir))))
     )
     return blocks.select(
-        "conv_id", "turn_idx", "block_id", "kind", "source",
-        F.round("link_density", 6).alias("link_density"), "keep", "order"
+        "conv_id",
+        "turn_idx",
+        "block_id",
+        "source",
+        "kind",
+        "content_len",
+        F.floor(F.lit(1000) * F.col("link_chars") / F.greatest("visible_len", F.lit(1)))
+        .cast("int")
+        .alias("link_permille"),
+        "keep",
+        F.col("order").alias("blk_order"),
     )
+
+
+# -- DuckDB referees for the corpus-backed extraction rows ---------------
+# Expected outputs are composed from the SAME parquet-derived pieces the
+# Spark corpus builder uses (sources/transcripts_corpus.py): the engine
+# runs the generic pipeline, the oracle the construction rules. Offsets
+# are pure length arithmetic because payloads are single-line [A-Za-z ]
+# bodies glued with known literals.
+
+from yomitoku_spark.sources import transcripts_corpus as TC  # noqa: E402
+
+_TCNL = "chr(10)"
+_TCNL2 = "chr(10) || chr(10)"
+
+
+def _tc_span(start: str, end: str, kind: str) -> str:
+    return (
+        "'{\"start\":' || (" + start + ") || ',\"end\":' || (" + end + ") "
+        "|| ',\"kind\":\"" + kind + "\"}'"
+    )
+
+
+def _tc_spans(*parts: str) -> str:
+    inner = " || ',' || ".join(parts)
+    return "'[' || " + inner + " || ']'"
+
+
+_TC_ET = f"""CASE v
+  WHEN 0 THEN '## ' || w || ' report' || {_TCNL2} || b || ' ref ' || d
+  WHEN 1 THEN b
+  WHEN 2 THEN '- one ' || w || {_TCNL} || '- two ' || w || {_TCNL2} || b
+  WHEN 3 THEN '```py' || {_TCNL} || 'v = ' || w || {_TCNL} || '```' || {_TCNL2} || b
+  WHEN 4 THEN '- **Invoice No**: ' || d || {_TCNL} || '- **Due Date**: 2024-03-15'
+              || {_TCNL} || '- **Status**: ' || w
+  WHEN 5 THEN b || {_TCNL2} || '## ' || w || ' news'
+  WHEN 6 THEN ''
+  ELSE CASE WHEN lw >= 3 THEN '# ' || w || {_TCNL2} ELSE '' END
+       || b || {_TCNL2} || '- alpha one' || {_TCNL} || '- beta two'
+END"""
+
+_TC_SPANS = f"""CASE v
+  WHEN 0 THEN {_tc_spans(_tc_span('0', 'lw+10', 'heading'),
+                         _tc_span('lw+12', 'lw+lb+ld+17', 'paragraph'))}
+  WHEN 1 THEN {_tc_spans(_tc_span('0', 'lb', 'paragraph'))}
+  WHEN 2 THEN {_tc_spans(_tc_span('0', '2*lw+13', 'list'),
+                         _tc_span('2*lw+15', '2*lw+15+lb', 'paragraph'))}
+  WHEN 3 THEN {_tc_spans(_tc_span('0', 'lw+14', 'code'),
+                         _tc_span('lw+16', 'lw+16+lb', 'paragraph'))}
+  WHEN 4 THEN {_tc_spans(_tc_span('0', 'lw+ld+42', 'kv'))}
+  WHEN 5 THEN {_tc_spans(_tc_span('lw+41', 'lw+lb+48', 'paragraph'),
+                         _tc_span('lw+lb+48', '2*lw+lb+62', 'heading'))}
+  WHEN 6 THEN '[]'
+  ELSE CASE WHEN lw >= 3
+    THEN {_tc_spans(_tc_span('0', 'lw+2', 'heading'),
+                    _tc_span('lw+4', 'lw+4+lb', 'paragraph'),
+                    _tc_span('lw+6+lb', 'lw+28+lb', 'list'))}
+    ELSE {_tc_spans(_tc_span('lw+4', 'lw+4+lb', 'paragraph'),
+                    _tc_span('lw+6+lb', 'lw+28+lb', 'list'))}
+  END
+END"""
+
+SQL_EXTRACT_CORPUS = f"""
+WITH {TC.SQL_CORPUS_PIECES},
+expected AS (
+  SELECT conv_id, turn_idx,
+         {_TC_ET} AS extracted_text,
+         {_TC_SPANS} AS spans,
+         CASE v WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 2
+                WHEN 4 THEN 1 WHEN 5 THEN 2 WHEN 6 THEN 0
+                ELSE CASE WHEN lw >= 3 THEN 3 ELSE 2 END END AS blocks_kept,
+         CASE v WHEN 1 THEN 1 WHEN 5 THEN 1
+                WHEN 7 THEN CASE WHEN lw >= 3 THEN 0 ELSE 1 END
+                ELSE 0 END AS blocks_dropped
+  FROM tc_base
+)
+SELECT conv_id, turn_idx, extracted_text, spans,
+       CAST(blocks_kept AS INT) AS blocks_kept,
+       CAST(blocks_dropped AS INT) AS blocks_dropped,
+       CAST(length(extracted_text) AS INT) AS chars_emitted
+FROM expected
+"""
+
+SQL_SEGMENT_FEATURES = f"""
+WITH {TC.SQL_CORPUS_PIECES},
+blocks AS (
+  SELECT conv_id, turn_idx, 0 AS block_id,
+         CASE WHEN v = 5 THEN 'html' ELSE 'textual' END AS source,
+         CASE v WHEN 0 THEN 'heading' WHEN 1 THEN 'paragraph' WHEN 2 THEN 'list'
+                WHEN 3 THEN 'code' WHEN 4 THEN 'kv' WHEN 5 THEN 'paragraph'
+                ELSE 'heading' END AS kind,
+         CASE v WHEN 0 THEN lw+7 WHEN 1 THEN lb WHEN 2 THEN 2*lw+8
+                WHEN 3 THEN lw+14 WHEN 4 THEN lw+ld+60 WHEN 5 THEN lw
+                ELSE lw END AS content_len,
+         CASE WHEN v = 5 THEN 1000 ELSE 0 END AS link_permille,
+         CASE WHEN v = 5 THEN FALSE WHEN v = 7 THEN lw >= 3 ELSE TRUE END AS keep
+  FROM tc_base WHERE v <> 6
+  UNION ALL
+  SELECT conv_id, turn_idx, 1,
+         CASE WHEN v = 5 THEN 'html' ELSE 'textual' END,
+         'paragraph',
+         CASE v WHEN 0 THEN lb+ld+5 WHEN 1 THEN 2 ELSE lb END,
+         0,
+         v <> 1
+  FROM tc_base WHERE v IN (0,1,2,3,5,7)
+  UNION ALL
+  SELECT conv_id, turn_idx, 2,
+         CASE WHEN v = 5 THEN 'html' ELSE 'textual' END,
+         CASE WHEN v = 5 THEN 'heading' ELSE 'list' END,
+         CASE WHEN v = 5 THEN lw+5 ELSE 17 END,
+         0, TRUE
+  FROM tc_base WHERE v IN (5,7)
+)
+SELECT conv_id, turn_idx, CAST(block_id AS INT) AS block_id, source, kind,
+       CAST(content_len AS INT) AS content_len,
+       CAST(link_permille AS INT) AS link_permille, keep,
+       CAST(block_id AS INT) AS blk_order
+FROM blocks
+"""
+
+SQL_FIELDS_KV = f"""
+WITH {TC.SQL_CORPUS_PIECES}
+SELECT conv_id, turn_idx,
+       d AS invoice_no,
+       CASE WHEN v = 4 THEN '2024-03-15' ELSE '' END AS due_date,
+       CASE WHEN v = 4 THEN w ELSE '' END AS status
+FROM tc_base WHERE v IN (0, 4)
+"""
+
+_TC_HTML = f"""CASE v
+  WHEN 0 THEN '<h2>' || w || ' report</h2>' || {_TCNL} || '<p>' || b || ' ref ' || d || '</p>'
+  WHEN 1 THEN '<p>' || b || '</p>'
+  WHEN 2 THEN '<ul><li>one ' || w || '</li><li>two ' || w || '</li></ul>' || {_TCNL} || '<p>' || b || '</p>'
+  WHEN 3 THEN '<pre>```py' || {_TCNL} || 'v = ' || w || {_TCNL} || '```</pre>' || {_TCNL} || '<p>' || b || '</p>'
+  WHEN 4 THEN '<ul><li>**Invoice No**: ' || d || '</li><li>**Due Date**: 2024-03-15</li><li>**Status**: ' || w || '</li></ul>'
+  WHEN 5 THEN '<p>' || b || '</p>' || {_TCNL} || '<h2>' || w || ' news</h2>'
+  ELSE CASE WHEN lw >= 3 THEN '<h1>' || w || '</h1>' || {_TCNL} ELSE '' END
+       || '<p>' || b || '</p>' || {_TCNL} || '<ul><li>alpha one</li><li>beta two</li></ul>'
+END"""
+
+_TC_CSV = f"""CASE v
+  WHEN 0 THEN '## ' || w || ' report' || {_TCNL2} || b || ' ref ' || d
+  WHEN 1 THEN b
+  WHEN 2 THEN '- one ' || w || ' - two ' || w || {_TCNL2} || b
+  WHEN 3 THEN '```py v = ' || w || ' ```' || {_TCNL2} || b
+  WHEN 4 THEN '- **Invoice No**: ' || d || ' - **Due Date**: 2024-03-15 - **Status**: ' || w
+  WHEN 5 THEN b || {_TCNL2} || '## ' || w || ' news'
+  ELSE CASE WHEN lw >= 3 THEN '# ' || w || {_TCNL2} ELSE '' END
+       || b || {_TCNL2} || '- alpha one - beta two'
+END"""
+
+SQL_EXPORT_FORMATS = f"""
+WITH {TC.SQL_CORPUS_PIECES},
+rendered AS (
+  SELECT conv_id, turn_idx,
+         {_TC_ET} AS markdown,
+         '<html><body>' || {_TC_HTML} || '</body></html>' AS html,
+         {_TC_CSV} AS csv
+  FROM tc_base WHERE v <> 6
+)
+SELECT conv_id, turn_idx, markdown, html, csv,
+       '{{"conv_id":"' || conv_id || '","turn_idx":' || CAST(turn_idx AS VARCHAR)
+       || ',"extracted_text":"' || replace(markdown, chr(10), '\\n') || '"}}' AS json
+FROM rendered
+"""
 
 
 # ===================================================================
@@ -1828,6 +2049,7 @@ QUERIES = {
     "export_formats": export_formats,
     "extract_transcripts": extract_transcripts,
     "extract_transcripts_staged": extract_transcripts_staged,
+    "extract_transcripts_mix": extract_transcripts_mix,
     "segment_features": segment_features,
     "extract_fields_kv": extract_fields_kv,
     "simhash_pairs": simhash_pairs,
@@ -1892,7 +2114,14 @@ ORACLE = {
     "extract_scalar_cascade": SQL_SCALAR_CASCADE,
     "extract_table_field": SQL_TABLE_FIELD,
     "template_override": SQL_TEMPLATE_OVERRIDE,
-    # extract_transcripts / extract_transcripts_staged / segment_features:
-    # non-SQL-expressible (graph reading-order, pandas-UDF stages) →
-    # rows-only driver check; byte-equality enforced by tests/ oracle gate.
+    "extract_transcripts": SQL_EXTRACT_CORPUS,
+    "extract_transcripts_staged": SQL_EXTRACT_CORPUS,
+    "segment_features": SQL_SEGMENT_FEATURES,
+    "extract_fields_kv": SQL_FIELDS_KV,
+    "export_formats": SQL_EXPORT_FORMATS,
+    # rows-only (deliberately no SQL referee):
+    # - extract_transcripts_mix: layout reading-order is graph-valued
+    #   (DAG toposort) — byte-equality vs the pure-Python oracle is
+    #   enforced in pytest + the scaling checksum instead;
+    # - multimodal_features: binary-codec stub boundary.
 }
