@@ -104,3 +104,31 @@ def test_recover_grids_spark(spark):
         for r in recover_grids(df).collect()
     }
     assert got == {i: spec[i] for i in range(len(spec))}
+
+
+def test_derive_grid_headers(spark):
+    """Geometric header derivation on the multi-header table corpus:
+    stacked headers ordered by y, spanning-header column merge, stray
+    header demotion (reference grid_parser.py:635-671, 733-784)."""
+    from yomitoku_spark.operators.grid_headers import derive_grid_headers, merged_grid_data
+    from yomitoku_spark.sources.layout import form_table_cells
+
+    cells = form_table_cells(spark, "/root/testdata/sf0.001")
+    headers, data, demoted, colmap = derive_grid_headers(cells)
+    one = headers.filter("doc_id = 0").collect()
+    stacks = {}
+    for r in one:
+        stacks.setdefault(r.col, []).append((r.hdr_pos, r.cell_id))
+    stacks = {c: [cid for _, cid in sorted(v)] for c, v in stacks.items()}
+    assert stacks == {0: ["T0", "Ha"], 1: ["T0", "Hb"], 2: ["T1"], 3: ["T1"]}
+    assert {(r.col, r.merged_col) for r in colmap.filter("doc_id = 0").collect()} == {
+        (0, 0), (1, 1), (2, 2), (3, 2)
+    }
+    assert [r.cell_id for r in demoted.filter("doc_id = 0").collect()] == ["S"]
+    merged = {
+        (r.row, r.merged_col): (r.cell_ids, r.contents)
+        for r in merged_grid_data(cells, data, colmap).filter("doc_id = 0").collect()
+    }
+    assert merged[(0, 2)] == ("T1", "pair")
+    assert merged[(2, 2)][0] == "D22_D23"
+    assert merged[(3, 0)] == ("S", "stray")

@@ -1880,19 +1880,162 @@ TABLE_COLUMNS = [
 ]
 
 
+def grid_header_derivation(spark, sf_dir):
+    """Geometric col_headers derivation from raw graded cells (§2.4;
+    reference grid_parser.py:635-671, 733-784): span-expanded unit
+    grid → header rows (all present roles header/empty) → per-column
+    header stacks ordered by y1 → stray-header demotion → same-column
+    merge of columns sharing a trailing header. The corpus plants a
+    2-level header (T0 spans cols 0-1 over Ha/Hb), a header spanning
+    cols 2-3 alone (→ merge), and a stray data-row header (→ demote)."""
+    from yomitoku_spark.operators import grid_headers as GH
+
+    cells = LY.form_table_cells(spark, sf_dir)
+    headers, _, demoted, colmap = GH.derive_grid_headers(cells)
+    h = headers.join(colmap, ["doc_id", "grid_id", "col"]).select(
+        "doc_id", "cell_id", "col", "hdr_pos", "merged_col",
+        F.lit("header").alias("kind"),
+    )
+    d = demoted.select(
+        "doc_id", "cell_id",
+        F.lit(-1).alias("col"), F.lit(-1).alias("hdr_pos"),
+        F.lit(-1).alias("merged_col"), F.lit("demoted").alias("kind"),
+    )
+    return h.unionByName(d)
+
+
+def grid_merged_cells(spark, sf_dir):
+    """Same-column merge applied to the unit grid (reference
+    _merge_same_column_values + merge_cells, grid_parser.py:694-784):
+    member contents concatenated in column order, ids joined with '_',
+    spanning-cell duplicates folded."""
+    from yomitoku_spark.operators import grid_headers as GH
+
+    cells = LY.form_table_cells(spark, sf_dir)
+    _, data, _, colmap = GH.derive_grid_headers(cells)
+    return GH.merged_grid_data(cells, data, colmap).select(
+        "doc_id", "row", "merged_col", "cell_ids", "contents"
+    )
+
+
 def extract_table_field(spark, sf_dir):
-    """Table-field extraction: schema columns matched to grid columns
-    by cell_id / bbox-overlap / normalized header-text substring (§2.3;
+    """Table-field extraction END-TO-END FROM GEOMETRY: grid_headers /
+    grid_data are DERIVED from the raw form cells (grid recovery +
+    header-row detection, operators/grid_headers.py) instead of being a
+    synthesized input, then schema columns match grid columns by
+    cell_id / bbox-overlap / normalized header-text substring (§2.3;
     reference rule_pipeline.py:265-361). A grid column goes to the
     first matching schema column; `delta` demonstrates one schema
-    column collecting many grid columns (values concatenated in
-    column order)."""
-    gh, gd = LY.form_grids(spark, sf_dir)
-    return SEM.extract_table_field(LY.form_cells(spark, sf_dir), gh, gd, TABLE_COLUMNS)
+    column collecting many grid columns (values concatenated in column
+    order). Header rows surface in grid_data and are skipped by the
+    all-header value-row filter, like the reference raw grid."""
+    from yomitoku_spark.operators import grid_headers as GH
 
+    cells = LY.form_cells(spark, sf_dir)
+    gridded = cells.filter(
+        (F.col("y1") >= 290) & (F.col("y2") <= 370) & F.col("role").isin("header", "cell")
+    ).select(
+        "doc_id", F.lit("gB").alias("grid_id"), "cell_id", "role",
+        "x1", "y1", "x2", "y2", "contents",
+    )
+    gh, gd, _, _ = GH.derive_grid_headers(gridded)
+    return SEM.extract_table_field(cells, gh, gd, TABLE_COLUMNS)
+
+
+_SQL_FT_UNITS = """
+ucols AS (
+  SELECT doc_id, cx1, cx2,
+         CAST(DENSE_RANK() OVER (PARTITION BY doc_id ORDER BY cx1) - 1 AS INT) AS c
+  FROM (SELECT DISTINCT doc_id, x1 AS cx1, x2 AS cx2 FROM ft_cells WHERE x2 - x1 = 60)
+),
+urows AS (
+  SELECT doc_id, y1,
+         CAST(DENSE_RANK() OVER (PARTITION BY doc_id ORDER BY y1) - 1 AS INT) AS r
+  FROM (SELECT DISTINCT doc_id, y1 FROM ft_cells)
+),
+units AS (
+  SELECT t.doc_id, t.cell_id, t.role, t.y1, t.contents, rr.r, cc.c
+  FROM ft_cells t
+  JOIN ucols cc ON cc.doc_id = t.doc_id
+   AND LEAST(t.x2, cc.cx2) - GREATEST(t.x1, cc.cx1) > (cc.cx2 - cc.cx1) / 2
+  JOIN urows rr ON rr.doc_id = t.doc_id AND rr.y1 = t.y1
+),
+hrows AS (
+  SELECT doc_id, r FROM units GROUP BY doc_id, r
+  HAVING bool_and(role IN ('header','empty'))
+),
+hdrpos AS (
+  SELECT doc_id, col, cell_id, y1,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, col ORDER BY y1, cell_id) - 1
+              AS INT) AS hdr_pos
+  FROM (SELECT DISTINCT u.doc_id, u.c AS col, u.cell_id, u.y1
+        FROM units u JOIN hrows h ON h.doc_id = u.doc_id AND h.r = u.r)
+),
+lasth AS (
+  SELECT doc_id, col, cell_id AS last_cell FROM hdrpos
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, col ORDER BY hdr_pos DESC) = 1
+),
+ftcolmap AS (
+  SELECT doc_id, col,
+         CAST(MIN(col) OVER (PARTITION BY doc_id, last_cell) AS INT) AS merged_col
+  FROM lasth
+)"""
+
+SQL_GRID_HEADERS = f"""
+WITH {LY.SQL_FORM_BASE},{LY.SQL_TABLE_CORPUS.lstrip()},{_SQL_FT_UNITS.lstrip()}
+SELECT h.doc_id, h.cell_id, CAST(h.col AS INT) AS col, h.hdr_pos,
+       m.merged_col, 'header' AS kind
+FROM hdrpos h JOIN ftcolmap m ON m.doc_id = h.doc_id AND m.col = h.col
+UNION ALL
+SELECT DISTINCT u.doc_id, u.cell_id, -1, -1, -1, 'demoted'
+FROM units u
+LEFT JOIN (SELECT DISTINCT doc_id, cell_id FROM hdrpos) hh
+  ON hh.doc_id = u.doc_id AND hh.cell_id = u.cell_id
+WHERE u.role = 'header' AND hh.cell_id IS NULL
+"""
+
+SQL_GRID_MERGED = f"""
+WITH {LY.SQL_FORM_BASE},{LY.SQL_TABLE_CORPUS.lstrip()},{_SQL_FT_UNITS.lstrip()},
+percell AS (
+  SELECT u.doc_id, u.r AS row, m.merged_col, u.cell_id,
+         MIN(u.c) AS mc, MIN(u.contents) AS contents
+  FROM units u JOIN ftcolmap m ON m.doc_id = u.doc_id AND m.col = u.c
+  GROUP BY u.doc_id, u.r, m.merged_col, u.cell_id
+)
+SELECT doc_id, CAST(row AS INT) AS row, merged_col,
+       string_agg(cell_id, '_' ORDER BY mc) AS cell_ids,
+       trim(string_agg(contents, '' ORDER BY mc)) AS contents
+FROM percell GROUP BY doc_id, row, merged_col
+"""
+
+_SQL_GB_DERIVED = """
+gb AS (
+  SELECT * FROM fc_cells
+  WHERE y1 >= 290 AND y2 <= 370 AND role IN ('header','cell')
+),
+gpos AS (
+  SELECT doc_id, cell_id, role, contents, x1, y1, x2, y2,
+         CAST(DENSE_RANK() OVER (PARTITION BY doc_id ORDER BY y1) - 1 AS INT) AS row,
+         CAST(DENSE_RANK() OVER (PARTITION BY doc_id ORDER BY x1) - 1 AS INT) AS col
+  FROM gb
+),
+hdr_rows_g AS (
+  SELECT doc_id, row FROM gpos GROUP BY doc_id, row
+  HAVING bool_and(role IN ('header','empty'))
+),
+fc_grid_headers AS (
+  SELECT g.doc_id, 'gB' AS grid_id, g.col,
+         CAST(ROW_NUMBER() OVER (PARTITION BY g.doc_id, g.col
+              ORDER BY g.y1, g.cell_id) - 1 AS INT) AS hdr_pos,
+         g.cell_id
+  FROM gpos g JOIN hdr_rows_g hr ON hr.doc_id = g.doc_id AND hr.row = g.row
+),
+fc_grid_data AS (
+  SELECT doc_id, 'gB' AS grid_id, row, col, cell_id FROM gpos
+)"""
 
 SQL_TABLE_FIELD = f"""
-WITH {LY.SQL_FORM_BASE},{LY.SQL_FORM_CELLS},{LY.SQL_FORM_GRIDS.lstrip()},
+WITH {LY.SQL_FORM_BASE},{LY.SQL_FORM_CELLS},{_SQL_GB_DERIVED.lstrip()},
 hdr AS (
   SELECT gh.doc_id, gh.grid_id, gh.col, gh.hdr_pos, gh.cell_id,
          c.x1, c.y1, c.x2, c.y2, c.contents AS h_contents
@@ -2064,6 +2207,8 @@ QUERIES = {
     "kv_items_geometric": kv_items_geometric,
     "extract_scalar_cascade": extract_scalar_cascade,
     "extract_table_field": extract_table_field,
+    "grid_header_derivation": grid_header_derivation,
+    "grid_merged_cells": grid_merged_cells,
     "template_override": template_override,
 }
 
@@ -2113,6 +2258,8 @@ ORACLE = {
     "kv_items_geometric": SQL_KV_GEOMETRIC,
     "extract_scalar_cascade": SQL_SCALAR_CASCADE,
     "extract_table_field": SQL_TABLE_FIELD,
+    "grid_header_derivation": SQL_GRID_HEADERS,
+    "grid_merged_cells": SQL_GRID_MERGED,
     "template_override": SQL_TEMPLATE_OVERRIDE,
     "extract_transcripts": SQL_EXTRACT_CORPUS,
     "extract_transcripts_staged": SQL_EXTRACT_CORPUS,

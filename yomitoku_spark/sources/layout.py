@@ -177,6 +177,60 @@ def form_grids(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return headers, r0.unionByName(r1)
 
 
+def form_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-header table corpus for geometric header derivation
+    (grid_parser.py:635-671, 733-784): per document, grid ``t0`` =
+
+    * row 0 (header): ``T0`` "grp" spanning cols 0-1, ``T1`` "pair"
+      spanning cols 2-3;
+    * row 1 (header): ``Ha`` "alpha" (col 0), ``Hb`` "beta" (col 1) —
+      cols 2-3 absent, so col_headers stack [T0,Ha]/[T0,Hb]/[T1]/[T1]
+      and cols 2,3 share trailing header T1 → merged;
+    * rows 2-3 (data): supplier-derived contents, plus a STRAY
+      header-role cell ``S`` in row 3 col 0 → demoted to cell.
+
+    Geometry: unit rows y = r*22 .. r*22+16; unit cols x = c*70 ..
+    c*70+60; spanning headers cover two unit columns exactly."""
+    b = _base(spark, sf_dir)
+    r2 = b.filter(F.col("i") == 0)
+    r3 = b.filter(F.col("i") == 1)
+    docs = b.select("doc_id").distinct()
+
+    def fixed(src, cid, role, x1, y1, x2, y2, contents):
+        return src.select(
+            "doc_id",
+            F.lit("t0").alias("grid_id"),
+            F.lit(cid).alias("cell_id"),
+            F.lit(role).alias("role"),
+            F.lit(x1).alias("x1"),
+            F.lit(y1).alias("y1"),
+            F.lit(x2).alias("x2"),
+            F.lit(y2).alias("y2"),
+            (F.lit(contents) if isinstance(contents, str) else contents).alias(
+                "contents"
+            ),
+        )
+
+    parts = [
+        fixed(docs, "T0", "header", 0, 0, 130, 16, "grp"),
+        fixed(docs, "T1", "header", 140, 0, 270, 16, "pair"),
+        fixed(docs, "Ha", "header", 0, 22, 60, 38, "alpha"),
+        fixed(docs, "Hb", "header", 70, 22, 130, 38, "beta"),
+        fixed(r2, "D20", "cell", 0, 44, 60, 60, F.col("s_name")),
+        fixed(r2, "D21", "cell", 70, 44, 130, 60, F.col("s_addr")),
+        fixed(r2, "D22", "cell", 140, 44, 200, 60, F.concat(F.lit("x"), F.col("s_suppkey").cast("string"))),
+        fixed(r2, "D23", "cell", 210, 44, 270, 60, F.concat(F.lit("y"), F.col("s_suppkey").cast("string"))),
+        fixed(r3, "S", "header", 0, 66, 60, 82, "stray"),
+        fixed(r3, "D31", "cell", 70, 66, 130, 82, F.col("s_name")),
+        fixed(r3, "D32", "cell", 140, 66, 200, 82, F.concat(F.lit("x"), F.col("s_suppkey").cast("string"))),
+        fixed(r3, "D33", "cell", 210, 66, 270, 82, F.concat(F.lit("y"), F.col("s_suppkey").cast("string"))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ------------------------------------------------------------------ SQL
 # DuckDB twins of the builders above (shared CTE text, composed into
 # the oracle SQL of every semantic registry query).
@@ -239,6 +293,38 @@ fc_words AS (
          560 AS x2, CAST(616 + i*30 AS INT) AS y2,
          'ZQW' || CAST(s_suppkey AS VARCHAR) || 'X' AS content
   FROM fc_base
+)"""
+
+SQL_TABLE_CORPUS = """
+ft_cells AS (
+  SELECT DISTINCT doc_id, 't0' AS grid_id, 'T0' AS cell_id, 'header' AS role,
+         0 AS x1, 0 AS y1, 130 AS x2, 16 AS y2, 'grp' AS contents FROM fc_base
+  UNION ALL
+  SELECT DISTINCT doc_id, 't0', 'T1', 'header', 140, 0, 270, 16, 'pair' FROM fc_base
+  UNION ALL
+  SELECT DISTINCT doc_id, 't0', 'Ha', 'header', 0, 22, 60, 38, 'alpha' FROM fc_base
+  UNION ALL
+  SELECT DISTINCT doc_id, 't0', 'Hb', 'header', 70, 22, 130, 38, 'beta' FROM fc_base
+  UNION ALL
+  SELECT doc_id, 't0', 'D20', 'cell', 0, 44, 60, 60, s_name FROM fc_base WHERE i = 0
+  UNION ALL
+  SELECT doc_id, 't0', 'D21', 'cell', 70, 44, 130, 60, s_addr FROM fc_base WHERE i = 0
+  UNION ALL
+  SELECT doc_id, 't0', 'D22', 'cell', 140, 44, 200, 60,
+         'x' || CAST(s_suppkey AS VARCHAR) FROM fc_base WHERE i = 0
+  UNION ALL
+  SELECT doc_id, 't0', 'D23', 'cell', 210, 44, 270, 60,
+         'y' || CAST(s_suppkey AS VARCHAR) FROM fc_base WHERE i = 0
+  UNION ALL
+  SELECT doc_id, 't0', 'S', 'header', 0, 66, 60, 82, 'stray' FROM fc_base WHERE i = 1
+  UNION ALL
+  SELECT doc_id, 't0', 'D31', 'cell', 70, 66, 130, 82, s_name FROM fc_base WHERE i = 1
+  UNION ALL
+  SELECT doc_id, 't0', 'D32', 'cell', 140, 66, 200, 82,
+         'x' || CAST(s_suppkey AS VARCHAR) FROM fc_base WHERE i = 1
+  UNION ALL
+  SELECT doc_id, 't0', 'D33', 'cell', 210, 66, 270, 82,
+         'y' || CAST(s_suppkey AS VARCHAR) FROM fc_base WHERE i = 1
 )"""
 
 SQL_FORM_GRIDS = """
