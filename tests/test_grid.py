@@ -132,3 +132,61 @@ def test_derive_grid_headers(spark):
     assert merged[(0, 2)] == ("T1", "pair")
     assert merged[(2, 2)][0] == "D22_D23"
     assert merged[(3, 0)] == ("S", "stray")
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_split_words_column_equals_scalar(spark, data):
+    """Word-split parity: the DataFrame plan and the stdlib scalar twin
+    agree on random words over random unit grids (containment, h/v
+    allocation argmax with tiebreaks, per-cell clipping, noise drop,
+    pass-through)."""
+    from yomitoku_spark.operators.wordsplit import (
+        split_words_across_cells,
+        split_words_scalar,
+    )
+
+    n_rows = data.draw(st.integers(2, 4))
+    n_cols = data.draw(st.integers(2, 4))
+    spec = [(r, c, 1, 1) for r in range(n_rows) for c in range(n_cols)]
+    if data.draw(st.booleans()):
+        spec = [s for s in spec if s[:2] != (0, 0) and s[:2] != (0, 1)]
+        spec.append((0, 0, 1, 2))  # a spanning header-ish cell
+    boxes = _boxes_from_spec(spec, col_w=60, row_h=30)
+    cells = [
+        {"cell_id": f"c{i}", "row": r, "col": c, "row_span": rs, "col_span": cs,
+         "box": tuple(int(v) for v in boxes[i])}
+        for i, (r, c, rs, cs) in enumerate(spec)
+    ]
+    words = [
+        (
+            f"w{k}",
+            data.draw(st.integers(-20, n_cols * 60 + 20)),
+            data.draw(st.integers(-20, n_rows * 30 + 20)),
+            data.draw(st.integers(10, 240)),
+            data.draw(st.integers(10, 120)),
+        )
+        for k in range(data.draw(st.integers(1, 5)))
+    ]
+    words = [(w, x, y, x + dw, y + dh) for w, x, y, dw, dh in words]
+
+    expected = set()
+    for wid, x1, y1, x2, y2 in words:
+        for part, (px1, py1, px2, py2) in split_words_scalar((x1, y1, x2, y2), cells):
+            expected.add((wid, part, px1, py1, px2, py2))
+
+    cdf = spark.createDataFrame(
+        [(0, "t", c["cell_id"], c["row"], c["col"], c["row_span"], c["col_span"],
+          *c["box"]) for c in cells],
+        "doc_id bigint, table_id string, cell_id string, row int, col int, "
+        "row_span int, col_span int, x1 int, y1 int, x2 int, y2 int",
+    )
+    wdf = spark.createDataFrame(
+        [(0, w, x1, y1, x2, y2) for w, x1, y1, x2, y2 in words],
+        "doc_id bigint, word_id string, x1 int, y1 int, x2 int, y2 int",
+    )
+    got = {
+        (r.word_id, r.part, r.x1, r.y1, r.x2, r.y2)
+        for r in split_words_across_cells(wdf, cdf).collect()
+    }
+    assert got == expected

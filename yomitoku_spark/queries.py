@@ -1918,6 +1918,57 @@ def grid_merged_cells(spark, sf_dir):
     )
 
 
+def split_words_across_cells(spark, sf_dir):
+    """Word-box splitting at cell boundaries (§3.1 lifecycle; reference
+    _split_text_across_cells, document_analyzer.py:270-423): words
+    ≥0.5-contained in the table allocate to the max-overlap row/column
+    line and are clipped against every covering cell; sub-noise pieces
+    drop; non-table words pass through. The corpus plants a horizontal
+    4-cell spanner, a word whose pieces are all noise (vanishes), a
+    vertical spanner crossing a header and a data cell, and an outside
+    word."""
+    from yomitoku_spark.operators import grid_headers as GH
+    from yomitoku_spark.operators import wordsplit as WS
+
+    cells = GH.assign_grid(LY.form_table_cells(spark, sf_dir)).withColumnRenamed(
+        "grid_id", "table_id"
+    )
+    docs = LY.form_table_cells(spark, sf_dir).select("doc_id").distinct().select(
+        "doc_id", (F.col("doc_id") % 7).cast("int").alias("dx")
+    )
+
+    def wrd(wid, x1, y1, x2, y2):
+        return docs.select(
+            "doc_id",
+            F.lit(wid).alias("word_id"),
+            x1.cast("int").alias("x1"), y1.cast("int").alias("y1"),
+            x2.cast("int").alias("x2"), y2.cast("int").alias("y2"),
+        )
+
+    dx = F.col("dx")
+    words = (
+        wrd("wA", F.lit(10) + dx, F.lit(44), F.lit(250), F.lit(60))
+        .unionByName(wrd("wB", F.lit(50), F.lit(44), F.lit(80), F.lit(60)))
+        .unionByName(wrd("wC", F.lit(2), F.lit(20), F.lit(18), F.lit(70) + dx))
+        .unionByName(wrd("wD", F.lit(400), F.lit(10), F.lit(460), F.lit(24)))
+    )
+    return WS.split_words_across_cells(words, cells)
+
+
+SQL_SPLIT_WORDS = f"""
+WITH {LY.SQL_FORM_BASE},
+docs AS (SELECT DISTINCT doc_id, CAST(doc_id % 7 AS INT) AS dx FROM fc_base)
+SELECT doc_id, 'wA' AS word_id, 'D20' AS part,
+       CAST(10+dx AS INT) AS x1, 44 AS y1, 60 AS x2, 60 AS y2 FROM docs
+UNION ALL SELECT doc_id, 'wA', 'D21', 70, 44, 130, 60 FROM docs
+UNION ALL SELECT doc_id, 'wA', 'D22', 140, 44, 200, 60 FROM docs
+UNION ALL SELECT doc_id, 'wA', 'D23', 210, 44, 250, 60 FROM docs
+UNION ALL SELECT doc_id, 'wC', 'Ha', 2, 22, 18, 38 FROM docs
+UNION ALL SELECT doc_id, 'wC', 'D20', 2, 44, 18, 60 FROM docs
+UNION ALL SELECT doc_id, 'wD', '', 400, 10, 460, 24 FROM docs
+"""
+
+
 def extract_table_field(spark, sf_dir):
     """Table-field extraction END-TO-END FROM GEOMETRY: grid_headers /
     grid_data are DERIVED from the raw form cells (grid recovery +
@@ -2209,6 +2260,7 @@ QUERIES = {
     "extract_table_field": extract_table_field,
     "grid_header_derivation": grid_header_derivation,
     "grid_merged_cells": grid_merged_cells,
+    "split_words_across_cells": split_words_across_cells,
     "template_override": template_override,
 }
 
@@ -2260,6 +2312,7 @@ ORACLE = {
     "extract_table_field": SQL_TABLE_FIELD,
     "grid_header_derivation": SQL_GRID_HEADERS,
     "grid_merged_cells": SQL_GRID_MERGED,
+    "split_words_across_cells": SQL_SPLIT_WORDS,
     "template_override": SQL_TEMPLATE_OVERRIDE,
     "extract_transcripts": SQL_EXTRACT_CORPUS,
     "extract_transcripts_staged": SQL_EXTRACT_CORPUS,
