@@ -1190,6 +1190,74 @@ def _extract_corpus_result(spark, sf_dir, extract_fn):
     )
 
 
+def multimodal_plan(spark, sf_dir):
+    """The JVM-side half of the multimodal pipeline, HARD-checked:
+    metadata validation (min-side floor / low-res warning), resize
+    target-dimension math, and video frame-sampling counts are all pure
+    column expressions over the deterministic synthetic media table —
+    reproduced exactly by the DuckDB referee. Only the codec stub
+    (binary payload → features/pixels) stays rows-only
+    (multimodal_features)."""
+    from yomitoku_spark.multimodal.media import (
+        resize_media,
+        sample_frames,
+        synthetic_media,
+        validate_media,
+    )
+
+    m = validate_media(synthetic_media(spark, n=256))
+    valid = m.filter(F.col("valid"))
+    rs = resize_media(valid).select("media_id", "dst_w", "dst_h")
+    fr = sample_frames(valid).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("frames")
+    )
+    return (
+        m.select("media_id", "kind", "valid", "low_res_warning")
+        .join(rs, "media_id", "left")
+        .join(fr, "media_id", "left")
+        .select(
+            "media_id",
+            "kind",
+            "valid",
+            "low_res_warning",
+            F.coalesce("dst_w", F.lit(-1)).cast("int").alias("dst_w"),
+            F.coalesce("dst_h", F.lit(-1)).cast("int").alias("dst_h"),
+            F.coalesce("frames", F.lit(-1)).cast("bigint").alias("frames"),
+        )
+    )
+
+
+SQL_MULTIMODAL_PLAN = """
+WITH m AS (
+  SELECT CAST(i AS BIGINT) AS media_id,
+         CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         CASE WHEN i % 3 <> 1 THEN CAST(16 + (i*37) % 2000 AS INT) END AS w,
+         CASE WHEN i % 3 <> 1 THEN CAST(16 + (i*53) % 1200 AS INT) END AS h,
+         CASE WHEN i % 3 = 2 THEN CAST(1 + i % 300 AS INT) END AS nf
+  FROM range(256) r(i)
+),
+v AS (
+  SELECT *,
+         CASE WHEN kind = 'audio' THEN TRUE ELSE w >= 32 AND h >= 32 END AS valid,
+         kind <> 'audio' AND LEAST(w, h) < 720 AS low_res_warning
+  FROM m
+)
+SELECT media_id, kind, valid, low_res_warning,
+  CAST(COALESCE(CASE WHEN valid AND kind = 'image' THEN
+    CASE WHEN GREATEST(w, h) <= 720 THEN w
+         ELSE CAST(ROUND(w * 720.0 / GREATEST(w, h)) AS INT) END
+  END, -1) AS INT) AS dst_w,
+  CAST(COALESCE(CASE WHEN valid AND kind = 'image' THEN
+    CASE WHEN GREATEST(w, h) <= 720 THEN h
+         ELSE CAST(ROUND(h * 720.0 / GREATEST(w, h)) AS INT) END
+  END, -1) AS INT) AS dst_h,
+  CAST(COALESCE(CASE WHEN valid AND kind = 'video' THEN (nf - 1) // 30 + 1 END,
+       -1) AS BIGINT) AS frames
+FROM v
+"""
+
+
 def extract_transcripts(spark, sf_dir):
     """Flagship row, HARD-checked: the FUSED extraction pipeline (the
     exact north-rule plan — one mapInPandas stage, zero shuffles) over
@@ -2249,6 +2317,7 @@ QUERIES = {
     "simhash_pairs": simhash_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "multimodal_features": multimodal_features,
+    "multimodal_plan": multimodal_plan,
     "ivf_flat_topk": ivf_flat_topk,
     "ivf_lloyd_topk": ivf_lloyd_topk,
     "jaccard_near_pairs": jaccard_near_pairs,
@@ -2319,6 +2388,7 @@ ORACLE = {
     "segment_features": SQL_SEGMENT_FEATURES,
     "extract_fields_kv": SQL_FIELDS_KV,
     "export_formats": SQL_EXPORT_FORMATS,
+    "multimodal_plan": SQL_MULTIMODAL_PLAN,
     # rows-only (deliberately no SQL referee):
     # - extract_transcripts_mix: layout reading-order is graph-valued
     #   (DAG toposort) — byte-equality vs the pure-Python oracle is
