@@ -161,6 +161,7 @@ def main() -> None:
 
     r8, r32 = results[8], results[32]
     eff = (r8["wall_sec"] / r32["wall_sec"]) / 4
+    eff_p50 = (r8["wall_p50"] / r32["wall_p50"]) / 4
     checks_match = r8["checksum"] == r32["checksum"]
     o_sum, o_n = oracle_checksum(input_dir)
     oracle_match = o_sum == r8["checksum"] and o_n == r8["n_results"]
@@ -185,7 +186,12 @@ wall-time distribution above is the evidence the best-of-N margin is
 real (target: max/min < 3 at local[32]).
 
 **Scaling efficiency E = (T_8 / T_32) / 4 = {eff:.3f}**
-(pass threshold ≥ 0.8 per BASELINE.json north_rule: {"PASS" if eff >= 0.8 else "FAIL"})
+(pass threshold ≥ 0.8 per BASELINE.json north_rule: {"PASS" if eff >= 0.8 else "FAIL"};
+p50-based cross-check E_p50 = {eff_p50:.3f} — p50 includes the first
+JIT-compiling reps, so it understates steady state; best-of-N is the
+steady-state measure, and E slightly above 1.0 reflects residual
+shared-box interference inflating the 8-core walls, not a real
+super-linear speedup)
 
 ## Per-turn equality
 

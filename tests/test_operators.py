@@ -321,3 +321,36 @@ def test_lsh_ann_quantized_recall_vs_brute_force(spark, emb):
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total > 0.5, hits / total
+
+
+def test_label_propagation_equals_union_find(spark):
+    """Global hash-min label propagation (the scale path) produces the
+    same component labels as the per-group union-find on a random-ish
+    graph whose diameter fits the sweep budget."""
+    import random
+
+    from yomitoku_spark.operators.components import (
+        connected_components,
+        label_propagation,
+    )
+
+    rng = random.Random(7)
+    edges = []
+    # several chains + cliques + isolated pairs, diameter <= 5
+    for base in range(0, 100, 10):
+        nodes = list(range(base, base + rng.randint(2, 6)))
+        for a, b in zip(nodes, nodes[1:]):
+            edges.append((a, b))
+        if rng.random() < 0.5:  # extra chord
+            edges.append((rng.choice(nodes), rng.choice(nodes)))
+    edf = spark.createDataFrame(
+        [(a, b) for a, b in edges], "src bigint, dst bigint"
+    )
+    lp = {r.node: r.label for r in label_propagation(edf, iters=5).collect()}
+    uf = {
+        r.node: r.component
+        for r in connected_components(
+            edf.withColumn("g", F.lit(0)), ["g"]
+        ).collect()
+    }
+    assert lp == uf

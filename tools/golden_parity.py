@@ -1,0 +1,252 @@
+"""Run the REFERENCE'S OWN golden fixtures through our semantic table
+operators and compare the reference's order-insensitive metrics.
+
+The reference proves its relational core with 10 real detector-output
+fixtures (tests/data/table_semantic_inputs/debug_table_raw_{0..9}.json)
+fed through TableSemanticParser with the neural models monkeypatched
+out, compared to goldens on (n_tables, per-table n_grids, n_kv_items,
+grid-shape Counter) — tests/test_table_semantic_from_json.py:55-104.
+
+This driver re-creates that seam against OUR operators:
+
+* cluster edge family — is_right/bottom_adjacent rules exactly as
+  _weakly_cluster_nodes_with_graph wires them (header→cell nest/soft,
+  header→header soft + child-as-nest with the single-out-edge drop,
+  cell↔cell soft/hard, empty→header hard), via our scalar adjacency
+  twins (operators/adjacency.py) and a union-find;
+* grid-vs-KV dispatch — is_grid_cluster (≥2 horizontal AND ≥2 vertical
+  hard-adjacency components over the cluster's cells/empties);
+* grid shape — OUR geometric recovery (operators/grid.py
+  recover_grid_numpy: line clustering + span assignment), where the
+  reference walks a bbox-splitting DAG (grid_parser.py) — the
+  re-expression under test;
+* KV items — OUR parse_kv_doc (operators/kv_graph.py) on the cluster's
+  nodes + the table's group boxes.
+
+Fixtures are read from /root/reference IN PLACE (never copied into
+this repo); tests skip when the path is absent.
+
+Usage: python tools/golden_parity.py  → per-fixture scoreboard.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from yomitoku_spark.operators.adjacency import (
+    bottom_adjacent_scalar,
+    right_adjacent_scalar,
+)
+from yomitoku_spark.operators.grid import recover_grid_numpy
+from yomitoku_spark.operators.kv_graph import parse_kv_doc
+
+REF_IN = "/root/reference/tests/data/table_semantic_inputs"
+REF_OUT = "/root/reference/tests/data/table_semantic_outputs"
+
+
+def _split_roles(cells: list[dict]) -> dict[str, list[dict]]:
+    nodes = {"header": [], "group": [], "cell": [], "empty": []}
+    for c in cells:
+        nodes.setdefault(c["role"], []).append(c)
+    return nodes
+
+
+def cluster_table(nodes: dict) -> list[dict]:
+    """Port of _weakly_cluster_nodes_with_graph
+    (table_semantic_parser.py:101-188): returns the weakly-connected
+    clusters of header/cell/empty nodes as role-keyed dicts."""
+    hs, cs, es = nodes["header"], nodes["cell"], nodes["empty"]
+    members = hs + cs + es
+    edges: list[tuple[str, str]] = []
+    nest_edges: dict[str, list[tuple[str, str]]] = {}
+
+    for h in hs:
+        for c in cs + es:
+            if bottom_adjacent_scalar(h["box"], c["box"], rule="nest"):
+                edges.append((h["id"], c["id"]))
+            if right_adjacent_scalar(h["box"], c["box"], rule="soft"):
+                edges.append((h["id"], c["id"]))
+        for h2 in hs:
+            if h["id"] == h2["id"]:
+                continue
+            if right_adjacent_scalar(h["box"], h2["box"], rule="soft"):
+                edges.append((h["id"], h2["id"]))
+            if bottom_adjacent_scalar(h["box"], h2["box"], rule="child"):
+                nest_edges.setdefault(h["id"], []).append((h["id"], h2["id"]))
+    # drop_single_out_edge_by_type('nest') then replace nest→plain
+    for u, outs in nest_edges.items():
+        if len(outs) != 1:
+            edges.extend(outs)
+
+    for a in cs + es:
+        for b in cs + es:
+            if a["id"] == b["id"]:
+                continue
+            if right_adjacent_scalar(a["box"], b["box"], rule="soft"):
+                edges.append((a["id"], b["id"]))
+            if bottom_adjacent_scalar(a["box"], b["box"], rule="hard"):
+                edges.append((a["id"], b["id"]))
+    for e in es:
+        for h in hs:
+            if bottom_adjacent_scalar(e["box"], h["box"], rule="hard"):
+                edges.append((e["id"], h["id"]))
+            if right_adjacent_scalar(e["box"], h["box"], rule="hard"):
+                edges.append((e["id"], h["id"]))
+
+    parent = {m["id"]: m["id"] for m in members}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comps: dict[str, list[dict]] = {}
+    for m in members:
+        comps.setdefault(find(m["id"]), []).append(m)
+    out = []
+    for root in sorted(comps):
+        out.append(_split_roles(comps[root]))
+    return out
+
+
+def is_grid_cluster(cluster: dict) -> bool:
+    """Port of is_grid_cluster (table_semantic_parser.py:190-224):
+    the cluster's cells/empties must form ≥2 connected components
+    under horizontal hard adjacency AND ≥2 under vertical."""
+    ce = cluster["cell"] + cluster["empty"]
+    if not ce:
+        return False
+
+    def n_components(edge_fn):
+        # the reference builds nx.Graph FROM THE EDGE LIST, so nodes
+        # with no edge of this direction are absent entirely — count
+        # components over edge endpoints only (table_semantic_parser.py
+        # :213-218)
+        edges = [
+            (a["id"], b["id"])
+            for a in ce
+            for b in ce
+            if a["id"] != b["id"] and edge_fn(a["box"], b["box"])
+        ]
+        touched = {x for e in edges for x in e}
+        parent = {x: x for x in touched}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        return len({find(x) for x in touched})
+
+    h = n_components(lambda x, y: right_adjacent_scalar(x, y, rule="hard"))
+    v = n_components(lambda x, y: bottom_adjacent_scalar(x, y, rule="hard"))
+    return h > 1 and v > 1
+
+
+def grid_shape(cluster: dict) -> tuple[int, int]:
+    """Our geometric recovery's shape for a grid cluster (rows/cols of
+    the span-expanded unit grid over header+cell+empty boxes)."""
+    cells = cluster["cell"] + cluster["empty"] + cluster["header"]
+    boxes = np.asarray([c["box"] for c in cells], dtype=np.int64)
+    g = recover_grid_numpy(boxes)
+    n_row = int((g[:, 0] + g[:, 2]).max())
+    n_col = int((g[:, 1] + g[:, 3]).max())
+    return n_row, n_col
+
+
+def table_metrics(table: dict) -> dict:
+    cells = [
+        {
+            "id": c["id"],
+            "role": c["role"],
+            "box": tuple(int(v) for v in c["box"]),
+            "contents": c.get("contents") or "",
+        }
+        for c in table["cells"]
+    ]
+    nodes = _split_roles(cells)
+    clusters = cluster_table(nodes)
+    n_grids = 0
+    shapes: Counter = Counter()
+    n_kv = 0
+    for cl in clusters:
+        if is_grid_cluster(cl):
+            n_grids += 1
+            shapes[grid_shape(cl)] += 1
+        else:
+            members = cl["header"] + cl["cell"] + cl["empty"] + nodes["group"]
+            n_kv += len(parse_kv_doc(members))
+    return {"n_grids": n_grids, "n_kv_items": n_kv, "grid_shapes": shapes}
+
+
+def golden_metrics(doc: dict) -> list[dict]:
+    out = []
+    for t in doc.get("tables", []) or []:
+        shapes = Counter(
+            (int(g.get("n_row", 0)), int(g.get("n_col", 0)))
+            for g in (t.get("grids") or [])
+        )
+        out.append(
+            {
+                "n_grids": len(t.get("grids") or []),
+                "n_kv_items": len(t.get("kv_items") or []),
+                "grid_shapes": shapes,
+            }
+        )
+    return out
+
+
+def _norm(tables: list[dict]):
+    def key(t):
+        shapes = tuple(sorted(t["grid_shapes"].items()))
+        return (t["n_grids"], t["n_kv_items"], shapes)
+
+    return sorted((key(t) for t in tables))
+
+
+def compare_fixture(i: int) -> dict:
+    with open(f"{REF_IN}/debug_table_raw_{i}.json") as f:
+        tables = json.load(f)
+    with open(f"{REF_OUT}/debug_table_raw_{i}.golden.json") as f:
+        golden = json.load(f)
+    got = _norm([table_metrics(t) for t in tables])
+    exp = _norm(golden_metrics(golden))
+    return {
+        "fixture": i,
+        "n_tables_match": len(tables) == len(golden.get("tables", [])),
+        "full_match": got == exp,
+        "got": got,
+        "exp": exp,
+    }
+
+
+def main():
+    if not os.path.isdir(REF_IN):
+        print("reference fixtures not available")
+        return
+    full = 0
+    for i in range(10):
+        r = compare_fixture(i)
+        ok = "✓" if r["full_match"] else "✗"
+        print(f"{ok} fixture {i}: got={r['got']}")
+        if not r["full_match"]:
+            print(f"  exp={r['exp']}")
+        full += r["full_match"]
+    print(f"\n{full}/10 fixtures fully match the reference goldens")
+
+
+if __name__ == "__main__":
+    main()

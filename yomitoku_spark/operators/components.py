@@ -5,9 +5,12 @@ networkx weakly_connected_components (table_semantic_parser.py:187,
 kv_parser.py:305) and merges header columns with a UnionFind
 (utils/union_find.py:1-49) — always WITHIN one page. The Spark
 disposition (SURVEY §2.6): per-group union-find inside a grouped
-pandas UDF, because components never span turns; a cross-row global
-algorithm (GraphFrames / iterative hash-min) is deliberately not
-needed.
+pandas UDF, because page-local components never span turns. For
+GLOBAL graphs (corpus-wide near-dup clustering) the single-group
+union-find would serialize onto one task, so
+:func:`label_propagation` provides the distributed alternative:
+iterative hash-min label spreading, one self-join + min-agg per
+sweep.
 """
 
 from __future__ import annotations
@@ -15,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 class UnionFind:
@@ -60,3 +64,45 @@ def connected_components(
     return edges.groupBy(*group_cols).applyInPandas(
         per_group, schema=f"{gtypes}, node bigint, component bigint"
     )
+
+
+def label_propagation(
+    edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = 5
+) -> DataFrame:
+    """GLOBAL weakly-connected components by iterative min-label
+    (hash-min) propagation — the scale path for corpus-wide graphs.
+
+    Each sweep every node takes the minimum of its own label and its
+    direct neighbors' labels: one equi-join + one min aggregation (two
+    shuffles), fully distributed, no single-task state. Labels converge
+    to the component's minimum node id once ``iters`` ≥ the graph
+    diameter; callers pick ``iters`` from the expected component shape
+    (near-dup clusters are near-cliques — diameter 1-2 — so the
+    default 5 carries wide margin; an exact-closure referee can verify
+    convergence, as the ``doc_near_dup_clusters`` oracle does).
+
+    Returns (node, label) for every node that appears in an edge.
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iters):
+        nbr_min = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label").alias("blabel")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("blabel").alias("nmin"))
+            .select(F.col("a").alias("node"), "nmin")
+        )
+        labels = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+        )
+    return labels

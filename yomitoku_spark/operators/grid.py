@@ -31,12 +31,19 @@ GRID_SCHEMA = (
 def _cluster_lines(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
     """Merge overlapping 1-D intervals into lines; return (k, 2) array of
     line [start, end) boundaries, sorted."""
+    # Intervals join the current line only when they MAJORITY-overlap
+    # it (> half the smaller extent): real detector boxes bleed a few
+    # pixels into their neighbors, and any-overlap merging collapses
+    # adjacent rows of a dense table into one line (observed on the
+    # reference's own golden fixtures: 42 true rows -> 31). Clean
+    # synthetic grids have gutters, so their behavior is unchanged.
     order = np.argsort(starts, kind="stable")
     lines = []
     cur_s, cur_e = None, None
     for i in order:
         s, e = starts[i], ends[i]
-        if cur_s is None or s >= cur_e:  # no overlap → new line
+        ov = (cur_e - s) if cur_s is not None else -1
+        if cur_s is None or 2 * ov <= min(cur_e - cur_s, e - s):
             if cur_s is not None:
                 lines.append((cur_s, cur_e))
             cur_s, cur_e = s, e
@@ -88,13 +95,38 @@ def _cluster_lines_from_units(starts: np.ndarray, ends: np.ndarray) -> np.ndarra
     clustering with cells of (near-)minimal extent and only then place
     the rest."""
     extent = ends - starts
-    unit = extent <= extent.min() * 1.5
+    # unit cells = within 1.5x the MEDIAN extent: the median is robust
+    # where the min is not — one squat cell in a tall noisy table would
+    # otherwise disqualify every normal row from seeding (reference
+    # fixtures: a 31x8 grid seeded only 7 columns under the min rule);
+    # true spanning cells are >= 2x the unit extent and stay excluded
+    med = float(np.median(extent))
+    unit = extent <= med * 1.5
     lines = _cluster_lines(starts[unit], ends[unit])
-    # any cell wholly outside every line (e.g. all cells span) adds its own
+    # a spanning cell's extent NOT covered by any unit line becomes a
+    # line of its own (a grid region whose every cell in some column is
+    # merged has no unit witness there — the reference's DAG splitting
+    # still yields that column; gutters between covered lines are far
+    # below the half-median floor and never qualify)
+    gs, ge = [], []
     for s, e in zip(starts[~unit], ends[~unit]):
-        ov = np.minimum(e, lines[:, 1]) - np.maximum(s, lines[:, 0])
-        if not (ov > 0).any():
-            lines = np.vstack([lines, [s, e]])
+        cur = s
+        for ls, le in lines:  # sorted by start
+            if le <= cur or ls >= e:
+                continue
+            if ls > cur:
+                gs.append(cur)
+                ge.append(min(ls, e))
+            cur = max(cur, le)
+        if cur < e:
+            gs.append(cur)
+            ge.append(e)
+    if gs:
+        ga, gb = np.asarray(gs, dtype=np.int64), np.asarray(ge, dtype=np.int64)
+        keep = (gb - ga) * 2 > med
+        if keep.any():
+            extra = _cluster_lines(ga[keep], gb[keep])
+            lines = np.vstack([lines, extra]) if lines.size else extra
     order = np.argsort(lines[:, 0], kind="stable")
     return lines[order]
 

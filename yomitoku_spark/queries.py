@@ -577,8 +577,7 @@ def _sql_minhash(j):
     )
 
 
-SQL_MINHASH_PAIRS = f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+_SQL_MINHASH_CTES = f"""toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
 sh AS (
   SELECT doc_id,
     list_distinct(CASE WHEN len(tk) >= 3
@@ -596,10 +595,65 @@ banded AS (
   SELECT doc_id, 0 AS band, h0::VARCHAR || ',' || h1::VARCHAR AS key FROM sig
   UNION ALL SELECT doc_id, 1, h2::VARCHAR || ',' || h3::VARCHAR FROM sig
   UNION ALL SELECT doc_id, 2, h4::VARCHAR || ',' || h5::VARCHAR FROM sig
-  UNION ALL SELECT doc_id, 3, h6::VARCHAR || ',' || h7::VARCHAR FROM sig)
+  UNION ALL SELECT doc_id, 3, h6::VARCHAR || ',' || h7::VARCHAR FROM sig)"""
+
+SQL_MINHASH_PAIRS = f"""
+WITH {_SQL_MINHASH_CTES}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+def doc_near_dup_clusters(spark, sf_dir):
+    """End-to-end near-dup REDUCTION (the composition a training-data
+    pipeline actually runs): MinHash-LSH candidate pairs → global
+    weakly-connected components by iterative min-label propagation (the
+    100 TB path — no single-task union-find; each sweep is one
+    self-join + min-agg, and near-dup components are near-cliques so 5
+    sweeps ≥ any realistic diameter) → one canonical keeper per
+    cluster (the minimum doc_id); untouched documents keep themselves.
+    The DuckDB referee computes the exact transitive closure, so the
+    row also proves the sweep count converged."""
+    from yomitoku_spark.operators import components as CC
+
+    d = t(spark, sf_dir, "documents")
+    pairs = DD.lsh_candidate_pairs(
+        d, "doc_id", "text", n_hashes=8, bands=4, shingle_n=3
+    )
+    comp = CC.label_propagation(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        iters=5,
+    )
+    return (
+        d.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).cast("bigint").alias("cluster"),
+            (F.coalesce("label", F.col("doc_id")) == F.col("doc_id")).alias("keeper"),
+        )
+    )
+
+
+SQL_NEAR_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a AS node, a AS peer FROM und
+  UNION
+  SELECT r.node, u.b FROM reach r JOIN und u ON u.a = r.peer
+),
+comp AS (SELECT node, MIN(peer) AS cluster FROM reach GROUP BY node)
+SELECT d.doc_id, CAST(COALESCE(c.cluster, d.doc_id) AS BIGINT) AS cluster,
+       COALESCE(c.cluster, d.doc_id) = d.doc_id AS keeper
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
@@ -2289,6 +2343,7 @@ QUERIES = {
     "sessionize": sessionize,
     "topk_per_group": topk_per_group,
     "doc_exact_dedup": doc_exact_dedup,
+    "doc_near_dup_clusters": doc_near_dup_clusters,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
@@ -2349,6 +2404,7 @@ ORACLE = {
     "sessionize": SQL_SESSION,
     "topk_per_group": SQL_TOPK,
     "doc_exact_dedup": SQL_EXACT_DEDUP,
+    "doc_near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
     "doc_token_stats": SQL_TOKEN_STATS,
     "doc_quality": SQL_QUALITY,
     "doc_lang_id": SQL_LANG_ID,
