@@ -188,10 +188,11 @@ real (target: max/min < 3 at local[32]).
 **Scaling efficiency E = (T_8 / T_32) / 4 = {eff:.3f}**
 (pass threshold ≥ 0.8 per BASELINE.json north_rule: {"PASS" if eff >= 0.8 else "FAIL"};
 p50-based cross-check E_p50 = {eff_p50:.3f} — p50 includes the first
-JIT-compiling reps, so it understates steady state; best-of-N is the
-steady-state measure, and E slightly above 1.0 reflects residual
-shared-box interference inflating the 8-core walls, not a real
-super-linear speedup)
+JIT-compiling reps and any externally-perturbed reps, so it understates
+steady state; best-of-N is the steady-state measure. Residual p90
+outliers at local[32] track an external periodic process on this shared
+sandbox (they appear at arbitrary rep indices with GC pinned and the
+box otherwise idle), which is why best-of-N is the headline.)
 
 ## Per-turn equality
 
