@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "ann_lsh_topk",
     "ivf_flat_topk",
+    "ivf_scaled_topk",
     "ivf_lloyd_topk",
     "kv_items_geometric",
     "extract_scalar_cascade",

@@ -1703,7 +1703,8 @@ def ivf_flat_topk(spark, sf_dir):
     return SIM.ivf_flat_topk(e, n_cells=8, n_probe=2, k=3)
 
 
-SQL_IVF = """
+def _sql_ivf(n_cells: int, n_probe: int, k: int) -> str:
+    return f"""
 WITH qv AS (
   SELECT vec_id, CAST(i AS INT) AS i,
          CAST(CASE WHEN embedding[CAST(i AS INT) + 1] >= 0
@@ -1714,7 +1715,7 @@ WITH qv AS (
 ),
 cent AS (
   SELECT vec_id AS cent_id, i, q FROM qv
-  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_cells})
 ),
 cdots AS (
   SELECT v.vec_id, c.cent_id, SUM(v.q * c.q) AS d
@@ -1727,7 +1728,7 @@ ranked AS (
   FROM cdots
 ),
 lists AS (SELECT vec_id AS corpus_id, cent_id AS cell FROM ranked WHERE rk = 1),
-probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM ranked WHERE rk <= 2),
+probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM ranked WHERE rk <= {n_probe}),
 cand AS (
   SELECT DISTINCT p.query_id, l.corpus_id
   FROM probes p JOIN lists l ON l.cell = p.cell
@@ -1744,8 +1745,24 @@ SELECT query_id, corpus_id, dot_q, CAST(rk AS INT) AS rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY dot_q DESC, corpus_id) rk
   FROM pairdot
-) WHERE rk <= 3
+) WHERE rk <= {k}
 """
+
+
+SQL_IVF = _sql_ivf(8, 2, 3)
+
+
+def ivf_scaled_topk(spark, sf_dir):
+    """IVF-flat at a PRODUCTION-SHAPED configuration: n_cells grows
+    with the corpus (~sqrt(n): 64 cells on the 15k-vector sf0.1 table)
+    so each query re-ranks ~n_probe/n_cells of the corpus instead of a
+    quarter of it — the knob that keeps candidate counts flat as the
+    table grows. Same plan, same oracle construction as ivf_flat_topk."""
+    e = t(spark, sf_dir, "embeddings")
+    return SIM.ivf_flat_topk(e, n_cells=64, n_probe=8, k=3)
+
+
+SQL_IVF_SCALED = _sql_ivf(64, 8, 3)
 
 
 def ivf_lloyd_topk(spark, sf_dir):
@@ -2374,6 +2391,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_plan": multimodal_plan,
     "ivf_flat_topk": ivf_flat_topk,
+    "ivf_scaled_topk": ivf_scaled_topk,
     "ivf_lloyd_topk": ivf_lloyd_topk,
     "jaccard_near_pairs": jaccard_near_pairs,
     "connected_components_labels": connected_components_labels,
@@ -2427,6 +2445,7 @@ ORACLE = {
     "simhash_pairs": SQL_SIMHASH_DOCS,
     "ann_lsh_topk": SQL_ANN_LSH,
     "ivf_flat_topk": SQL_IVF,
+    "ivf_scaled_topk": SQL_IVF_SCALED,
     "ivf_lloyd_topk": SQL_IVF_LLOYD,
     "jaccard_near_pairs": SQL_JACCARD,
     "connected_components_labels": SQL_CC,
