@@ -41,13 +41,14 @@ def child(cpus: int, input_dir: str) -> None:
     # local[32] wall-time outliers (30 s max in earlier runs) are
     # full-heap growth/GC events, not extraction variance; a pinned heap
     # keeps max/min wall ratio < 3 so best-of-N margins are trustworthy.
+    heap = os.environ.get("SPARK_DRIVER_MEM", "32g")  # Xms == Xmx (get_spark's -Xmx source)
     spark = get_spark(
         app=f"scale_{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
         extra_conf={
             "spark.driver.extraJavaOptions": (
-                "-XX:+UseG1GC -XX:MaxGCPauseMillis=200 -Xms32g"
+                f"-XX:+UseG1GC -XX:MaxGCPauseMillis=200 -Xms{heap}"
             ),
         },
     )

@@ -246,12 +246,18 @@ def sql_right_adjacent(
     predicate is bit-exact across engines."""
     t2, ig2 = dist * dist, ignore_dist * ignore_dist
 
+    # same bigint-before-squaring discipline as the Column twins: raw
+    # INT32 squaring overflows (DuckDB raises) for deltas >= ~46341
     def pp(px, py, qx, qy):
-        return f"(({px})-({qx}))*(({px})-({qx})) + (({py})-({qy}))*(({py})-({qy}))"
+        dx = f"CAST(({px})-({qx}) AS BIGINT)"
+        dy = f"CAST(({py})-({qy}) AS BIGINT)"
+        return f"{dx}*{dx} + {dy}*{dy}"
 
     def vseg(px, py, sx, sy1, sy2):
         cy = f"GREATEST({sy1}, LEAST({py}, {sy2}))"
-        return f"(({px})-({sx}))*(({px})-({sx})) + (({py})-{cy})*(({py})-{cy})"
+        dx = f"CAST(({px})-({sx}) AS BIGINT)"
+        dy = f"CAST(({py})-{cy} AS BIGINT)"
+        return f"{dx}*{dx} + {dy}*{dy}"
 
     e1 = vseg(f"{a}.x2", f"{a}.y1", f"{b}.x1", f"{b}.y1", f"{b}.y2")
     e2 = vseg(f"{a}.x2", f"{a}.y2", f"{b}.x1", f"{b}.y1", f"{b}.y2")
@@ -275,8 +281,9 @@ def sql_right_adjacent(
         raise ValueError(f"unknown right-adjacency rule {rule!r}")
     return (
         f"({b}.x1 >= {a}.x1"
-        f" AND GREATEST(LEAST({a}.y2,{b}.y2) - GREATEST({a}.y1,{b}.y1), 0) * 1000"
-        f"     >= {overlap_permille} * LEAST({a}.y2-{a}.y1, {b}.y2-{b}.y1)"
+        f" AND CAST(GREATEST(LEAST({a}.y2,{b}.y2) - GREATEST({a}.y1,{b}.y1), 0)"
+        f"     AS BIGINT) * 1000"
+        f"     >= {overlap_permille} * CAST(LEAST({a}.y2-{a}.y1, {b}.y2-{b}.y1) AS BIGINT)"
         f" AND {pp(f'{a}.x2', f'{a}.y2', f'{b}.x1', f'{b}.y1')} >= {ig2}"
         f" AND {pp(f'{a}.x2', f'{a}.y1', f'{b}.x1', f'{b}.y2')} >= {ig2}"
         f" AND {ok})"
@@ -295,11 +302,15 @@ def sql_bottom_adjacent(
     t2, ig2 = dist * dist, ignore_dist * ignore_dist
 
     def pp(px, py, qx, qy):
-        return f"(({px})-({qx}))*(({px})-({qx})) + (({py})-({qy}))*(({py})-({qy}))"
+        dx = f"CAST(({px})-({qx}) AS BIGINT)"
+        dy = f"CAST(({py})-({qy}) AS BIGINT)"
+        return f"{dx}*{dx} + {dy}*{dy}"
 
     def hseg(px, py, sy, sx1, sx2):
         cx = f"GREATEST({sx1}, LEAST({px}, {sx2}))"
-        return f"(({py})-({sy}))*(({py})-({sy})) + (({px})-{cx})*(({px})-{cx})"
+        dx = f"CAST(({px})-{cx} AS BIGINT)"
+        dy = f"CAST(({py})-({sy}) AS BIGINT)"
+        return f"{dy}*{dy} + {dx}*{dx}"
 
     e1 = hseg(f"{a}.x1", f"{a}.y2", f"{b}.y1", f"{b}.x1", f"{b}.x2")
     e2 = hseg(f"{a}.x2", f"{a}.y2", f"{b}.y1", f"{b}.x1", f"{b}.x2")
@@ -325,8 +336,9 @@ def sql_bottom_adjacent(
         raise ValueError(f"unknown bottom-adjacency rule {rule!r}")
     return (
         f"({b}.y1 >= {a}.y1"
-        f" AND GREATEST(LEAST({a}.x2,{b}.x2) - GREATEST({a}.x1,{b}.x1), 0) * 1000"
-        f"     >= {overlap_permille} * LEAST({a}.x2-{a}.x1, {b}.x2-{b}.x1)"
+        f" AND CAST(GREATEST(LEAST({a}.x2,{b}.x2) - GREATEST({a}.x1,{b}.x1), 0)"
+        f"     AS BIGINT) * 1000"
+        f"     >= {overlap_permille} * CAST(LEAST({a}.x2-{a}.x1, {b}.x2-{b}.x1) AS BIGINT)"
         f" AND {pp(f'{a}.x2', f'{a}.y2', f'{b}.x1', f'{b}.y1')} >= {ig2}"
         f" AND {pp(f'{a}.x1', f'{a}.y2', f'{b}.x2', f'{b}.y1')} >= {ig2}"
         f" AND {ok})"

@@ -117,6 +117,15 @@ def derive_grid_headers(
       to ``cell`` (in the grid, in no header row);
     * colmap(doc_id, grid_id, col, merged_col) — same-column merge map
       (identity when no two columns share a trailing header).
+
+    ``units`` is cached because it feeds four consumers (header rows,
+    header stacks, demotions, data) — without it each output re-runs
+    the grouped grid-recovery UDF. The cache is session-lived (Spark
+    offers no lazy-output-safe unpersist point here); repeated calls
+    accumulate entries bounded by the corpus size, which the intended
+    callers (registry queries, bench reps) tolerate — pass through
+    ``spark.catalog.clearCache()`` between unrelated workloads if that
+    footprint matters.
     """
     units = expand_units(assign_grid(cells)).cache()
 
@@ -177,7 +186,9 @@ def merged_grid_data(
     join ids with '_' (reference merge_cells, grid_parser.py:694-784;
     contents are stripped after concatenation like the reference)."""
     j = data.join(colmap, ["doc_id", "grid_id", "col"]).join(
-        cells.select("doc_id", "cell_id", "contents"), ["doc_id", "cell_id"], "left"
+        cells.select("doc_id", "grid_id", "cell_id", "contents"),
+        ["doc_id", "grid_id", "cell_id"],
+        "left",
     )
     per_cell = j.groupBy("doc_id", "grid_id", "row", "merged_col").agg(
         F.array_sort(

@@ -30,6 +30,14 @@ Everything is an equi-join on (doc_id[, table_id]) plus integer
 column arithmetic — no Python in the plan; the scalar twin below backs
 the hypothesis parity test, and the registry query
 ``split_words_across_cells`` carries a DuckDB referee.
+
+A word ≥0.5-contained in TWO overlapping tables is split independently
+in each — the same behavior as the reference, whose per-table loop
+collects pieces for every containing table (``check_list`` only
+controls pass-through, document_analyzer.py:383-401). Upstream
+table-dedup (spatial.dedup_contained) is the place to resolve
+overlapping table detections, not this operator. The scalar twin
+models a single table.
 """
 
 from __future__ import annotations

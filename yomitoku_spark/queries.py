@@ -2072,8 +2072,14 @@ def split_words_across_cells(spark, sf_dir):
     cells = GH.assign_grid(LY.form_table_cells(spark, sf_dir)).withColumnRenamed(
         "grid_id", "table_id"
     )
-    docs = LY.form_table_cells(spark, sf_dir).select("doc_id").distinct().select(
-        "doc_id", (F.col("doc_id") % 7).cast("int").alias("dx")
+    # doc spine straight from the supplier scan — rebuilding the
+    # 12-branch corpus union just to list doc ids would re-scan
+    # supplier once per branch
+    docs = (
+        t(spark, sf_dir, "supplier")
+        .select(F.floor(F.col("s_suppkey") / 20).cast("bigint").alias("doc_id"))
+        .distinct()
+        .select("doc_id", (F.col("doc_id") % 7).cast("int").alias("dx"))
     )
 
     def wrd(wid, x1, y1, x2, y2):

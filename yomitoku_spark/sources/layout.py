@@ -8,8 +8,9 @@ table-field extraction, template override) consume *layout tables*:
   schemas/table_semantic_parser.py:56-96)
 * ``paragraphs`` — (doc_id, par_id, x1..y2, contents)
 * ``words``      — (doc_id, word_id, x1..y2, content)
-* ``grid_headers`` / ``grid_data`` — the reference's TableGridSchema
-  (col_headers / data id matrices) in long form.
+
+(grid_headers / grid_data are no longer synthesized here — they are
+DERIVED from cell geometry by operators/grid_headers.py.)
 
 This module synthesizes those tables deterministically from the
 driver's parquet (20 suppliers → one document), with an exactly
@@ -146,35 +147,6 @@ def form_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content"
         ),
     )
-
-
-def form_grids(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """One grid ``g0`` per document over group B: header row = the V
-    headers (col j ↔ h{10+j}), two data rows (c{10+j}, c{20+j})."""
-    b = _base(spark, sf_dir).filter(F.col("i") >= 10)
-    j = (F.col("i") - 10).cast("int")
-    headers = b.select(
-        "doc_id",
-        F.lit("g0").alias("grid_id"),
-        j.alias("col"),
-        F.lit(0).alias("hdr_pos"),
-        F.concat(F.lit("h"), F.col("i").cast("string")).alias("cell_id"),
-    )
-    r0 = b.select(
-        "doc_id",
-        F.lit("g0").alias("grid_id"),
-        F.lit(0).alias("row"),
-        j.alias("col"),
-        F.concat(F.lit("c"), F.col("i").cast("string")).alias("cell_id"),
-    )
-    r1 = b.select(
-        "doc_id",
-        F.lit("g0").alias("grid_id"),
-        F.lit(1).alias("row"),
-        j.alias("col"),
-        F.concat(F.lit("c"), (F.col("i") + 10).cast("string")).alias("cell_id"),
-    )
-    return headers, r0.unionByName(r1)
 
 
 def form_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,17 +299,3 @@ ft_cells AS (
          'y' || CAST(s_suppkey AS VARCHAR) FROM fc_base WHERE i = 1
 )"""
 
-SQL_FORM_GRIDS = """
-fc_grid_headers AS (
-  SELECT doc_id, 'g0' AS grid_id, CAST(i-10 AS INT) AS col, 0 AS hdr_pos,
-         'h' || CAST(i AS VARCHAR) AS cell_id
-  FROM fc_base WHERE i >= 10
-),
-fc_grid_data AS (
-  SELECT doc_id, 'g0' AS grid_id, 0 AS row, CAST(i-10 AS INT) AS col,
-         'c' || CAST(i AS VARCHAR) AS cell_id
-  FROM fc_base WHERE i >= 10
-  UNION ALL
-  SELECT doc_id, 'g0', 1, CAST(i-10 AS INT), 'c' || CAST(i+10 AS VARCHAR)
-  FROM fc_base WHERE i >= 10
-)"""
