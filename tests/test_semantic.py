@@ -63,6 +63,63 @@ def test_adjacency_column_equals_scalar(spark, boxes):
         assert r.bc == AJ.bottom_adjacent_scalar(A, B, "child")
 
 
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3_000_000),
+            st.integers(0, 3_000_000),
+            st.integers(1, 80_000),
+            st.integers(1, 80_000),
+        ).map(lambda t: (t[0], t[1], t[0] + t[2], t[1] + t[3])),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_adjacency_three_twin_parity_large_coords(spark, boxes):
+    """Column == scalar == SQL on coordinates far past the int32-square
+    wrap point (~46341): deltas must route through bigint in all three
+    twins. Boxes are drawn adjacent-ish in pairs so the gates actually
+    evaluate their distance arithmetic, not just the direction check."""
+    import duckdb
+
+    # make some pairs genuinely adjacent at large offsets
+    boxes = list(boxes) + [
+        (b[0] + (b[2] - b[0]) + 5, b[1], b[2] + (b[2] - b[0]) + 5, b[3])
+        for b in boxes[:2]
+    ]
+    rows = [(i, *b) for i, b in enumerate(boxes)]
+    df = spark.createDataFrame(rows, "id int, x1 int, y1 int, x2 int, y2 int")
+    boxed = df.select("id", F.struct("x1", "y1", "x2", "y2").alias("box"))
+    a = boxed.select(F.col("id").alias("ia"), F.col("box").alias("ba"))
+    b2 = boxed.select(F.col("id").alias("ib"), F.col("box").alias("bb"))
+    j = a.crossJoin(b2).filter(F.col("ia") != F.col("ib"))
+    got = {
+        (r.ia, r.ib): (r.rs, r.bs)
+        for r in j.select(
+            "ia", "ib",
+            AJ.right_adjacent("ba", "bb", "soft").alias("rs"),
+            AJ.bottom_adjacent("ba", "bb", "soft").alias("bs"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE bx(id INT, x1 INT, y1 INT, x2 INT, y2 INT)"
+    )
+    con.executemany("INSERT INTO bx VALUES (?,?,?,?,?)", rows)
+    sql = (
+        f"SELECT a.id, c.id, {AJ.sql_right_adjacent('a', 'c')},"
+        f" {AJ.sql_bottom_adjacent('a', 'c')} "
+        "FROM bx a, bx c WHERE a.id <> c.id"
+    )
+    duck = {(ia, ib): (rs, bs) for ia, ib, rs, bs in con.sql(sql).fetchall()}
+    for (ia, ib), (rs, bs) in got.items():
+        A, B = boxes[ia], boxes[ib]
+        assert rs == AJ.right_adjacent_scalar(A, B, "soft")
+        assert bs == AJ.bottom_adjacent_scalar(A, B, "soft")
+        assert (rs, bs) == duck[(ia, ib)]
+
+
 def test_adjacency_rule_implications():
     # hard ⟹ soft, nest ⟹ soft, child ⟹ nest∧¬hard (reference
     # utils/misc.py rule semantics) — checked on a dense grid of pairs
