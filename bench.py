@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "doc_exact_dedup",
     "doc_quality",
     "doc_lang_id",
+    "training_set_selection",
     "minhash_lsh_pairs",
     "embedding_topk",
     "simhash_pairs",

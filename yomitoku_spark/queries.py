@@ -605,6 +605,119 @@ FROM banded a JOIN banded b
 """
 
 
+def training_set_selection(spark, sf_dir):
+    """The end-to-end training-data selection a 100 TB corpus pipeline
+    actually runs, as ONE composed query: language ID + quality gates
+    (stopword/punctuation permille, token floor) + exact-dedup keeper +
+    near-dup cluster keeper → a per-document selected flag with every
+    contributing signal exposed. All components reuse the individually
+    oracle-checked operators; the DuckDB referee recomputes the whole
+    composition (including the recursive-closure near-dup clusters)."""
+    from yomitoku_spark.operators import components as CC
+
+    d = t(spark, sf_dir, "documents")
+    stop = TS.stopword_count(F.col("text"), "en")
+    punct = F.length(F.regexp_replace("text", r"[\w\s]", ""))
+    n_tok = TS.token_count(F.col("text"))
+    stats = d.select(
+        "doc_id",
+        TS.lang_id(F.col("text")).alias("lang_detected"),
+        n_tok.alias("n_tokens"),
+        F.floor(F.lit(1000) * stop / F.greatest(n_tok, F.lit(1)))
+        .cast("bigint")
+        .alias("stop_permille"),
+        F.floor(F.lit(1000) * punct / F.greatest(F.length("text"), F.lit(1)))
+        .cast("bigint")
+        .alias("punct_permille"),
+    )
+    exact = DD.exact_dedup(d, "text", "doc_id").select(
+        "doc_id", F.lit(True).alias("exact_keeper")
+    )
+    pairs = DD.lsh_candidate_pairs(
+        d, "doc_id", "text", n_hashes=8, bands=4, shingle_n=3
+    )
+    comp = CC.label_propagation(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")), iters=5
+    ).withColumnRenamed("node", "doc_id")
+    out = (
+        stats.join(exact, "doc_id", "left")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang_detected",
+            "n_tokens",
+            "stop_permille",
+            "punct_permille",
+            F.coalesce("exact_keeper", F.lit(False)).alias("exact_keeper"),
+            (F.coalesce("label", F.col("doc_id")) == F.col("doc_id")).alias(
+                "neardup_keeper"
+            ),
+        )
+    )
+    selected = (
+        (F.col("lang_detected") == "en")
+        & (F.col("stop_permille") >= 60)
+        & (F.col("punct_permille") <= 200)
+        & (F.col("n_tokens") >= 10)
+        & F.col("exact_keeper")
+        & F.col("neardup_keeper")
+    )
+    return out.withColumn("selected", selected)
+
+
+SQL_TRAINING_SELECTION = f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a AS node, a AS peer FROM und
+  UNION
+  SELECT r.node, u.b FROM reach r JOIN und u ON u.a = r.peer
+),
+comp AS (SELECT node, MIN(peer) AS cluster FROM reach GROUP BY node),
+exact AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+),
+stats AS (
+  SELECT doc_id,
+    CASE
+      WHEN length(regexp_replace(text, '[^\\x{{3040}}-\\x{{30ff}}\\x{{3400}}-\\x{{9fff}}]', '', 'g')) * 4
+           >= length(text) THEN 'cjk'
+      WHEN GREATEST({_sql_votes('en')},{_sql_votes('es')},{_sql_votes('de')},{_sql_votes('fr')}) = 0
+           THEN 'und'
+      WHEN {_sql_votes('en')} = GREATEST({_sql_votes('en')},{_sql_votes('es')},{_sql_votes('de')},{_sql_votes('fr')}) THEN 'en'
+      WHEN {_sql_votes('es')} = GREATEST({_sql_votes('en')},{_sql_votes('es')},{_sql_votes('de')},{_sql_votes('fr')}) THEN 'es'
+      WHEN {_sql_votes('de')} = GREATEST({_sql_votes('en')},{_sql_votes('es')},{_sql_votes('de')},{_sql_votes('fr')}) THEN 'de'
+      ELSE 'fr'
+    END AS lang_detected,
+    CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+    CAST(FLOOR(1000.0 * len(list_filter({_TOKS},
+          w -> w IN ('the','and','of','to','a','in','is','it','that','for')))
+         / GREATEST(len({_TOKS}), 1)) AS BIGINT) AS stop_permille,
+    CAST(FLOOR(1000.0 * length(regexp_replace(text, '[a-zA-Z0-9_\\s]', '', 'g'))
+         / GREATEST(length(text), 1)) AS BIGINT) AS punct_permille
+  FROM documents
+)
+SELECT s.doc_id, s.lang_detected, s.n_tokens, s.stop_permille, s.punct_permille,
+       (e.doc_id IS NOT NULL) AS exact_keeper,
+       COALESCE(c.cluster, s.doc_id) = s.doc_id AS neardup_keeper,
+       (s.lang_detected = 'en' AND s.stop_permille >= 60
+        AND s.punct_permille <= 200 AND s.n_tokens >= 10
+        AND e.doc_id IS NOT NULL
+        AND COALESCE(c.cluster, s.doc_id) = s.doc_id) AS selected
+FROM stats s
+LEFT JOIN exact e ON e.doc_id = s.doc_id
+LEFT JOIN comp c ON c.node = s.doc_id
+"""
+
+
 def doc_near_dup_clusters(spark, sf_dir):
     """End-to-end near-dup REDUCTION (the composition a training-data
     pipeline actually runs): MinHash-LSH candidate pairs → global
@@ -2367,6 +2480,7 @@ QUERIES = {
     "topk_per_group": topk_per_group,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_near_dup_clusters": doc_near_dup_clusters,
+    "training_set_selection": training_set_selection,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
@@ -2429,6 +2543,7 @@ ORACLE = {
     "topk_per_group": SQL_TOPK,
     "doc_exact_dedup": SQL_EXACT_DEDUP,
     "doc_near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
+    "training_set_selection": SQL_TRAINING_SELECTION,
     "doc_token_stats": SQL_TOKEN_STATS,
     "doc_quality": SQL_QUALITY,
     "doc_lang_id": SQL_LANG_ID,
