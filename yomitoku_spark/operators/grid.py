@@ -94,22 +94,61 @@ def _cluster_lines_from_units(starts: np.ndarray, ends: np.ndarray) -> np.ndarra
     axis: a spanning cell's interval would merge several lines, so seed
     clustering with cells of (near-)minimal extent and only then place
     the rest."""
-    extent = ends - starts
-    # unit cells = within 1.5x the MEDIAN extent: the median is robust
-    # where the min is not — one squat cell in a tall noisy table would
-    # otherwise disqualify every normal row from seeding (reference
-    # fixtures: a 31x8 grid seeded only 7 columns under the min rule);
-    # true spanning cells are >= 2x the unit extent and stay excluded
-    med = float(np.median(extent))
-    unit = extent <= med * 1.5
-    lines = _cluster_lines(starts[unit], ends[unit])
-    # a spanning cell's extent NOT covered by any unit line becomes a
-    # line of its own (a grid region whose every cell in some column is
-    # merged has no unit witness there — the reference's DAG splitting
-    # still yields that column; gutters between covered lines are far
-    # below the half-median floor and never qualify)
+    n = len(starts)
+    # 1. ALIGNMENT GROUPS: union intervals that near-coincide (mutual
+    #    overlap ≥ 0.8 of the LARGER extent). Cells of one line share
+    #    both endpoints up to detector noise; no global extent statistic
+    #    is assumed — genuine unit lines of very different sizes (a
+    #    70 px column next to 305 px columns, reference fixture 9)
+    #    group correctly, which min/median/percentile thresholds on the
+    #    extent distribution cannot do (each fails on some real corpus
+    #    or fuzz case).
+    parent = np.arange(n)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            ov = min(ends[i], ends[j]) - max(starts[i], starts[j])
+            if ov * 5 >= 4 * max(ends[i] - starts[i], ends[j] - starts[j]):
+                parent[find(i)] = find(j)
+    members: dict[int, list[int]] = {}
+    for i in range(n):
+        members.setdefault(find(i), []).append(i)
+    groups = [
+        (int(starts[m].min()), int(ends[m].max()))
+        for m in (np.asarray(v) for v in members.values())
+    ]
+    # 2. SPAN GROUPS: a group that majority-covers (≥ half their
+    #    extent) at least TWO other groups is a spanning alignment —
+    #    exclude it from line seeding.
+    spans, lines = [], []
+    for gi, (gs_, ge_) in enumerate(groups):
+        covered = 0
+        for hj, (hs, he) in enumerate(groups):
+            if hj == gi:
+                continue
+            ov = min(ge_, he) - max(gs_, hs)
+            if ov * 2 >= (he - hs):
+                covered += 1
+        (spans if covered >= 2 else lines).append((gs_, ge_))
+    if not lines:  # degenerate: everything spans everything
+        lines = groups
+        spans = []
+    lines.sort()
+    lines = np.asarray(lines, dtype=np.int64).reshape(-1, 2)
+    med = float(np.median(lines[:, 1] - lines[:, 0]))
+    # 3. a span extent NOT covered by any line becomes a line of its
+    #    own (a region whose every cell is merged has no unit witness —
+    #    the reference's DAG splitting still yields that column);
+    #    gutters between covered lines are far below the half-median
+    #    floor and never qualify
     gs, ge = [], []
-    for s, e in zip(starts[~unit], ends[~unit]):
+    for s, e in spans:
         cur = s
         for ls, le in lines:  # sorted by start
             if le <= cur or ls >= e:
