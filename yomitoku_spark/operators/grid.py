@@ -63,10 +63,9 @@ def recover_grid_numpy(boxes: np.ndarray) -> np.ndarray:
     if n == 0:
         return np.empty((0, 4), dtype=np.int64)
     x1, y1, x2, y2 = (boxes[:, i].astype(np.int64) for i in range(4))
-    # row lines from y-extents of cells that are "unit height" seeds:
-    # cluster ALL y intervals; spanning cells merge lines, so instead
-    # cluster by midlines of the smallest cells: use interval clustering
-    # over [y1, y2) of cells with minimal height per overlap chain.
+    # row/col lines from alignment-group clustering of the 1-D extents
+    # (spanning alignments excluded, merged-only regions synthesized —
+    # see _cluster_lines_from_units)
     rows = _cluster_lines_from_units(y1, y2)
     cols = _cluster_lines_from_units(x1, x2)
 
@@ -90,10 +89,12 @@ def recover_grid_numpy(boxes: np.ndarray) -> np.ndarray:
 
 
 def _cluster_lines_from_units(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
-    """Grid lines = interval clusters of the SMALLEST cells along the
-    axis: a spanning cell's interval would merge several lines, so seed
-    clustering with cells of (near-)minimal extent and only then place
-    the rest."""
+    """Grid lines from 1-D alignment groups: intervals that
+    near-coincide form a group; a group that majority-covers two or
+    more other groups is a SPANNING alignment and is excluded from
+    seeding (its uncovered extent, if any, becomes a synthesized
+    line). O(n²) over one table's cells — O(10²) per grouped-UDF
+    call."""
     n = len(starts)
     # 1. ALIGNMENT GROUPS: union intervals that near-coincide (mutual
     #    overlap ≥ 0.8 of the LARGER extent). Cells of one line share
