@@ -662,7 +662,14 @@ def training_set_selection(spark, sf_dir):
         & F.col("exact_keeper")
         & F.col("neardup_keeper")
     )
-    return out.withColumn("selected", selected)
+    # flags as INT (driver-canonicalizer-safe: no boolean columns cross
+    # the value-hash boundary anywhere in the registry)
+    return out.withColumn("selected", selected).select(
+        "doc_id", "lang_detected", "n_tokens", "stop_permille", "punct_permille",
+        F.col("exact_keeper").cast("int").alias("exact_keeper"),
+        F.col("neardup_keeper").cast("int").alias("neardup_keeper"),
+        F.col("selected").cast("int").alias("selected"),
+    )
 
 
 SQL_TRAINING_SELECTION = f"""
@@ -706,12 +713,12 @@ stats AS (
   FROM documents
 )
 SELECT s.doc_id, s.lang_detected, s.n_tokens, s.stop_permille, s.punct_permille,
-       (e.doc_id IS NOT NULL) AS exact_keeper,
-       COALESCE(c.cluster, s.doc_id) = s.doc_id AS neardup_keeper,
-       (s.lang_detected = 'en' AND s.stop_permille >= 60
+       CAST(e.doc_id IS NOT NULL AS INT) AS exact_keeper,
+       CAST(COALESCE(c.cluster, s.doc_id) = s.doc_id AS INT) AS neardup_keeper,
+       CAST((s.lang_detected = 'en' AND s.stop_permille >= 60
         AND s.punct_permille <= 200 AND s.n_tokens >= 10
         AND e.doc_id IS NOT NULL
-        AND COALESCE(c.cluster, s.doc_id) = s.doc_id) AS selected
+        AND COALESCE(c.cluster, s.doc_id) = s.doc_id) AS INT) AS selected
 FROM stats s
 LEFT JOIN exact e ON e.doc_id = s.doc_id
 LEFT JOIN comp c ON c.node = s.doc_id
@@ -744,7 +751,9 @@ def doc_near_dup_clusters(spark, sf_dir):
         .select(
             "doc_id",
             F.coalesce("label", F.col("doc_id")).cast("bigint").alias("cluster"),
-            (F.coalesce("label", F.col("doc_id")) == F.col("doc_id")).alias("keeper"),
+            (F.coalesce("label", F.col("doc_id")) == F.col("doc_id"))
+            .cast("int")
+            .alias("keeper"),
         )
     )
 
@@ -765,7 +774,7 @@ reach AS (
 ),
 comp AS (SELECT node, MIN(peer) AS cluster FROM reach GROUP BY node)
 SELECT d.doc_id, CAST(COALESCE(c.cluster, d.doc_id) AS BIGINT) AS cluster,
-       COALESCE(c.cluster, d.doc_id) = d.doc_id AS keeper
+       CAST(COALESCE(c.cluster, d.doc_id) = d.doc_id AS INT) AS keeper
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
@@ -1385,8 +1394,8 @@ def multimodal_plan(spark, sf_dir):
         .select(
             "media_id",
             "kind",
-            "valid",
-            "low_res_warning",
+            F.col("valid").cast("int").alias("valid"),
+            F.col("low_res_warning").cast("int").alias("low_res_warning"),
             F.coalesce("dst_w", F.lit(-1)).cast("int").alias("dst_w"),
             F.coalesce("dst_h", F.lit(-1)).cast("int").alias("dst_h"),
             F.coalesce("frames", F.lit(-1)).cast("bigint").alias("frames"),
@@ -1410,7 +1419,8 @@ v AS (
          kind <> 'audio' AND LEAST(w, h) < 720 AS low_res_warning
   FROM m
 )
-SELECT media_id, kind, valid, low_res_warning,
+SELECT media_id, kind, CAST(valid AS INT) AS valid,
+  CAST(low_res_warning AS INT) AS low_res_warning,
   CAST(COALESCE(CASE WHEN valid AND kind = 'image' THEN
     CASE WHEN GREATEST(w, h) <= 720 THEN w
          ELSE CAST(ROUND(w * 720.0 / GREATEST(w, h)) AS INT) END
@@ -1484,7 +1494,7 @@ def segment_features(spark, sf_dir):
         F.floor(F.lit(1000) * F.col("link_chars") / F.greatest("visible_len", F.lit(1)))
         .cast("int")
         .alias("link_permille"),
-        "keep",
+        F.col("keep").cast("int").alias("keep"),
         F.col("order").alias("blk_order"),
     )
 
@@ -1601,7 +1611,8 @@ blocks AS (
 )
 SELECT conv_id, turn_idx, CAST(block_id AS INT) AS block_id, source, kind,
        CAST(content_len AS INT) AS content_len,
-       CAST(link_permille AS INT) AS link_permille, keep,
+       CAST(link_permille AS INT) AS link_permille,
+       CAST(keep AS INT) AS keep,
        CAST(block_id AS INT) AS blk_order
 FROM blocks
 """
