@@ -134,6 +134,31 @@ def test_derive_grid_headers(spark):
     assert merged[(3, 0)] == ("S", "stray")
 
 
+def test_derive_grid_headers_memo_no_cache_growth(spark):
+    """Repeated derive_grid_headers calls on a semantically equal input
+    must reuse the memoized tuple — exactly ONE session-lived cache
+    entry, not one per call (round-3 advice: three registry queries
+    each cached its own copy of `units`)."""
+    from yomitoku_spark.operators import grid_headers as GH
+    from yomitoku_spark.sources.layout import form_table_cells
+
+    GH.clear_derive_memo()
+    cells = form_table_cells(spark, "/root/testdata/sf0.001")
+    r1 = GH.derive_grid_headers(cells)
+    r1[0].count()  # materialize: the lazy cache() registers its RDD here
+    n_after_first = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert n_after_first >= 1
+    # a FRESH but semantically equal plan hits the memo
+    r2 = GH.derive_grid_headers(form_table_cells(spark, "/root/testdata/sf0.001"))
+    assert r2 is r1
+    r2[1].count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == n_after_first
+    assert len(GH._DERIVE_MEMO) == 1
+    # the lifecycle hook releases the cache
+    GH.clear_derive_memo()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == n_after_first - 1
+
+
 @settings(max_examples=25, deadline=None)
 @given(st.data())
 def test_split_words_column_equals_scalar(spark, data):

@@ -354,3 +354,25 @@ def test_label_propagation_equals_union_find(spark):
         ).collect()
     }
     assert lp == uf
+
+
+def test_label_propagation_fixpoint_long_chain(spark):
+    """Fixpoint mode (iters=None) must converge EXACTLY on a path graph
+    whose diameter (12) exceeds the old fixed sweep count (5) — the
+    chain-shaped duplicate-family hazard at scale. Also checks the
+    non-convergence guard raises instead of silently under-merging."""
+    import pytest as _pytest
+
+    from yomitoku_spark.operators.components import label_propagation
+
+    # path 0-1-2-...-12 (diameter 12) plus a disjoint triangle
+    edges = [(i, i + 1) for i in range(12)] + [(100, 101), (101, 102), (100, 102)]
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    lp = {r.node: r.label for r in label_propagation(edf).collect()}
+    assert lp == {**{i: 0 for i in range(13)}, 100: 100, 101: 100, 102: 100}
+    # a fixed sweep budget below the diameter under-merges (old hazard)...
+    lp5 = {r.node: r.label for r in label_propagation(edf, iters=5).collect()}
+    assert lp5[12] != 0
+    # ...and the fixpoint guard refuses rather than returning that state
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        label_propagation(edf, max_iters=3)

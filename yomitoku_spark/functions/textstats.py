@@ -54,8 +54,17 @@ def bpe_ish_token_count(col: Column) -> Column:
 def _stopword_re(lang: str) -> str:
     # token == word  ⟺  the word run is whitespace/edge delimited; the
     # lookahead (not a consuming \s) keeps back-to-back stopwords
-    # ("of the") both countable under the non-overlapping scan
-    return r"(?:^|\s)(?:" + "|".join(STOPWORDS[lang]) + r")(?=\s|$)"
+    # ("of the") both countable under the non-overlapping scan.
+    # re.escape guards future list entries containing metacharacters
+    # (the current lists are plain words, but a silent miscount here
+    # would skew lang_id/quality/training_set_selection corpus-wide).
+    import re as _re
+
+    return (
+        r"(?:^|\s)(?:"
+        + "|".join(_re.escape(w) for w in STOPWORDS[lang])
+        + r")(?=\s|$)"
+    )
 
 
 def stopword_count(col: Column, lang: str = "en") -> Column:

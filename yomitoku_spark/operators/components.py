@@ -67,19 +67,32 @@ def connected_components(
 
 
 def label_propagation(
-    edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = 5
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int | None = None,
+    max_iters: int = 64,
 ) -> DataFrame:
     """GLOBAL weakly-connected components by iterative min-label
     (hash-min) propagation — the scale path for corpus-wide graphs.
 
     Each sweep every node takes the minimum of its own label and its
     direct neighbors' labels: one equi-join + one min aggregation (two
-    shuffles), fully distributed, no single-task state. Labels converge
-    to the component's minimum node id once ``iters`` ≥ the graph
-    diameter; callers pick ``iters`` from the expected component shape
-    (near-dup clusters are near-cliques — diameter 1-2 — so the
-    default 5 carries wide margin; an exact-closure referee can verify
-    convergence, as the ``doc_near_dup_clusters`` oracle does).
+    shuffles), fully distributed, no single-task state. Hash-min needs
+    ``diameter`` sweeps to converge, so by default (``iters=None``) the
+    loop runs to a FIXPOINT: each sweep's result is eagerly
+    ``localCheckpoint``-ed (truncating lineage so plans stay bounded)
+    and carries a ``_changed`` flag; the sweep loop stops the first
+    time no label changed. The convergence probe is a ``limit(1)``
+    scan of the already-materialized checkpoint — near-free. If the
+    graph has not converged after ``max_iters`` sweeps (a >64-diameter
+    chain at default settings) a ``RuntimeError`` is raised rather
+    than silently returning under-merged labels — the round-3 hazard
+    where chain-shaped duplicate families at 100 TB exceeded a fixed
+    sweep count and ``training_set_selection`` kept duplicates.
+
+    Passing an explicit ``iters`` runs exactly that many sweeps with
+    no convergence probe (for tests / known-diameter graphs).
 
     Returns (node, label) for every node that appears in an edge.
     """
@@ -89,7 +102,10 @@ def label_propagation(
     labels = und.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(iters):
+    fixed = iters is not None
+    sweeps = iters if fixed else max_iters
+    converged = fixed
+    for _ in range(sweeps):
         nbr_min = (
             und.join(
                 labels.select(
@@ -101,8 +117,25 @@ def label_propagation(
             .agg(F.min("blabel").alias("nmin"))
             .select(F.col("a").alias("node"), "nmin")
         )
-        labels = labels.join(nbr_min, "node", "left").select(
+        stepped = labels.join(nbr_min, "node", "left").select(
             "node",
-            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                "label"
+            ),
+            (F.coalesce("nmin", F.col("label")) < F.col("label")).alias("_changed"),
+        )
+        if fixed:
+            labels = stepped.drop("_changed")
+            continue
+        stepped = stepped.localCheckpoint(eager=True)
+        labels = stepped.drop("_changed")
+        if stepped.filter("_changed").limit(1).count() == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"label_propagation did not converge within {max_iters} sweeps; "
+            "the graph has a component with diameter > max_iters — raise "
+            "max_iters or pre-contract the graph"
         )
     return labels

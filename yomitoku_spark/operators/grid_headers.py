@@ -101,6 +101,26 @@ def expand_units(assigned: DataFrame) -> DataFrame:
     )
 
 
+# Memo of (input DataFrame, cached units, result tuple) per DISTINCT
+# input plan: repeated derive_grid_headers calls on semantically equal
+# inputs (the registry/bench paths call it from three queries) reuse
+# ONE cached `units` instead of accumulating session-lived cache
+# entries per call. Bounded by the number of distinct input plans in
+# the session; clear_derive_memo() unpersists and resets.
+_DERIVE_MEMO: list[tuple[DataFrame, DataFrame, tuple]] = []
+
+
+def clear_derive_memo() -> None:
+    """Unpersist every memoized ``units`` cache and reset the memo —
+    the explicit lifecycle hook for long-lived services."""
+    for _, units, _ in _DERIVE_MEMO:
+        try:
+            units.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _DERIVE_MEMO.clear()
+
+
 def derive_grid_headers(
     cells: DataFrame,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
@@ -120,13 +140,20 @@ def derive_grid_headers(
 
     ``units`` is cached because it feeds four consumers (header rows,
     header stacks, demotions, data) — without it each output re-runs
-    the grouped grid-recovery UDF. The cache is session-lived (Spark
-    offers no lazy-output-safe unpersist point here); repeated calls
-    accumulate entries bounded by the corpus size, which the intended
-    callers (registry queries, bench reps) tolerate — pass through
-    ``spark.catalog.clearCache()`` between unrelated workloads if that
-    footprint matters.
+    the grouped grid-recovery UDF. Calls with a semantically equal
+    input plan (``DataFrame.sameSemantics``) return the SAME memoized
+    tuple, so repeated registry/bench calls hold exactly one cache
+    entry per distinct input; ``clear_derive_memo()`` unpersists them.
     """
+    for prev_cells, _, result in _DERIVE_MEMO:
+        try:
+            if (
+                prev_cells.sparkSession is cells.sparkSession
+                and cells.sameSemantics(prev_cells)
+            ):
+                return result
+        except Exception:
+            continue  # stale session entry — fall through to recompute
     units = expand_units(assign_grid(cells)).cache()
 
     is_ok = F.col("role").isin(*HEADER_OK_ROLES).cast("int")
@@ -175,7 +202,9 @@ def derive_grid_headers(
         "col",
         F.min("col").over(wmerge).cast("int").alias("merged_col"),
     )
-    return headers, data, demoted, colmap
+    result = (headers, data, demoted, colmap)
+    _DERIVE_MEMO.append((cells, units, result))
+    return result
 
 
 def merged_grid_data(

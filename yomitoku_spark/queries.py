@@ -637,7 +637,7 @@ def training_set_selection(spark, sf_dir):
         d, "doc_id", "text", n_hashes=8, bands=4, shingle_n=3
     )
     comp = CC.label_propagation(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")), iters=5
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     ).withColumnRenamed("node", "doc_id")
     out = (
         stats.join(exact, "doc_id", "left")
@@ -742,8 +742,7 @@ def doc_near_dup_clusters(spark, sf_dir):
         d, "doc_id", "text", n_hashes=8, bands=4, shingle_n=3
     )
     comp = CC.label_propagation(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-        iters=5,
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
     return (
         d.select("doc_id")
@@ -2198,11 +2197,23 @@ def split_words_across_cells(spark, sf_dir):
     )
     # doc spine straight from the supplier scan — rebuilding the
     # 12-branch corpus union just to list doc ids would re-scan
-    # supplier once per branch
+    # supplier once per branch. Words are planted only on docs that
+    # carry BOTH the i=0 and i=1 supplier rows (those rows create the
+    # D20-D23 / S-D33 cells the expected pieces clip against), so the
+    # query stays referee-provable even if supplier keys were 1-based
+    # or the last doc were partial.
     docs = (
         t(spark, sf_dir, "supplier")
-        .select(F.floor(F.col("s_suppkey") / 20).cast("bigint").alias("doc_id"))
-        .distinct()
+        .select(
+            F.floor(F.col("s_suppkey") / 20).cast("bigint").alias("doc_id"),
+            (F.col("s_suppkey") % 20).cast("int").alias("i"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max((F.col("i") == 0).cast("int")).alias("h0"),
+            F.max((F.col("i") == 1).cast("int")).alias("h1"),
+        )
+        .filter((F.col("h0") == 1) & (F.col("h1") == 1))
         .select("doc_id", (F.col("doc_id") % 7).cast("int").alias("dx"))
     )
 
@@ -2226,7 +2237,12 @@ def split_words_across_cells(spark, sf_dir):
 
 SQL_SPLIT_WORDS = f"""
 WITH {LY.SQL_FORM_BASE},
-docs AS (SELECT DISTINCT doc_id, CAST(doc_id % 7 AS INT) AS dx FROM fc_base)
+docs AS (
+  SELECT doc_id, CAST(doc_id % 7 AS INT) AS dx FROM fc_base
+  GROUP BY doc_id
+  HAVING MAX(CASE WHEN i = 0 THEN 1 ELSE 0 END) = 1
+     AND MAX(CASE WHEN i = 1 THEN 1 ELSE 0 END) = 1
+)
 SELECT doc_id, 'wA' AS word_id, 'D20' AS part,
        CAST(10+dx AS INT) AS x1, 44 AS y1, 60 AS x2, 60 AS y2 FROM docs
 UNION ALL SELECT doc_id, 'wA', 'D21', 70, 44, 130, 60 FROM docs
@@ -2474,9 +2490,30 @@ LEFT JOIN placed p
 # registry
 # ===================================================================
 
+# Registry order matters for the driver's correctness artifact: it
+# snapshots the FIRST 50 entries only (the registry has 60).  Queries
+# that have not yet appeared in a driver artifact are placed first;
+# long-stable rows that were driver-green in rounds 2 AND 3 are rotated
+# to the tail (still replayed by tools/check_oracle.py every round).
 QUERIES = {
-    "q1_pricing_summary": q1_pricing_summary,
-    "filter_threshold": filter_threshold,
+    # --- never (or not recently) driver-checked: keep in the window ---
+    "template_override": template_override,
+    "grid_header_derivation": grid_header_derivation,
+    "grid_merged_cells": grid_merged_cells,
+    "split_words_across_cells": split_words_across_cells,
+    "connected_components_labels": connected_components_labels,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "adjacency_rules": adjacency_rules,
+    "kv_items_geometric": kv_items_geometric,
+    "extract_scalar_cascade": extract_scalar_cascade,
+    "extract_table_field": extract_table_field,
+    # --- flagship + operator rows ---
+    "extract_transcripts": extract_transcripts,
+    "extract_transcripts_staged": extract_transcripts_staged,
+    "extract_transcripts_mix": extract_transcripts_mix,
+    "segment_features": segment_features,
+    "extract_fields_kv": extract_fields_kv,
+    "export_formats": export_formats,
     "argmax_join": argmax_join,
     "anti_join_orphans": anti_join_orphans,
     "semi_join_hot_parts": semi_join_hot_parts,
@@ -2496,27 +2533,13 @@ QUERIES = {
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
-    "markdown_escape": markdown_escape,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "embedding_topk": embedding_topk,
-    "normalize_dates": normalize_dates,
-    "phone_format": phone_format,
-    "price_histogram": price_histogram,
-    "pivot_event_types": pivot_event_types,
-    "union_distinct_nations": union_distinct_nations,
     "gap_detection": gap_detection,
     "adjacency_join": adjacency_join,
-    "page_select": page_select,
-    "zip_join_positional": zip_join_positional,
     "grid_recovery": grid_recovery,
     "asof_join": asof_join,
     "rollup_revenue": rollup_revenue,
-    "export_formats": export_formats,
-    "extract_transcripts": extract_transcripts,
-    "extract_transcripts_staged": extract_transcripts_staged,
-    "extract_transcripts_mix": extract_transcripts_mix,
-    "segment_features": segment_features,
-    "extract_fields_kv": extract_fields_kv,
     "simhash_pairs": simhash_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "multimodal_features": multimodal_features,
@@ -2525,16 +2548,18 @@ QUERIES = {
     "ivf_scaled_topk": ivf_scaled_topk,
     "ivf_lloyd_topk": ivf_lloyd_topk,
     "jaccard_near_pairs": jaccard_near_pairs,
-    "connected_components_labels": connected_components_labels,
-    "embedding_near_dup_pairs": embedding_near_dup_pairs,
-    "adjacency_rules": adjacency_rules,
-    "kv_items_geometric": kv_items_geometric,
-    "extract_scalar_cascade": extract_scalar_cascade,
-    "extract_table_field": extract_table_field,
-    "grid_header_derivation": grid_header_derivation,
-    "grid_merged_cells": grid_merged_cells,
-    "split_words_across_cells": split_words_across_cells,
-    "template_override": template_override,
+    # --- rotated out of the 50-row driver window (driver-green in
+    # r02+r03; still oracle-replayed by tools/check_oracle.py) ---
+    "q1_pricing_summary": q1_pricing_summary,
+    "filter_threshold": filter_threshold,
+    "markdown_escape": markdown_escape,
+    "normalize_dates": normalize_dates,
+    "phone_format": phone_format,
+    "price_histogram": price_histogram,
+    "pivot_event_types": pivot_event_types,
+    "union_distinct_nations": union_distinct_nations,
+    "page_select": page_select,
+    "zip_join_positional": zip_join_positional,
 }
 
 ORACLE = {
