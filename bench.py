@@ -10,13 +10,17 @@ mean + one 12× skewed conversation) — the `extract_transcripts` key
 the corpus-backed oracle slice). Plans execute fully via the noop sink
 (no collect, no pruning shortcuts).
 
-Round-comparability: every query is timed best-of-$SPARK_BENCH_REPS
-(default 3) inside ONE warmed JVM — the C2 JIT needs several passes at
-32 cores and single-pass interleaves swing ±3× on unchanged code (the
-round-2 phantom doc_lang_id regression). `queries` carries the
+Round-comparability: every query runs ONE untimed warmup pass (absorbs
+per-query codegen + C2 JIT, which otherwise lands in the first timed
+rep and inflates spread 5× on sub-second queries), then is timed
+best-of-N inside ONE warmed JVM. N = $SPARK_BENCH_REPS (default 3) for
+queries ≥ ~1.5 s, scaled up to ~4.5 s of total reps (cap 12) for
+shorter ones so the reported best is stable. `queries` carries the
 best-of-N seconds (the driver contract); `queries_spread` carries
-max/min per query so a noisy row is visible as data, not as a phantom
-regression.
+max/min over the TIMED reps so a noisy row is visible as data, not as
+a phantom regression. `recall_at_3` carries each approximate-ANN
+query's overlap with the brute-force cosine top-3 (embedding_topk) —
+wall time without recall is not a comparable number for ANN.
 """
 
 from __future__ import annotations
@@ -78,8 +82,12 @@ def main():
     spread: dict[str, float] = {}
 
     def bench(name, plan_fn):
+        t0 = time.perf_counter()
+        run_plan(plan_fn())  # untimed warmup: codegen + JIT + cache warm
+        warm = time.perf_counter() - t0
+        n = max(reps, min(12, int(4.5 / max(warm, 0.4))))
         walls = []
-        for _ in range(reps):
+        for _ in range(n):
             t0 = time.perf_counter()
             run_plan(plan_fn())
             walls.append(time.perf_counter() - t0)
@@ -96,6 +104,22 @@ def main():
     for name in BENCH_QUERIES:
         bench(name, lambda name=name: QUERIES[name](spark, sf_dir))
 
+    # recall@3 of every approximate-ANN query vs the brute-force cosine
+    # referee (embedding_topk) — rounds compare quality alongside wall
+    def topk_sets(name):
+        out: dict = {}
+        for r in QUERIES[name](spark, sf_dir).collect():
+            out.setdefault(r.query_id, set()).add(r.corpus_id)
+        return out
+
+    exact = topk_sets("embedding_topk")
+    n_exact = sum(len(v) for v in exact.values())
+    recall = {}
+    for name in ("ann_lsh_topk", "ivf_flat_topk", "ivf_scaled_topk", "ivf_lloyd_topk"):
+        approx = topk_sets(name)
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        recall[name] = round(hits / n_exact, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "e2e_bench_seconds",
@@ -103,6 +127,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "queries_spread": spread,
+        "recall_at_3": recall,
         "reps": reps,
         "sf": sf,
         "n_turns": int(n_turns),

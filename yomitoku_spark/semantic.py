@@ -124,8 +124,11 @@ def extract_scalar_fields(
     regardless of schema width."""
     spark = cells.sparkSession
     noncells = _boxed(cells.filter(F.col("role") != "group"))
-    paras = _boxed(paragraphs)
-    wrds = _boxed(words)
+    # paragraphs/words can only match text tiers (5, 7, 8), all of
+    # which require non-empty contents — filter before the items union
+    # so the predicate reaches the scan instead of the post-join filter
+    paras = _boxed(paragraphs).filter(F.col("contents") != "")
+    wrds = _boxed(words).filter(F.col("content") != "")
     kv_boxed = kv_items.join(
         noncells.select("doc_id", F.col("cell_id").alias("value_cell"), "x1", "y1"),
         ["doc_id", "value_cell"],
