@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "doc_quality",
     "doc_lang_id",
     "training_set_selection",
+    "corpus_build",
     "minhash_lsh_pairs",
     "embedding_topk",
     "simhash_pairs",

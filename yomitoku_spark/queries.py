@@ -1288,17 +1288,24 @@ def ann_lsh_topk(spark, sf_dir):
     bit-for-bit. Recall vs brute force is measured separately in
     tests/test_operators.py."""
     e = t(spark, sf_dir, "embeddings")
-    return SIM.lsh_ann_topk_quantized(e, k=3, n_planes=6, n_tables=2)
+    return SIM.lsh_ann_topk_quantized(
+        e, k=3, n_planes=_ANN_PLANES, n_tables=_ANN_TABLES
+    )
 
 
-SQL_ANN_LSH = """
+# 5 planes x 8 tables: measured at sf0.1 this lifts recall@3 from 0.12
+# (6x2, the round-3 config) to 0.55 for ~0.4 s — bench reports the
+# recall so the trade stays visible round over round
+_ANN_PLANES, _ANN_TABLES = 5, 8
+
+SQL_ANN_LSH = f"""
 WITH planes AS (
   SELECT CAST(t AS INT) AS t, CAST(p AS INT) AS p, CAST(i AS INT) AS i,
          CASE WHEN ('0x' || substr(md5(CAST(t AS VARCHAR) || ':' ||
                     CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1))::INT
                    % 2 = 1
               THEN 1 ELSE -1 END AS s
-  FROM range(2) tt(t), range(6) pp(p), range(64) ii(i)
+  FROM range({_ANN_TABLES}) tt(t), range({_ANN_PLANES}) pp(p), range(64) ii(i)
 ),
 qv AS (
   SELECT vec_id, CAST(i AS INT) AS i,
@@ -1660,6 +1667,109 @@ SELECT conv_id, turn_idx, markdown, html, csv,
        '{{"conv_id":"' || conv_id || '","turn_idx":' || CAST(turn_idx AS VARCHAR)
        || ',"extracted_text":"' || replace(markdown, chr(10), '\\n') || '"}}' AS json
 FROM rendered
+"""
+
+
+def corpus_build(spark, sf_dir):
+    """Composed corpus-build flagship — the full LLM training-corpus
+    path as ONE plan over the parquet-derived transcripts: extraction
+    (the REAL fused pipeline), quality stats on the extracted markdown
+    (token floor, stopword/punct permille), exact-dedup keeper (one
+    digest-partitioned window — the whole composition is ONE shuffle),
+    a selection gate, and a JSON export record for every selected turn. The DuckDB referee
+    recomputes every stage from the corpus construction rules: expected
+    markdown via length arithmetic, the same md5 dedup, the same gates,
+    manual JSON assembly (reference lifecycle: document_analyzer.py →
+    export_json.py, recast as one declarative plan)."""
+    from yomitoku_spark.plans.pipeline import extract
+    from yomitoku_spark.sources.transcripts_corpus import corpus_transcripts
+
+    ex = extract(corpus_transcripts(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "extracted_text"
+    )
+    ntok = TS.token_count(F.col("extracted_text"))
+    stop = TS.stopword_count(F.col("extracted_text"), "en")
+    punct = F.length(F.regexp_replace("extracted_text", r"[\w\s]", ""))
+    stats = ex.select(
+        "conv_id",
+        "turn_idx",
+        "extracted_text",
+        ntok.alias("n_tokens"),
+        F.floor(F.lit(1000) * stop / F.greatest(ntok, F.lit(1)))
+        .cast("bigint")
+        .alias("stop_permille"),
+        F.floor(
+            F.lit(1000) * punct / F.greatest(F.length("extracted_text"), F.lit(1))
+        )
+        .cast("bigint")
+        .alias("punct_permille"),
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("extracted_text"), r"\s+", " "))
+        ).alias("digest"),
+    )
+    # keeper = min (conv_id, turn_idx) per normalized digest, as a
+    # row_number window over digest partitions: ONE digest-hash shuffle
+    # and the extraction pipeline runs ONCE. (The agg + join-back
+    # alternative re-evaluates the extraction MapInPandas in both join
+    # branches — column pruning makes the branches non-identical so
+    # neither ReuseExchange nor AQE stage reuse can dedupe them. The
+    # window partitions by digest, so parallelism matches the agg.)
+    wk = W.partitionBy("digest").orderBy("conv_id", "turn_idx")
+    j = stats.withColumn("__rk", F.row_number().over(wk))
+    keeper = F.col("__rk") == 1
+    selected = keeper & (F.col("n_tokens") >= 6) & (F.col("punct_permille") <= 150)
+    return j.select(
+        "conv_id",
+        "turn_idx",
+        "n_tokens",
+        "stop_permille",
+        "punct_permille",
+        keeper.cast("int").alias("exact_keeper"),
+        selected.cast("int").alias("selected"),
+        F.when(
+            selected,
+            F.to_json(F.struct("conv_id", "turn_idx", "extracted_text")),
+        )
+        .otherwise(F.lit(""))
+        .alias("record"),
+    )
+
+
+SQL_CORPUS_BUILD = f"""
+WITH {TC.SQL_CORPUS_PIECES},
+ext AS (
+  SELECT conv_id, turn_idx, {_TC_ET} AS et FROM tc_base
+),
+ctoks AS (
+  SELECT conv_id, turn_idx, et,
+         list_filter(regexp_split_to_array(trim(lower(et)), '\\s+'), w -> w != '') AS tk
+  FROM ext
+),
+cstats AS (
+  SELECT conv_id, turn_idx, et,
+    CAST(len(tk) AS BIGINT) AS n_tokens,
+    CAST(FLOOR(1000.0 * len(list_filter(tk,
+          w -> w IN ('the','and','of','to','a','in','is','it','that','for')))
+         / GREATEST(len(tk), 1)) AS BIGINT) AS stop_permille,
+    CAST(FLOOR(1000.0 * length(regexp_replace(et, '[a-zA-Z0-9_\\s]', '', 'g'))
+         / GREATEST(length(et), 1)) AS BIGINT) AS punct_permille,
+    md5(trim(regexp_replace(lower(et), '\\s+', ' ', 'g'))) AS digest
+  FROM ctoks
+),
+ckept AS (
+  SELECT *, CASE WHEN ROW_NUMBER() OVER (
+                   PARTITION BY digest ORDER BY conv_id, turn_idx) = 1
+                 THEN 1 ELSE 0 END AS exact_keeper
+  FROM cstats
+)
+SELECT conv_id, turn_idx, n_tokens, stop_permille, punct_permille, exact_keeper,
+  CASE WHEN exact_keeper = 1 AND n_tokens >= 6 AND punct_permille <= 150
+       THEN 1 ELSE 0 END AS selected,
+  CASE WHEN exact_keeper = 1 AND n_tokens >= 6 AND punct_permille <= 150
+       THEN '{{"conv_id":"' || conv_id || '","turn_idx":' || CAST(turn_idx AS VARCHAR)
+            || ',"extracted_text":"' || replace(et, chr(10), '\\n') || '"}}'
+       ELSE '' END AS record
+FROM ckept
 """
 
 
@@ -2496,7 +2606,7 @@ LEFT JOIN placed p
 # ===================================================================
 
 # Registry order matters for the driver's correctness artifact: it
-# snapshots the FIRST 50 entries only (the registry has 60).  Queries
+# snapshots the FIRST 50 entries only (the registry has 61).  Queries
 # that have not yet appeared in a driver artifact are placed first;
 # long-stable rows that were driver-green in rounds 2 AND 3 are rotated
 # to the tail (still replayed by tools/check_oracle.py every round).
@@ -2534,6 +2644,7 @@ QUERIES = {
     "doc_exact_dedup": doc_exact_dedup,
     "doc_near_dup_clusters": doc_near_dup_clusters,
     "training_set_selection": training_set_selection,
+    "corpus_build": corpus_build,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
@@ -2585,6 +2696,7 @@ ORACLE = {
     "doc_exact_dedup": SQL_EXACT_DEDUP,
     "doc_near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
     "training_set_selection": SQL_TRAINING_SELECTION,
+    "corpus_build": SQL_CORPUS_BUILD,
     "doc_token_stats": SQL_TOKEN_STATS,
     "doc_quality": SQL_QUALITY,
     "doc_lang_id": SQL_LANG_ID,
