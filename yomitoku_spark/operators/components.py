@@ -99,10 +99,16 @@ def label_propagation(
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    fixed = iters is not None
+    if not fixed:
+        # the edge list is the loop invariant — materialize it ONCE.
+        # Left lazy, every eager sweep re-runs the whole upstream
+        # candidate-generation pipeline (e.g. MinHash-LSH shingling),
+        # which multiplied the composed-query wall by ~1.8x at sf0.1.
+        und = und.localCheckpoint(eager=True)
     labels = und.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    fixed = iters is not None
     sweeps = iters if fixed else max_iters
     converged = fixed
     for _ in range(sweeps):
