@@ -96,13 +96,28 @@ def child(cpus: int, input_dir: str) -> None:
     # throughput); the equality checksum is computed separately after.
     # Best of 3 passes = steady-state throughput (single-run noise on a
     # shared box otherwise dominates the comparison).
+    def _gc_ms() -> int:
+        """Cumulative driver-JVM GC milliseconds (all collectors) — the
+        second outlier suspect besides host steal: a mid-run mixed-GC
+        ramp stalls the single local-mode JVM for whole seconds."""
+        try:
+            beans = (
+                spark._jvm.java.lang.management.ManagementFactory
+                .getGarbageCollectorMXBeans()
+            )
+            return sum(b.getCollectionTime() for b in beans)
+        except Exception:
+            return 0
+
     walls = []
     loadavgs = []
     steals = []
+    gc_deltas = []
     outlier_evidence = []
     for rep in range(int(os.environ.get("SCALE_REPS", "10"))):
         la0 = _loadavg()
         c0 = _cpu_jiffies()
+        g0 = _gc_ms()
         t0 = time.perf_counter()
         extract(tdf).write.mode("overwrite").format("noop").save()
         w = time.perf_counter() - t0
@@ -110,6 +125,7 @@ def child(cpus: int, input_dir: str) -> None:
         walls.append(w)
         loadavgs.append(round(la0, 2))
         steals.append(steal)
+        gc_deltas.append(_gc_ms() - g0)
         # an outlier rep (>2x the best so far) gets a concurrent-load
         # sample so external interference is evidenced, not asserted
         if w > 2 * min(walls):
@@ -118,6 +134,7 @@ def child(cpus: int, input_dir: str) -> None:
                     "rep": rep,
                     "wall": round(w, 3),
                     "steal_pct": steal,
+                    "gc_ms": gc_deltas[-1],
                     "loadavg_before": round(la0, 2),
                     "loadavg_after": round(_loadavg(), 2),
                     "top_procs": _top_procs(),
@@ -152,6 +169,7 @@ def child(cpus: int, input_dir: str) -> None:
                 "turns_per_sec": round(n_turns / wall, 1),
                 "loadavgs": loadavgs,
                 "steal_pcts": steals,
+                "gc_ms_per_rep": gc_deltas,
                 "outlier_evidence": outlier_evidence,
                 "checksum": str(agg.checksum),
                 "n_results": int(agg.n),
@@ -252,17 +270,24 @@ steady state; best-of-N is the steady-state measure.)
 
 ## Interference evidence
 
-This sandbox is a microVM guest: wall outliers are caused by HOST-level
-tenant contention, which guest-side ps/loadavg cannot see. The one
-observable signal is CPU **steal time** (/proc/stat col 8), so every
-timed rep records its steal%% delta; slow reps line up with high-steal
-windows, attributing the outliers to the host scheduler red-handed
-(best-of-N is therefore the honest steady-state measure). Per-rep
-1-min loadavg and, on >2x outlier reps, the concurrent top CPU
-consumers are also captured.
+Every timed rep records the two signals that explain wall outliers on
+this box, so each outlier is ATTRIBUTED rather than asserted away:
+
+1. **CPU steal time** (/proc/stat col 8 delta) — this sandbox is a
+   microVM guest, and host-level tenant contention is invisible to
+   guest ps/loadavg; steal is the one observable trace of it.
+2. **Driver-JVM GC time** (GarbageCollectorMXBeans delta) — local mode
+   runs everything in ONE JVM, so a mixed-GC ramp mid-run stalls all
+   32 cores at once (java CPU%% drops while wall stretches).
+
+Per-rep 1-min loadavg and, on >2x outlier reps, the concurrent top CPU
+consumers are also captured. Best-of-N is the steady-state headline;
+the tables below let a reader match every slow rep to its cause.
 
 - local[8]  per-rep steal%: {r8.get('steal_pcts')}
 - local[32] per-rep steal%: {r32.get('steal_pcts')}
+- local[8]  per-rep driver-JVM GC ms: {r8.get('gc_ms_per_rep')}
+- local[32] per-rep driver-JVM GC ms: {r32.get('gc_ms_per_rep')}
 - local[8]  walls: {r8['all_walls']}
 - local[32] walls: {r32['all_walls']}
 - local[8] outlier reps: {json.dumps(r8.get('outlier_evidence') or 'none')}

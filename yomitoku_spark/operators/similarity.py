@@ -241,9 +241,12 @@ def lsh_ann_topk_quantized(
     Same shuffle discipline as :func:`lsh_ann_topk`: vectors never ride
     through candidate generation; they join back once for the re-rank."""
     sigs = lsh_buckets_quantized(corpus, id_col, vec_col, dim, n_planes, n_tables, scale)
-    # exchange barrier: both sides of the self-join reuse ONE run of
-    # the Arrow bucketing stage (ReusedExchange) instead of two
-    sigs = sigs.repartition("table", "bucket")
+    # materialize the ids-only signature table ONCE (3 ints/row/table —
+    # this IS the LSH index). A repartition barrier does NOT get reused
+    # across the self-join branches (verified: two Arrow bucketing
+    # nodes in the plan, no ReusedExchange), so without this the corpus
+    # is re-bucketed twice.
+    sigs = sigs.localCheckpoint(eager=True)
     a = sigs.select(F.col("id").alias("query_id"), "table", "bucket")
     b = sigs.select(F.col("id").alias("corpus_id"), "table", "bucket")
     pairs = (
@@ -412,7 +415,11 @@ def ivf_flat_topk(
 
     schema = "id bigint, cell bigint, " + ", ".join(f"p{p} bigint" for p in range(n_probe))
     ap = corpus.select(id_col, vec_col).mapInPandas(assign, schema=schema)
-    ap = ap.repartition("id")  # one evaluation serves the probe + list sides
+    # materialize the ids-only assignment table ONCE (cell + probes per
+    # id — this IS the IVF inverted index). The probe and list sides
+    # prune different columns, so no exchange/stage reuse applies and a
+    # lazy plan re-runs the assignment matmul twice over the corpus.
+    ap = ap.localCheckpoint(eager=True)
     lists = ap.select(F.col("id").alias("corpus_id"), "cell")
     probes = ap.select(
         F.col("id").alias("query_id"),
@@ -512,9 +519,10 @@ def lsh_ann_topk(
     n_tables at linear candidate cost (measured in
     tests/test_operators.py::test_lsh_ann_recall_vs_brute_force)."""
     sigs = lsh_signatures(corpus, id_col, vec_col, dim, n_planes, seed, n_tables)
-    # exchange barrier: both sides of the self-join reuse ONE run of
-    # the Arrow signature stage (ReusedExchange) instead of two
-    sigs = sigs.repartition("table", "bucket")
+    # materialize the ids-only signature table ONCE (this IS the LSH
+    # index; see lsh_ann_topk_quantized for why a repartition barrier
+    # does not dedupe the self-join branches)
+    sigs = sigs.localCheckpoint(eager=True)
     a = sigs.select(F.col("id").alias("query_id"), "table", "bucket")
     b = sigs.select(F.col("id").alias("corpus_id"), "table", "bucket")
     pairs = (
