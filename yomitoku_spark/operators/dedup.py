@@ -136,11 +136,12 @@ def lsh_candidate_pairs(
     else:
         sig = minhash_signature(F.col(text_col), n_hashes, shingle_n)
         sdf = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
-    # the exchange is a deliberate materialization barrier: it stops
-    # CollapseProject from inlining the signature computation into every
-    # band struct, and lets ReusedExchange serve BOTH sides of the
-    # self-join from one evaluation of the signature stage
-    sdf = sdf.repartition("id")
+    # materialize the signature table ONCE (id + n_hashes ints — this
+    # IS the MinHash index). A repartition barrier does not dedupe the
+    # banded self-join's branches (they prune differently; no
+    # ReusedExchange forms), so a lazy plan runs the Arrow signature
+    # stage twice over the corpus.
+    sdf = sdf.localCheckpoint(eager=True)
     banded = sdf.select(
         "id",
         F.explode(
