@@ -376,3 +376,67 @@ def test_label_propagation_fixpoint_long_chain(spark):
     # ...and the fixpoint guard refuses rather than returning that state
     with _pytest.raises(RuntimeError, match="did not converge"):
         label_propagation(edf, max_iters=3)
+
+
+def test_index_stage_single_evaluation(spark):
+    """The expensive python index stages (LSH bucketing, IVF
+    assignment, MinHash signatures) must appear EXACTLY ONCE in their
+    query plans: the candidate self-joins' branches prune different
+    columns, so Spark's exchange/stage reuse never dedupes them, and a
+    lazy plan silently runs the stage twice over the corpus (the
+    round-4 finding — 2x corpus passes at 100 TB). The eager index
+    materialization pins it to one."""
+    import io
+    from contextlib import redirect_stdout
+
+    from yomitoku_spark.queries import QUERIES
+
+    def tree_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue().split("(1) ")[0]
+
+    sf = "/root/testdata/sf0.001"
+    # index paths: the python stage ran eagerly at build time, so the
+    # final plan reads the materialized index (Scan ExistingRDD) and
+    # contains ZERO in-plan index stages — the lazy-plan regression
+    # this guards against shows up as MapInPandas nodes reappearing
+    for name in ("ann_lsh_topk", "ivf_flat_topk", "minhash_lsh_pairs"):
+        t = tree_of(QUERIES[name](spark, sf))
+        assert t.count("MapInPandas") == 0, (name, t)
+        assert "Scan ExistingRDD" in t, (name, t)
+    # corpus_build keeps its single extraction stage in-plan
+    t = tree_of(QUERIES["corpus_build"](spark, sf))
+    assert t.count("MapInPandas") == 1, t
+
+
+def test_lsh_hot_bucket_star_capping(spark):
+    """max_bucket_size bounds a hot bucket's output to B-1 star pairs
+    (vs B² all-pairs) while keeping its members in ONE connected
+    component, and leaves small-bucket candidates untouched."""
+    from yomitoku_spark.operators.components import label_propagation
+
+    viral = "the same viral page text repeated across the whole corpus"
+    pair = "a unique document about spark partitions and shuffles okay"
+    rows = [(i, viral) for i in range(30)] + [(100, pair), (101, pair)]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+
+    capped = DD.lsh_candidate_pairs(
+        df, "id", "text", 8, 4, 3, max_bucket_size=5
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in capped}
+    # hot bucket: star only — O(B), all anchored at the min id
+    hot = {p for p in pairs if p[0] < 100 and p[1] < 100}
+    assert hot == {(0, i) for i in range(1, 30)}
+    # the small-bucket near-dup pair survives with its direct edge
+    assert (100, 101) in pairs
+    # connectivity preserved: the 30 viral docs form one component
+    edf = spark.createDataFrame(
+        [(a, b) for a, b in pairs], "src bigint, dst bigint"
+    )
+    labels = {r.node: r.label for r in label_propagation(edf).collect()}
+    assert {labels[i] for i in range(30)} == {0}
+    # uncapped baseline really is quadratic in the hot bucket
+    uncapped = DD.lsh_candidate_pairs(df, "id", "text", 8, 4, 3).collect()
+    assert len({(r.id_a, r.id_b) for r in uncapped if r.id_a < 100}) == 435

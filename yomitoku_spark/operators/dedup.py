@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from yomitoku_spark.functions.textstats import hash64, tokens
@@ -123,13 +124,26 @@ def lsh_candidate_pairs(
     bands: int = 4,
     shingle_n: int = 5,
     use_arrow: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: signatures banded into
     ``bands`` buckets; a pair is a candidate when any band matches.
     Returns distinct (id_a, id_b) with id_a < id_b.
 
     The join is equi on (band_idx, band_key) — bucket-local, so the
-    shuffle is O(n·bands) and no cross join ever materializes."""
+    shuffle is O(n·bands) and no cross join ever materializes.
+
+    ``max_bucket_size`` is the hot-bucket guard for real corpora: a
+    bucket of B identical/near-identical documents otherwise emits
+    B² pairs (a single viral page repeated 10⁶ times = 10¹² pairs).
+    Buckets larger than the cap are STAR-LINKED instead — every member
+    pairs with the bucket's minimum id only — which bounds their output
+    to B-1 rows while preserving exactly the connectivity the
+    downstream clustering (label_propagation) needs: the bucket's
+    members still land in one component. Only pairs whose SOLE shared
+    bucket is a hot one lose their direct edge — they stay transitively
+    connected through the star center. None by default so the
+    oracle-checked registry rows stay bit-identical."""
     rows_per_band = n_hashes // bands
     if use_arrow:
         sdf = minhash_signatures_arrow(df, id_col, text_col, n_hashes, shingle_n)
@@ -162,9 +176,25 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
+    star = None
+    if max_bucket_size:
+        wb = W.partitionBy("band", "key")
+        sized = banded.withColumn("n", F.count(F.lit(1)).over(wb)).withColumn(
+            "mn", F.min("id").over(wb)
+        )
+        star = (
+            sized.filter(
+                (F.col("n") > max_bucket_size) & (F.col("id") != F.col("mn"))
+            )
+            .select(F.col("mn").alias("id_a"), F.col("id").alias("id_b"))
+            .distinct()
+        )
+        banded = sized.filter(F.col("n") <= max_bucket_size).select(
+            "id", "band", "key"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -174,6 +204,9 @@ def lsh_candidate_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star).distinct()
+    return pairs
 
 
 def jaccard_pairs(

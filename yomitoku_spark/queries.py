@@ -604,6 +604,26 @@ FROM banded a JOIN banded b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 """
 
+# Hot-bucket guard used by the COMPOSED pipelines (dedup.
+# lsh_candidate_pairs max_bucket_size): buckets above the cap emit
+# star pairs (min id ↔ member) instead of all-pairs — O(B) rows, same
+# downstream connectivity. The referee implements the identical rule.
+_LSH_CAP = 64
+_SQL_CAPPED_PAIRS = f"""bsz AS (
+  SELECT doc_id, band, key,
+         COUNT(*) OVER (PARTITION BY band, key) AS n,
+         MIN(doc_id) OVER (PARTITION BY band, key) AS mn
+  FROM banded),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bsz a JOIN bsz b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+   AND a.n <= {_LSH_CAP}
+  UNION
+  SELECT DISTINCT mn AS id_a, doc_id AS id_b
+  FROM bsz WHERE n > {_LSH_CAP} AND doc_id <> mn
+)"""
+
 
 def training_set_selection(spark, sf_dir):
     """The end-to-end training-data selection a 100 TB corpus pipeline
@@ -634,7 +654,8 @@ def training_set_selection(spark, sf_dir):
         "doc_id", F.lit(True).alias("exact_keeper")
     )
     pairs = DD.lsh_candidate_pairs(
-        d, "doc_id", "text", n_hashes=8, bands=4, shingle_n=3
+        d, "doc_id", "text", n_hashes=8, bands=4, shingle_n=3,
+        max_bucket_size=_LSH_CAP,
     )
     comp = CC.label_propagation(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -674,11 +695,7 @@ def training_set_selection(spark, sf_dir):
 
 SQL_TRAINING_SELECTION = f"""
 WITH RECURSIVE {_SQL_MINHASH_CTES},
-pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-),
+{_SQL_CAPPED_PAIRS},
 und AS (SELECT id_a AS a, id_b AS b FROM pairs
         UNION SELECT id_b, id_a FROM pairs),
 reach AS (
@@ -739,7 +756,8 @@ def doc_near_dup_clusters(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     pairs = DD.lsh_candidate_pairs(
-        d, "doc_id", "text", n_hashes=8, bands=4, shingle_n=3
+        d, "doc_id", "text", n_hashes=8, bands=4, shingle_n=3,
+        max_bucket_size=_LSH_CAP,
     )
     comp = CC.label_propagation(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -759,11 +777,7 @@ def doc_near_dup_clusters(spark, sf_dir):
 
 SQL_NEAR_DUP_CLUSTERS = f"""
 WITH RECURSIVE {_SQL_MINHASH_CTES},
-pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-),
+{_SQL_CAPPED_PAIRS},
 und AS (SELECT id_a AS a, id_b AS b FROM pairs
         UNION SELECT id_b, id_a FROM pairs),
 reach AS (
