@@ -21,9 +21,139 @@ from pyspark.sql import functions as F
 
 
 def html_escape(col: Column) -> Column:
+    """Python ``html.escape`` parity (the reference's escaper,
+    export_html.py:3,20): & < > AND the two quote characters. The
+    reference's URL re-escape pass (export_html.py:14-20) is a no-op —
+    its URL regex matches a single character after ``https?://``, whose
+    re-escape equals itself — so plain full escaping IS its behavior,
+    as its own test vectors confirm (tests/test_export.py:37-54)."""
     out = F.regexp_replace(col, "&", "&amp;")
     out = F.regexp_replace(out, "<", "&lt;")
-    return F.regexp_replace(out, ">", "&gt;")
+    out = F.regexp_replace(out, ">", "&gt;")
+    out = F.regexp_replace(out, '"', "&quot;")
+    return F.regexp_replace(out, "'", "&#x27;")
+
+
+def md_escape(col: Column) -> Column:
+    """The reference's escape_markdown_special_chars
+    (export_markdown.py:7-9): backslash-prefix every char in
+    [`*{}[]()#+!~|-]."""
+    return F.regexp_replace(col, r"([`*{}\[\]()#+!~|-])", r"\\$1")
+
+
+def _block_body(col: Column, ignore_line_break: bool) -> Column:
+    return F.regexp_replace(col, "\n", "" if ignore_line_break else "<br>")
+
+
+def paragraph_md(contents: Column, ignore_line_break: bool = False) -> Column:
+    """paragraph_to_md parity (export_markdown.py:12-27): escape,
+    newline policy, trailing newline (role prefix handled upstream)."""
+    return F.concat(_block_body(md_escape(contents), ignore_line_break), F.lit("\n"))
+
+
+def paragraph_html(contents: Column, ignore_line_break: bool = False) -> Column:
+    """paragraph_to_html parity (export_html.py:149-168)."""
+    return F.concat(
+        F.lit("<p>"), _block_body(html_escape(contents), ignore_line_break), F.lit("</p>")
+    )
+
+
+def table_cells_md(cells: DataFrame, group_cols: list[str],
+                   ignore_line_break: bool = False) -> DataFrame:
+    """table_to_md parity (export_markdown.py:30-67) from a cells table
+    (group_cols..., row, col, row_span, col_span, contents) with the
+    reference's 1-based anchors: an n_row x n_col pipe grid holding
+    each cell's (escaped, newline-replaced) contents at its ANCHOR
+    position only, other spanned positions empty, separator row after
+    row 1, one trailing newline per row. n_row/n_col derive from the
+    span extents (the reference receives them precomputed from the same
+    cells). Higher-order exprs over O(10^2)-cell tables — export leaf,
+    not a hot path."""
+    body = _block_body(md_escape(F.coalesce(F.col("contents"), F.lit(""))),
+                       ignore_line_break)
+    agg = cells.groupBy(*group_cols).agg(
+        F.collect_list(
+            F.struct(F.col("row"), F.col("col"), body.alias("v"))
+        ).alias("cs"),
+        F.max(F.col("row") + F.col("row_span") - 1).alias("n_row"),
+        F.max(F.col("col") + F.col("col_span") - 1).alias("n_col"),
+    )
+    sep = F.concat(
+        F.lit("|"),
+        F.array_join(F.transform(F.sequence(F.lit(1), F.col("n_col")),
+                                 lambda c: F.lit("-")), "|"),
+        F.lit("|\n"),
+    )
+    row_md = lambda r: F.concat(
+        F.lit("|"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_col")),
+                lambda c: F.coalesce(
+                    # F.get (not element_at): null on no-anchor positions
+                    # instead of an ANSI out-of-bounds error
+                    F.get(
+                        F.filter("cs", lambda s: (s["row"] == r) & (s["col"] == c)),
+                        0,
+                    )["v"],
+                    F.lit(""),
+                ),
+            ),
+            "|",
+        ),
+        F.lit("|\n"),
+    )
+    md = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_row")),
+            lambda r: F.when(r == 1, F.concat(row_md(r), sep)).otherwise(row_md(r)),
+        ),
+        "",
+    )
+    return agg.select(*group_cols, md.alias("md"))
+
+
+def table_cells_html(cells: DataFrame, group_cols: list[str],
+                     ignore_line_break: bool = False) -> DataFrame:
+    """table_to_html parity (export_html.py:108-146): one <td> per cell
+    carrying rowspan/colspan attributes, cells grouped into <tr> by
+    row, the reference's table tag. Deviation (documented): the
+    reference opens a new <tr> at every row-VALUE change in raw cell
+    list order (an unsorted list would split a row into several <tr>);
+    we group by row value, identical on the row-major cell lists the
+    reference actually produces. Rows with no anchor cells emit no
+    <tr>, like the reference."""
+    body = _block_body(html_escape(F.coalesce(F.col("contents"), F.lit(""))),
+                       ignore_line_break)
+    td = F.concat(
+        F.lit('<td rowspan="'), F.col("row_span").cast("string"),
+        F.lit('" colspan="'), F.col("col_span").cast("string"),
+        F.lit('">'), body, F.lit("</td>"),
+    )
+    agg = cells.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("row"), F.col("col"), td.alias("td")))
+        ).alias("cs")
+    )
+    rows = F.transform(
+        F.array_distinct(F.transform("cs", lambda s: s["row"])),
+        lambda r: F.concat(
+            F.lit("<tr>"),
+            F.array_join(
+                F.transform(
+                    F.filter("cs", lambda s: s["row"] == r), lambda s: s["td"]
+                ),
+                "",
+            ),
+            F.lit("</tr>"),
+        ),
+    )
+    html = F.concat(
+        F.lit('<table border="1" style="border-collapse: collapse">'),
+        F.array_join(rows, ""),
+        F.lit("</table>"),
+    )
+    return agg.select(*group_cols, html.alias("html"))
 
 
 def csv_quote(col: Column) -> Column:
