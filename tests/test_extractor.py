@@ -42,7 +42,7 @@ def test_date_iso_era_and_western(spark):
         "2023-03-02",
         "2023-03-02",
         "2023-03-02",
-        None,
+        "no date here",  # reference date_jp returns the input unchanged
     ]
 
 
@@ -66,10 +66,11 @@ def test_kana_conversion(spark):
 
 
 def test_time_hms(spark):
+    # reference time_hms: seconds appended, no-match passes through
     assert _vals(spark, N.time_hms, ["14時30分", "9:05", "none"]) == [
-        "14:30",
-        "09:05",
-        None,
+        "14:30:00",
+        "09:05:00",
+        "none",
     ]
 
 

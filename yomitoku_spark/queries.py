@@ -1860,6 +1860,45 @@ WHERE {AJ.sql_right_adjacent('a', 'b', 'soft')}
 """
 
 
+def search_cells_adjacent(spark, sf_dir):
+    """Directional cell search relative to key text (§2.3; reference
+    TableSemanticContentsSchema.search_cells_{right_of,left_of,below,
+    upper}_key_text, schemas/table_semantic_parser.py:213-274): cells
+    whose space-stripped contents contain the query are the keys; each
+    direction returns every non-group cell soft-adjacent to a key in
+    that direction. All four directions over the form corpus, one row
+    per (doc, direction, cell)."""
+    cells = LY.form_cells(spark, sf_dir)
+    out = None
+    for d in ("right", "left", "below", "upper"):
+        part = SEM.search_cells_directional(cells, "hkey3", d).select(
+            "doc_id", F.lit(d).alias("direction"), "cell_id"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _sql_search_dir(direction: str, pred: str) -> str:
+    return f"""
+SELECT DISTINCT t.doc_id, '{direction}' AS direction, t.cell_id
+FROM sc_keys k JOIN sc_tgts t ON t.doc_id = k.doc_id AND ({pred})"""
+
+
+SQL_SEARCH_CELLS = f"""
+WITH {LY.SQL_FORM_BASE},{LY.SQL_FORM_CELLS},
+sc_keys AS (
+  SELECT * FROM fc_cells
+  WHERE role <> 'group' AND contents <> ''
+    AND contains(replace(replace(contents, ' ', ''), '　', ''), 'hkey3')
+),
+sc_tgts AS (SELECT * FROM fc_cells WHERE role <> 'group')
+{_sql_search_dir('right', AJ.sql_right_adjacent('k', 't'))}
+UNION ALL {_sql_search_dir('left', AJ.sql_right_adjacent('t', 'k'))}
+UNION ALL {_sql_search_dir('below', AJ.sql_bottom_adjacent('k', 't'))}
+UNION ALL {_sql_search_dir('upper', AJ.sql_bottom_adjacent('t', 'k'))}
+"""
+
+
 def kv_items_geometric(spark, sf_dir):
     """Geometric KV recovery over the deterministic form corpus (§2.3;
     reference kv_parser.py:14-345). The engine runs the full
@@ -2636,6 +2675,7 @@ QUERIES = {
     "kv_items_geometric": kv_items_geometric,
     "extract_scalar_cascade": extract_scalar_cascade,
     "extract_table_field": extract_table_field,
+    "search_cells_adjacent": search_cells_adjacent,
     # --- flagship + operator rows ---
     "extract_transcripts": extract_transcripts,
     "extract_transcripts_staged": extract_transcripts_staged,
@@ -2653,7 +2693,6 @@ QUERIES = {
     "span_extents": span_extents,
     "containment_join": containment_join,
     "dedup_contained_boxes": dedup_contained_boxes,
-    "sessionize": sessionize,
     "topk_per_group": topk_per_group,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_near_dup_clusters": doc_near_dup_clusters,
@@ -2681,6 +2720,7 @@ QUERIES = {
     # --- rotated out of the 50-row driver window (driver-green in
     # r02+r03; still oracle-replayed by tools/check_oracle.py) ---
     "q1_pricing_summary": q1_pricing_summary,
+    "sessionize": sessionize,
     "filter_threshold": filter_threshold,
     "markdown_escape": markdown_escape,
     "normalize_dates": normalize_dates,
@@ -2739,6 +2779,7 @@ ORACLE = {
     "connected_components_labels": SQL_CC,
     "embedding_near_dup_pairs": SQL_EMB_NEAR_DUP,
     "adjacency_rules": SQL_ADJ_RULES,
+    "search_cells_adjacent": SQL_SEARCH_CELLS,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
     "extract_scalar_cascade": SQL_SCALAR_CASCADE,
     "extract_table_field": SQL_TABLE_FIELD,

@@ -291,6 +291,53 @@ def extract_scalar_fields(
     )
 
 
+# -------------------------------------------------- directional cell search
+
+
+def search_cells_by_query(cells: DataFrame, query: str) -> DataFrame:
+    """Reference ``search_cells_by_query``
+    (schemas/table_semantic_parser.py:276-287): non-group cells whose
+    space-stripped contents contain the space-stripped query."""
+    return cells.filter(
+        (F.col("role") != "group")
+        & F.col("contents").isNotNull()
+        & (F.col("contents") != "")
+        & norm_text(F.col("contents")).contains(norm_text(F.lit(query)))
+    )
+
+
+def search_cells_directional(
+    cells: DataFrame, query: str, direction: str
+) -> DataFrame:
+    """Reference ``search_cells_{right_of,left_of,below,upper}_key_text``
+    (schemas/table_semantic_parser.py:213-274): the query-matching
+    cells are the KEY cells; return every non-group cell adjacent to a
+    key cell in the given direction under the default soft adjacency
+    rule (utils/misc.py:299-356 defaults). One doc-local equi-join with
+    the adjacency predicate — never a global cross join.
+
+    ``direction`` ∈ right | left | below | upper (left/upper are the
+    reference's argument-swapped right/below, exactly as its methods
+    swap them)."""
+    from yomitoku_spark.operators import adjacency as AJ
+
+    preds = {
+        "right": lambda: AJ.right_adjacent("k", "t"),
+        "left": lambda: AJ.right_adjacent("t", "k"),
+        "below": lambda: AJ.bottom_adjacent("k", "t"),
+        "upper": lambda: AJ.bottom_adjacent("t", "k"),
+    }
+    if direction not in preds:
+        raise ValueError(f"unknown direction {direction!r}")
+    k = search_cells_by_query(cells, query).alias("k")
+    t = cells.filter(F.col("role") != "group").alias("t")
+    return (
+        k.join(t, (F.col("k.doc_id") == F.col("t.doc_id")) & preds[direction]())
+        .select(F.col("t.doc_id").alias("doc_id"), F.col("t.cell_id").alias("cell_id"))
+        .distinct()
+    )
+
+
 # ------------------------------------------------------------- table field
 
 
