@@ -1980,6 +1980,53 @@ SELECT doc_id, key_cells, key_text, value_cell, value_text, dir FROM kvall
 """
 
 
+def kv_dict_view(spark, sf_dir):
+    """KV items → merged dict rows (reference TableSemanticContentsView
+    .kv_items_to_dict with merge_values=True,
+    schemas/table_semantic_parser.py:462-514) over the geometric KV
+    parse of the form corpus: keys are '_'-joined space-stripped key
+    cell contents; same-key values merge under the axis-spread sort.
+    The referee recomputes the parse (the kvall CTE chain) AND the
+    view."""
+    from yomitoku_spark.operators.kv_graph import parse_kv_items
+
+    cells = LY.form_cells(spark, sf_dir)
+    return SEM.kv_items_to_dict(cells, parse_kv_items(cells), merge_values=True)
+
+
+_SQL_SAFE = "replace(replace(coalesce({c}, ''), ' ', ''), '　', '')"
+
+SQL_KV_DICT = f"""
+WITH {_sql_kv_cte()},
+kparts AS (
+  SELECT doc_id, value_cell, unnest(string_split(key_cells, '/')) AS p,
+         generate_subscripts(string_split(key_cells, '/'), 1) AS ord
+  FROM kvall
+),
+kres AS (
+  SELECT kp.doc_id, kp.value_cell,
+         string_agg({_SQL_SAFE.format(c='c.contents')}, '_' ORDER BY kp.ord)
+           AS key_str
+  FROM kparts kp LEFT JOIN ng c
+    ON c.doc_id = kp.doc_id AND c.cell_id = kp.p
+  GROUP BY kp.doc_id, kp.value_cell
+),
+kvvals AS (
+  SELECT kr.doc_id, kr.key_str, kr.value_cell,
+         {_SQL_SAFE.format(c='c.contents')} AS v,
+         COALESCE(c.x1, 0) AS x1, COALESCE(c.y1, 0) AS y1
+  FROM kres kr LEFT JOIN ng c
+    ON c.doc_id = kr.doc_id AND c.cell_id = kr.value_cell
+)
+SELECT doc_id, key_str AS key,
+  CASE WHEN COUNT(*) = 1 THEN MIN(v)
+       WHEN MAX(y1) - MIN(y1) >= MAX(x1) - MIN(x1)
+       THEN string_agg(v, chr(10) ORDER BY y1, x1, value_cell)
+       ELSE string_agg(v, chr(10) ORDER BY x1, y1, value_cell) END AS value
+FROM kvvals GROUP BY doc_id, key_str
+"""
+
+
 def ivf_flat_topk(spark, sf_dir):
     """IVF-flat ANN: deterministic coarse quantizer (lowest-id corpus
     vectors as centroids), argmax cell assignment, 2-probe search,
@@ -2676,6 +2723,7 @@ QUERIES = {
     "extract_scalar_cascade": extract_scalar_cascade,
     "extract_table_field": extract_table_field,
     "search_cells_adjacent": search_cells_adjacent,
+    "kv_dict_view": kv_dict_view,
     # --- flagship + operator rows ---
     "extract_transcripts": extract_transcripts,
     "extract_transcripts_staged": extract_transcripts_staged,
@@ -2694,7 +2742,6 @@ QUERIES = {
     "containment_join": containment_join,
     "dedup_contained_boxes": dedup_contained_boxes,
     "topk_per_group": topk_per_group,
-    "doc_exact_dedup": doc_exact_dedup,
     "doc_near_dup_clusters": doc_near_dup_clusters,
     "training_set_selection": training_set_selection,
     "corpus_build": corpus_build,
@@ -2720,6 +2767,7 @@ QUERIES = {
     # --- rotated out of the 50-row driver window (driver-green in
     # r02+r03; still oracle-replayed by tools/check_oracle.py) ---
     "q1_pricing_summary": q1_pricing_summary,
+    "doc_exact_dedup": doc_exact_dedup,
     "sessionize": sessionize,
     "filter_threshold": filter_threshold,
     "markdown_escape": markdown_escape,
@@ -2780,6 +2828,7 @@ ORACLE = {
     "embedding_near_dup_pairs": SQL_EMB_NEAR_DUP,
     "adjacency_rules": SQL_ADJ_RULES,
     "search_cells_adjacent": SQL_SEARCH_CELLS,
+    "kv_dict_view": SQL_KV_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
     "extract_scalar_cascade": SQL_SCALAR_CASCADE,
     "extract_table_field": SQL_TABLE_FIELD,

@@ -291,6 +291,114 @@ def extract_scalar_fields(
     )
 
 
+# ------------------------------------------------------- KV dict view
+
+
+def kv_items_to_dict(
+    cells: DataFrame,
+    kv_items: DataFrame,
+    merge_values: bool = False,
+    separator: str = "\n",
+) -> DataFrame:
+    """Reference ``TableSemanticContentsView.kv_items_to_dict``
+    (schemas/table_semantic_parser.py:462-514) as rows
+    (doc_id, key, value):
+
+    * key = '_'-joined space-stripped contents of the key cells (missing
+      cells resolve to '', like safe_contents);
+    * ``merge_values=False``: duplicate key strings get an occurrence
+      index suffix (make_unique_all, :26-40) — deviation (documented):
+      occurrence order is the deterministic (y1, x1, value_cell) sort of
+      the value cells, where the reference uses kv_items list order (its
+      parser emits that same geometric order);
+    * ``merge_values=True``: one row per key; multiple values joined by
+      ``separator`` after the axis-spread sort (y-spread >= x-spread →
+      by y1, else by x1 — the same rule as the cascade's tier-3 merge).
+
+    ``kv_items`` is :func:`yomitoku_spark.operators.kv_graph.
+    parse_kv_items` output (doc_id, key_cells, value_cell, ...) —
+    key_cells may be the parser's '/'-joined string or an
+    array<string>. Assumes the parser's invariant that a value cell is
+    adopted by at most one item per document.
+    """
+    if dict(kv_items.dtypes).get("key_cells") == "string":
+        kv_items = kv_items.withColumn("key_cells", F.split("key_cells", "/"))
+    safe = cells.select(
+        "doc_id",
+        "cell_id",
+        norm_text(F.coalesce(F.col("contents"), F.lit(""))).alias("safe"),
+        "x1",
+        "y1",
+    )
+    kx = kv_items.select(
+        "doc_id", "value_cell", F.posexplode("key_cells").alias("pos", "kc")
+    ).join(
+        safe.select("doc_id", F.col("cell_id").alias("kc"), F.col("safe").alias("kt")),
+        ["doc_id", "kc"],
+        "left",
+    )
+    keyed = kx.groupBy("doc_id", "value_cell").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("pos", F.coalesce("kt", F.lit("")).alias("kt"))
+                    )
+                ),
+                lambda s: s["kt"],
+            ),
+            "_",
+        ).alias("key_str")
+    )
+    items = keyed.join(
+        safe.select(
+            "doc_id", F.col("cell_id").alias("value_cell"),
+            F.col("safe").alias("v"), "x1", "y1",
+        ),
+        ["doc_id", "value_cell"],
+        "left",
+    ).select(
+        "doc_id", "key_str",
+        F.coalesce("v", F.lit("")).alias("v"),
+        F.coalesce("x1", F.lit(0)).alias("x1"),
+        F.coalesce("y1", F.lit(0)).alias("y1"),
+        "value_cell",
+    )
+    if not merge_values:
+        w = W.partitionBy("doc_id", "key_str").orderBy("y1", "x1", "value_cell")
+        cnt = F.count(F.lit(1)).over(W.partitionBy("doc_id", "key_str"))
+        return items.select(
+            "doc_id",
+            F.when(
+                cnt > 1,
+                F.concat("key_str", F.lit("_"), (F.row_number().over(w) - 1).cast("string")),
+            )
+            .otherwise(F.col("key_str"))
+            .alias("key"),
+            F.col("v").alias("value"),
+        )
+    agg = items.groupBy("doc_id", "key_str").agg(
+        (F.max("y1") - F.min("y1") >= F.max("x1") - F.min("x1")).alias("by_y"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("y1", "x1", "value_cell", "v"))),
+            lambda s: s["v"],
+        ).alias("vy"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("x1", "y1", "value_cell", "v"))),
+            lambda s: s["v"],
+        ).alias("vx"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("key_str").alias("key"),
+        F.when(F.size("vy") == 1, F.element_at("vy", 1))
+        .otherwise(
+            F.array_join(F.when(F.col("by_y"), F.col("vy")).otherwise(F.col("vx")), separator)
+        )
+        .alias("value"),
+    )
+
+
 # -------------------------------------------------- directional cell search
 
 
