@@ -78,3 +78,62 @@ def test_merge_mixed_keys(spark):
     kv = [(["k1"], "v1"), (["k2"], "v2"), (["k2"], "v3")]
     d = _run(spark, cells, kv, merge_values=True)
     assert d == {"名前": "太郎", "住所": "東京都\n新宿区"}
+
+
+# ------------------------------------------------- grids_to_dict view
+
+
+def _grid_frames(spark, cells, col_headers, data):
+    cdf = spark.createDataFrame(
+        [(0, cid, role, 0, 0, 10, 10, c) for cid, role, c in cells],
+        CELLS_SCHEMA,
+    )
+    hdf = spark.createDataFrame(
+        [
+            (0, "g0", col, pos, cid)
+            for col, stack in enumerate(col_headers)
+            for pos, cid in enumerate(stack)
+        ],
+        "doc_id bigint, grid_id string, col int, hdr_pos int, cell_id string",
+    )
+    ddf = spark.createDataFrame(
+        [
+            (0, "g0", r, c, cid)
+            for r, rowlist in enumerate(data)
+            for c, cid in enumerate(rowlist)
+        ],
+        "doc_id bigint, grid_id string, row int, col int, cell_id string",
+    )
+    return cdf, hdf, ddf
+
+
+def test_grids_to_dict_skips_header_cells(spark):
+    """Reference test_view_grids_to_dicts_builds_row_dicts_and_skips_
+    header_cells (test_table_semantic_parser.py:368-397)."""
+    cdf, hdf, ddf = _grid_frames(
+        spark,
+        cells=[("h1", "header", "項目"), ("h2", "header", "値"),
+               ("a", "cell", "AA"), ("b", "cell", "BB")],
+        col_headers=[["h1"], ["h2"]],
+        data=[["h1", "h2"], ["a", "b"]],
+    )
+    rows = SEM.grids_to_dict(cdf, hdf, ddf).collect()
+    by_row = {}
+    for r in rows:
+        by_row.setdefault(r.row, {})[r.key] = r.value
+    assert by_row == {1: {"項目": "AA", "値": "BB"}}
+
+
+def test_grids_to_dict_duplicate_cell_in_row(spark):
+    """Reference test_view_grids_to_dicts_avoids_duplicate_cell_id_in_
+    same_row (:400-424): a cell spanning two columns appears once."""
+    cdf, hdf, ddf = _grid_frames(
+        spark,
+        cells=[("h1", "header", "A"), ("h2", "header", "B"),
+               ("x", "cell", "X")],
+        col_headers=[["h1"], ["h2"]],
+        data=[["x", "x"]],
+    )
+    rows = SEM.grids_to_dict(cdf, hdf, ddf).collect()
+    assert len(rows) == 1
+    assert rows[0].value == "X"

@@ -2559,6 +2559,61 @@ SELECT doc_id, CAST(row AS INT) AS row, merged_col,
 FROM percell GROUP BY doc_id, row, merged_col
 """
 
+
+def grid_row_dicts(spark, sf_dir):
+    """Grid → row dicts (reference TableSemanticContentsView
+    .grids_to_dict, schemas/table_semantic_parser.py:397-430) composed
+    END-TO-END FROM GEOMETRY: col_headers and the unit grid are DERIVED
+    from the raw table cells (derive_grid_headers), then each data
+    position becomes a (key, value) row — header positions skipped,
+    spanning cells deduped to their first column, duplicate keys
+    suffixed. The corpus's stray demoted header surfaces as a VALUE
+    (it is no column's header), exactly like the reference."""
+    from yomitoku_spark.operators import grid_headers as GH
+
+    cells = LY.form_table_cells(spark, sf_dir)
+    headers, data, _, _ = GH.derive_grid_headers(cells)
+    return SEM.grids_to_dict(cells, headers, data)
+
+
+SQL_GRID_DICT = f"""
+WITH {LY.SQL_FORM_BASE},{LY.SQL_TABLE_CORPUS.lstrip()},{_SQL_FT_UNITS.lstrip()},
+gdcols AS (
+  SELECT h.doc_id, h.col,
+         string_agg(replace(replace(coalesce(fc.contents, ''), ' ', ''),
+                            '　', ''), '_' ORDER BY h.hdr_pos) AS key_str,
+         list(h.cell_id) AS hdr_ids
+  FROM hdrpos h LEFT JOIN ft_cells fc
+    ON fc.doc_id = h.doc_id AND fc.cell_id = h.cell_id
+  GROUP BY h.doc_id, h.col
+),
+gdata AS (SELECT DISTINCT doc_id, r AS row, c AS col, cell_id FROM units),
+gkeep AS (
+  SELECT d.doc_id, d.row, d.col, d.cell_id, g.key_str
+  FROM gdata d LEFT JOIN gdcols g ON g.doc_id = d.doc_id AND g.col = d.col
+  WHERE NOT COALESCE(list_contains(g.hdr_ids, d.cell_id), FALSE)
+),
+gfirst AS (
+  SELECT * FROM gkeep
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, row, cell_id
+                             ORDER BY col) = 1
+),
+gval AS (
+  SELECT k.doc_id, k.row, k.col, k.key_str,
+         replace(replace(coalesce(fc.contents, ''), ' ', ''), '　', '') AS v
+  FROM gfirst k LEFT JOIN ft_cells fc
+    ON fc.doc_id = k.doc_id AND fc.cell_id = k.cell_id
+)
+SELECT doc_id, 't0' AS grid_id, CAST(row AS INT) AS row,
+  CASE WHEN COUNT(*) OVER (PARTITION BY doc_id, row, key_str) > 1
+       THEN COALESCE(key_str, '') || '_' ||
+            CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, row, key_str
+                                    ORDER BY col) - 1 AS VARCHAR)
+       ELSE COALESCE(key_str, '') END AS key,
+  v AS value
+FROM gval
+"""
+
 _SQL_GB_DERIVED = """
 gb AS (
   SELECT * FROM fc_cells
@@ -2724,6 +2779,7 @@ QUERIES = {
     "extract_table_field": extract_table_field,
     "search_cells_adjacent": search_cells_adjacent,
     "kv_dict_view": kv_dict_view,
+    "grid_row_dicts": grid_row_dicts,
     # --- flagship + operator rows ---
     "extract_transcripts": extract_transcripts,
     "extract_transcripts_staged": extract_transcripts_staged,
@@ -2751,7 +2807,6 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "embedding_topk": embedding_topk,
-    "gap_detection": gap_detection,
     "adjacency_join": adjacency_join,
     "grid_recovery": grid_recovery,
     "asof_join": asof_join,
@@ -2767,6 +2822,7 @@ QUERIES = {
     # --- rotated out of the 50-row driver window (driver-green in
     # r02+r03; still oracle-replayed by tools/check_oracle.py) ---
     "q1_pricing_summary": q1_pricing_summary,
+    "gap_detection": gap_detection,
     "doc_exact_dedup": doc_exact_dedup,
     "sessionize": sessionize,
     "filter_threshold": filter_threshold,
@@ -2829,6 +2885,7 @@ ORACLE = {
     "adjacency_rules": SQL_ADJ_RULES,
     "search_cells_adjacent": SQL_SEARCH_CELLS,
     "kv_dict_view": SQL_KV_DICT,
+    "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
     "extract_scalar_cascade": SQL_SCALAR_CASCADE,
     "extract_table_field": SQL_TABLE_FIELD,

@@ -399,6 +399,80 @@ def kv_items_to_dict(
     )
 
 
+def grids_to_dict(
+    cells: DataFrame,
+    headers: DataFrame,
+    data: DataFrame,
+    ignore_space: bool = True,
+) -> DataFrame:
+    """Reference ``TableSemanticContentsView.grids_to_dict``
+    (schemas/table_semantic_parser.py:397-430) as rows
+    (doc_id, grid_id, row, key, value):
+
+    * a position whose cell is one of ITS OWN column's headers is
+      skipped (drops header rows and stray headers in data rows);
+    * key = '_'-joined (space-stripped when ``ignore_space``) contents
+      of the column's header stack in hdr_pos order;
+    * a cell id repeated within one row keeps its FIRST (lowest-col)
+      occurrence only;
+    * duplicate keys within a row get occurrence-index suffixes
+      (make_unique_all), indexed in column order.
+
+    ``headers``/``data`` are :func:`yomitoku_spark.operators.
+    grid_headers.derive_grid_headers` outputs.
+    """
+    txt = F.coalesce(F.col("contents"), F.lit(""))
+    safe = cells.select(
+        "doc_id",
+        "cell_id",
+        (norm_text(txt) if ignore_space else txt).alias("safe"),
+    )
+    hdr = headers.join(safe, ["doc_id", "cell_id"], "left")
+    cols = hdr.groupBy("doc_id", "grid_id", "col").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("hdr_pos", F.coalesce("safe", F.lit("")).alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            "_",
+        ).alias("key_str"),
+        F.collect_set("cell_id").alias("hdr_ids"),
+    )
+    d = (
+        data.join(cols, ["doc_id", "grid_id", "col"], "left")
+        .filter(
+            ~F.coalesce(
+                F.array_contains(F.col("hdr_ids"), F.col("cell_id")), F.lit(False)
+            )
+        )
+        .join(safe, ["doc_id", "cell_id"], "left")
+    )
+    first = W.partitionBy("doc_id", "grid_id", "row", "cell_id").orderBy("col")
+    d = d.withColumn("__occ", F.row_number().over(first)).filter(F.col("__occ") == 1)
+    wk = W.partitionBy("doc_id", "grid_id", "row", "key_str").orderBy("col")
+    cnt = F.count(F.lit(1)).over(W.partitionBy("doc_id", "grid_id", "row", "key_str"))
+    return d.select(
+        "doc_id",
+        "grid_id",
+        "row",
+        F.when(
+            cnt > 1,
+            F.concat(
+                F.coalesce("key_str", F.lit("")),
+                F.lit("_"),
+                (F.row_number().over(wk) - 1).cast("string"),
+            ),
+        )
+        .otherwise(F.coalesce("key_str", F.lit("")))
+        .alias("key"),
+        F.coalesce("safe", F.lit("")).alias("value"),
+    )
+
+
 # -------------------------------------------------- directional cell search
 
 
