@@ -127,3 +127,42 @@ def test_table_html_vectors(spark):
         '<td rowspan="1" colspan="1">dummy</td></tr>'
         '<tr><td rowspan="1" colspan="1"></td></tr></table>'
     )
+
+
+# ---------------------------------------------- quad validation vectors
+
+
+def test_validate_quads_vectors(spark):
+    """Reference test_validate_quads (tests/test_data.py:141-166) on a
+    100x100 image: malformed point counts and out-of-bounds quads are
+    invalid; the in-bounds quads validate and convert to xyxy."""
+    from yomitoku_spark.operators import spatial as SP
+
+    bad = [
+        [[0, 0], [0, 10], [10, 10]],                 # 3 points
+        [[0], [0, 10], [10, 10], [10, 0]],           # 1-coord point
+        [[0, 0], [0, 150], [10, 150], [10, 0]],      # y > h
+        [[150, 0], [150, 10], [10, 10], [10, 0]],    # x > w
+        [[-1, 0], [-1, 10], [10, 10], [10, 0]],      # x < 0
+        [[0, -1], [0, 10], [10, 10], [10, -1]],      # y < 0
+    ]
+    good = [
+        [[0, 0], [0, 10], [10, 10], [10, 0]],
+        [[0, 0], [0, 20], [10, 20], [10, 0]],
+        [[10, 0], [10, 30], [80, 30], [80, 0]],
+    ]
+    df = spark.createDataFrame(
+        [(i, q, False) for i, q in enumerate(bad)]
+        + [(100 + i, q, True) for i, q in enumerate(good)],
+        "id int, quad array<array<int>>, expected boolean",
+    )
+    rows = df.select(
+        "id", "expected",
+        SP.quad_valid(F.col("quad"), F.lit(100), F.lit(100)).alias("ok"),
+        SP.quad_to_xyxy(F.col("quad")).alias("bb"),
+    ).collect()
+    for r in rows:
+        assert bool(r.ok) == r.expected, (r.id, r.ok)
+    bb = {r.id: (r.bb.x1, r.bb.y1, r.bb.x2, r.bb.y2) for r in rows}
+    assert bb[100] == (0, 0, 10, 10)
+    assert bb[102] == (10, 0, 80, 30)

@@ -185,3 +185,33 @@ def dedup_contained(
         neq = F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
         losers = a.join(b, neq & pred, "left_semi").select(id_col)
     return df.join(losers, id_col, "left_anti")
+
+
+def quad_to_xyxy(quad: Column) -> Column:
+    """Quadrilateral (array of [x, y] points) → bbox struct
+    (reference utils/misc.py:128-135): min/max of each coordinate."""
+    xs = F.transform(quad, lambda p: F.get(p, 0))
+    ys = F.transform(quad, lambda p: F.get(p, 1))
+    return F.struct(
+        F.array_min(xs).alias("x1"),
+        F.array_min(ys).alias("y1"),
+        F.array_max(xs).alias("x2"),
+        F.array_max(ys).alias("y2"),
+    )
+
+
+def quad_valid(quad: Column, width: Column, height: Column) -> Column:
+    """Reference ``validate_quads`` per quad (data/functions.py:267-298)
+    as a boolean column: exactly 4 points of 2 coordinates each, with
+    the bounding box inside [0, width] x [0, height]. The reference
+    returns None for an invalid quad and True otherwise; filtering on
+    this column reproduces its keep/drop decisions."""
+    shape_ok = (F.size(quad) == 4) & F.forall(quad, lambda p: F.size(p) == 2)
+    b = quad_to_xyxy(quad)
+    return (
+        shape_ok
+        & (b["x1"] >= 0)
+        & (b["y1"] >= 0)
+        & (b["x2"] <= width)
+        & (b["y2"] <= height)
+    )
