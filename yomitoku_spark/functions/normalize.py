@@ -92,7 +92,7 @@ def hira2kata(col: Column) -> Column:
 
 @register("hiragana")
 def hiragana(col: Column) -> Column:
-    """Reference ``hiragana`` (normalizer.py:176-179): convert katakana
+    """Reference ``hiragana`` (normalizer.py:183-186): convert katakana
     to hiragana, then DROP everything outside the hiragana block —
     'テスト123abc' → 'てすと'."""
     return F.regexp_replace(kata2hira(col), r"[^\x{3040}-\x{309F}]", "")
@@ -100,14 +100,14 @@ def hiragana(col: Column) -> Column:
 
 @register("katakana")
 def katakana(col: Column) -> Column:
-    """Reference ``katakana`` (normalizer.py:182-185): convert hiragana
+    """Reference ``katakana`` (normalizer.py:189-192): convert hiragana
     to katakana, then keep only the katakana block."""
     return F.regexp_replace(hira2kata(col), r"[^\x{30A0}-\x{30FF}]", "")
 
 
 @register("alphanumeric")
 def alphanumeric(col: Column) -> Column:
-    """Reference ``alphanumeric`` (normalizer.py:188-191): width-fold,
+    """Reference ``alphanumeric`` (normalizer.py:177-180): width-fold,
     then keep only [a-zA-Z0-9]."""
     return F.regexp_replace(z2h(col), r"[^a-zA-Z0-9]", "")
 
@@ -119,7 +119,7 @@ _ERAS = [("令和", "R", 2018), ("平成", "H", 1988), ("昭和", "S", 1925),
 
 def _date_parsed(col: Column, fmt_str: str) -> Column:
     """Shared era/western date parse with the reference's date_jp
-    semantics (normalizer.py:75-120): kanji eras take the 年月日 form
+    semantics (normalizer.py:74-120): kanji eras take the 年月日 form
     (令和6年3月15日); initial eras take 年月日 OR any of the / - .
     separators (R6/3/15, H30.1.1, S60-12-25); western 2024年3月15日,
     2024/3/15, 2024-03-15. NO MATCH RETURNS THE INPUT UNCHANGED, like

@@ -52,7 +52,7 @@ def paragraph_md(contents: Column, ignore_line_break: bool = False) -> Column:
 
 
 def paragraph_html(contents: Column, ignore_line_break: bool = False) -> Column:
-    """paragraph_to_html parity (export_html.py:149-168)."""
+    """paragraph_to_html parity (export_html.py:84-101)."""
     return F.concat(
         F.lit("<p>"), _block_body(html_escape(contents), ignore_line_break), F.lit("</p>")
     )
@@ -115,7 +115,7 @@ def table_cells_md(cells: DataFrame, group_cols: list[str],
 
 def table_cells_html(cells: DataFrame, group_cols: list[str],
                      ignore_line_break: bool = False) -> DataFrame:
-    """table_to_html parity (export_html.py:108-146): one <td> per cell
+    """table_to_html parity (export_html.py:47-81): one <td> per cell
     carrying rowspan/colspan attributes, cells grouped into <tr> by
     row, the reference's table tag. Deviation (documented): the
     reference opens a new <tr> at every row-VALUE change in raw cell

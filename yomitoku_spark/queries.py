@@ -2562,7 +2562,7 @@ FROM percell GROUP BY doc_id, row, merged_col
 
 def grid_row_dicts(spark, sf_dir):
     """Grid → row dicts (reference TableSemanticContentsView
-    .grids_to_dict, schemas/table_semantic_parser.py:397-430) composed
+    .grids_to_dict, schemas/table_semantic_parser.py:516-549) composed
     END-TO-END FROM GEOMETRY: col_headers and the unit grid are DERIVED
     from the raw table cells (derive_grid_headers), then each data
     position becomes a (key, value) row — header positions skipped,

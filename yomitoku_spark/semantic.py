@@ -406,7 +406,7 @@ def grids_to_dict(
     ignore_space: bool = True,
 ) -> DataFrame:
     """Reference ``TableSemanticContentsView.grids_to_dict``
-    (schemas/table_semantic_parser.py:397-430) as rows
+    (schemas/table_semantic_parser.py:516-549) as rows
     (doc_id, grid_id, row, key, value):
 
     * a position whose cell is one of ITS OWN column's headers is
