@@ -18,9 +18,11 @@ queries ≥ ~1.5 s, scaled up to ~4.5 s of total reps (cap 12) for
 shorter ones so the reported best is stable. `queries` carries the
 best-of-N seconds (the driver contract); `queries_spread` carries
 max/min over the TIMED reps so a noisy row is visible as data, not as
-a phantom regression. `recall_at_3` carries each approximate-ANN
-query's overlap with the brute-force cosine top-3 (embedding_topk) —
-wall time without recall is not a comparable number for ANN.
+a phantom regression; `queries_reps` records how many timed reps each
+best came from. `recall_at_3` carries each approximate-ANN query's
+overlap with the exact quantized-dot top-3 referee (embedding_topk,
+integer dot product — the oracle-checkable exact baseline) — wall time
+without recall is not a comparable number for ANN.
 """
 
 from __future__ import annotations
@@ -81,6 +83,7 @@ def main():
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    nreps: dict[str, int] = {}
 
     def bench(name, plan_fn):
         t0 = time.perf_counter()
@@ -96,6 +99,7 @@ def main():
             walls.append(time.perf_counter() - t0)
         timings[name] = round(min(walls), 3)
         spread[name] = round(max(walls) / max(min(walls), 1e-9), 2)
+        nreps[name] = n
         return walls
 
     # flagship: fused extraction over synthetic transcripts sized to sf
@@ -130,6 +134,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "queries_spread": spread,
+        "queries_reps": nreps,
         "recall_at_3": recall,
         "reps": reps,
         "sf": sf,

@@ -376,6 +376,10 @@ def test_label_propagation_fixpoint_long_chain(spark):
     # ...and the fixpoint guard refuses rather than returning that state
     with _pytest.raises(RuntimeError, match="did not converge"):
         label_propagation(edf, max_iters=3)
+    # boundary: diameter == max_iters converges (the quiet confirming
+    # sweep is allowed on top of max_iters productive ones)
+    lp12 = {r.node: r.label for r in label_propagation(edf, max_iters=12).collect()}
+    assert all(lp12[i] == 0 for i in range(13))
 
 
 def test_index_stage_single_evaluation(spark):

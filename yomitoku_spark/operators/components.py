@@ -84,12 +84,13 @@ def label_propagation(
     ``localCheckpoint``-ed (truncating lineage so plans stay bounded)
     and carries a ``_changed`` flag; the sweep loop stops the first
     time no label changed. The convergence probe is a ``limit(1)``
-    scan of the already-materialized checkpoint — near-free. If the
-    graph has not converged after ``max_iters`` sweeps (a >64-diameter
-    chain at default settings) a ``RuntimeError`` is raised rather
-    than silently returning under-merged labels — the round-3 hazard
-    where chain-shaped duplicate families at 100 TB exceeded a fixed
-    sweep count and ``training_set_selection`` kept duplicates.
+    scan of the already-materialized checkpoint — near-free. A graph
+    whose diameter exceeds ``max_iters`` (the loop allows max_iters
+    productive sweeps plus the quiet confirming one) raises a
+    ``RuntimeError`` rather than silently returning under-merged
+    labels — the round-3 hazard where chain-shaped duplicate families
+    at 100 TB exceeded a fixed sweep count and
+    ``training_set_selection`` kept duplicates.
 
     Passing an explicit ``iters`` runs exactly that many sweeps with
     no convergence probe (for tests / known-diameter graphs).
@@ -109,7 +110,10 @@ def label_propagation(
     labels = und.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    sweeps = iters if fixed else max_iters
+    # a diameter-d graph needs d productive sweeps plus ONE quiet
+    # confirming sweep: run max_iters + 1 so max_iters bounds the
+    # supported diameter, not the sweep count
+    sweeps = iters if fixed else max_iters + 1
     converged = fixed
     for _ in range(sweeps):
         nbr_min = (

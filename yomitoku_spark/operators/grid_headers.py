@@ -144,6 +144,12 @@ def derive_grid_headers(
     input plan (``DataFrame.sameSemantics``) return the SAME memoized
     tuple, so repeated registry/bench calls hold exactly one cache
     entry per distinct input; ``clear_derive_memo()`` unpersists them.
+
+    The memo keys on the PLAN, not the data: if the files behind a
+    semantically equal plan are rewritten in place, the memo serves the
+    materialization of the OLD data — call ``clear_derive_memo()``
+    after mutating inputs (immutable-corpus batch runs, the intended
+    callers, never hit this).
     """
     for prev_cells, _, result in _DERIVE_MEMO:
         try:

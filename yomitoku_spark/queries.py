@@ -1668,6 +1668,24 @@ _TC_CSV = f"""CASE v
        || b || {_TCNL2} || '- alpha one - beta two'
 END"""
 
+def _sql_json_escape(expr: str) -> str:
+    """JSON string-body escaping matching Spark ``to_json`` for every
+    character the corpus can plausibly carry: backslash (FIRST), double
+    quote, newline, tab, carriage return. Keeps the referees honest if
+    a future payload variant introduces quotes/backslashes instead of
+    silently diverging from to_json only then."""
+    out = expr
+    for raw, esc in (
+        (r"'\'", r"'\\'"),
+        ("'\"'", r"'\"'"),
+        ("chr(10)", r"'\n'"),
+        ("chr(9)", r"'\t'"),
+        ("chr(13)", r"'\r'"),
+    ):
+        out = f"replace({out}, {raw}, {esc})"
+    return out
+
+
 SQL_EXPORT_FORMATS = f"""
 WITH {TC.SQL_CORPUS_PIECES},
 rendered AS (
@@ -1679,7 +1697,7 @@ rendered AS (
 )
 SELECT conv_id, turn_idx, markdown, html, csv,
        '{{"conv_id":"' || conv_id || '","turn_idx":' || CAST(turn_idx AS VARCHAR)
-       || ',"extracted_text":"' || replace(markdown, chr(10), '\\n') || '"}}' AS json
+       || ',"extracted_text":"' || {_sql_json_escape('markdown')} || '"}}' AS json
 FROM rendered
 """
 
@@ -1781,7 +1799,7 @@ SELECT conv_id, turn_idx, n_tokens, stop_permille, punct_permille, exact_keeper,
        THEN 1 ELSE 0 END AS selected,
   CASE WHEN exact_keeper = 1 AND n_tokens >= 6 AND punct_permille <= 150
        THEN '{{"conv_id":"' || conv_id || '","turn_idx":' || CAST(turn_idx AS VARCHAR)
-            || ',"extracted_text":"' || replace(et, chr(10), '\\n') || '"}}'
+            || ',"extracted_text":"' || {_sql_json_escape('et')} || '"}}'
        ELSE '' END AS record
 FROM ckept
 """
@@ -1867,8 +1885,10 @@ def search_cells_adjacent(spark, sf_dir):
     whose space-stripped contents contain the query are the keys; each
     direction returns every non-group cell soft-adjacent to a key in
     that direction. All four directions over the form corpus, one row
-    per (doc, direction, cell)."""
-    cells = LY.form_cells(spark, sf_dir)
+    per (doc, direction, cell). The corpus derivation is
+    materialized once — each direction joins two consumers of it,
+    so a lazy plan would re-run the supplier-union build 8x."""
+    cells = LY.form_cells(spark, sf_dir).localCheckpoint(eager=True)
     out = None
     for d in ("right", "left", "below", "upper"):
         part = SEM.search_cells_directional(cells, "hkey3", d).select(
@@ -2761,10 +2781,11 @@ LEFT JOIN placed p
 # ===================================================================
 
 # Registry order matters for the driver's correctness artifact: it
-# snapshots the FIRST 50 entries only (the registry has 61).  Queries
-# that have not yet appeared in a driver artifact are placed first;
-# long-stable rows that were driver-green in rounds 2 AND 3 are rotated
-# to the tail (still replayed by tools/check_oracle.py every round).
+# snapshots the FIRST 50 entries only (the registry has 64, so the 14
+# tail entries are outside the window). Queries that have not yet
+# appeared in a driver artifact are placed first; long-stable rows that
+# were driver-green in earlier rounds are rotated to the tail (still
+# replayed by tools/check_oracle.py every round).
 QUERIES = {
     # --- never (or not recently) driver-checked: keep in the window ---
     "template_override": template_override,
@@ -2818,9 +2839,9 @@ QUERIES = {
     "ivf_flat_topk": ivf_flat_topk,
     "ivf_scaled_topk": ivf_scaled_topk,
     "ivf_lloyd_topk": ivf_lloyd_topk,
-    "jaccard_near_pairs": jaccard_near_pairs,
     # --- rotated out of the 50-row driver window (driver-green in
-    # r02+r03; still oracle-replayed by tools/check_oracle.py) ---
+    # earlier rounds; still oracle-replayed by tools/check_oracle.py) ---
+    "jaccard_near_pairs": jaccard_near_pairs,
     "q1_pricing_summary": q1_pricing_summary,
     "gap_detection": gap_detection,
     "doc_exact_dedup": doc_exact_dedup,
