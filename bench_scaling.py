@@ -278,7 +278,7 @@ this box, so each outlier is ATTRIBUTED rather than asserted away:
    guest ps/loadavg; steal is the one observable trace of it.
 2. **Driver-JVM GC time** (GarbageCollectorMXBeans delta) — local mode
    runs everything in ONE JVM, so a mixed-GC ramp mid-run stalls all
-   32 cores at once (java CPU%% drops while wall stretches).
+   32 cores at once (java CPU drops while wall stretches).
 
 Per-rep 1-min loadavg and, on >2x outlier reps, the concurrent top CPU
 consumers are also captured. Best-of-N is the steady-state headline;
