@@ -2110,12 +2110,14 @@ def ivf_scaled_topk(spark, sf_dir):
     with the corpus (~sqrt(n): 64 cells on the 15k-vector sf0.1 table)
     so each query re-ranks ~n_probe/n_cells of the corpus instead of a
     quarter of it — the knob that keeps candidate counts flat as the
-    table grows. Same plan, same oracle construction as ivf_flat_topk."""
+    table grows. 12 probes: measured at sf0.1 recall@3 0.53 (vs 0.43
+    at 8) for the same wall, still under a fifth of the corpus per
+    query. Same plan, same oracle construction as ivf_flat_topk."""
     e = t(spark, sf_dir, "embeddings")
-    return SIM.ivf_flat_topk(e, n_cells=64, n_probe=8, k=3)
+    return SIM.ivf_flat_topk(e, n_cells=64, n_probe=12, k=3)
 
 
-SQL_IVF_SCALED = _sql_ivf(64, 8, 3)
+SQL_IVF_SCALED = _sql_ivf(64, 12, 3)
 
 
 def ivf_lloyd_topk(spark, sf_dir):
