@@ -137,3 +137,160 @@ def test_grids_to_dict_duplicate_cell_in_row(spark):
     rows = SEM.grids_to_dict(cdf, hdf, ddf).collect()
     assert len(rows) == 1
     assert rows[0].value == "X"
+
+
+# ---------------------------------------------------- property fuzz
+
+
+from collections import defaultdict
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _kv_dict_scalar(cells, kv, merge_values, separator):
+    """Independent scalar referee: direct port of the reference view
+    semantics (kv_items_to_dict :462-514 + make_unique_all :26-40),
+    with the documented deterministic occurrence order (y1, x1,
+    value_cell)."""
+    safe = {c[0]: (c[6] or "").replace(" ", "").replace("　", "") for c in cells}
+    pos = {c[0]: (c[3], c[2]) for c in cells}  # (y1, x1) — cells rows are (id, role, x1, y1, ...)
+    items = []
+    for keys, v in kv:
+        key_str = "_".join(safe.get(k, "") for k in keys)
+        y, x = pos.get(v, (0, 0))
+        items.append((key_str, safe.get(v, ""), y, x, v))
+    out = {}
+    if not merge_values:
+        by_key = defaultdict(list)
+        for it in sorted(items, key=lambda t: (t[2], t[3], t[4])):
+            by_key[it[0]].append(it)
+        for k, lst in by_key.items():
+            if len(lst) == 1:
+                out[k] = lst[0][1]
+            else:
+                for i, it in enumerate(lst):
+                    out[f"{k}_{i}"] = it[1]
+        return out
+    by_key = defaultdict(list)
+    for it in items:
+        by_key[it[0]].append(it)
+    for k, lst in by_key.items():
+        if len(lst) == 1:
+            out[k] = lst[0][1]
+        else:
+            ys = [t[2] for t in lst]
+            xs = [t[3] for t in lst]
+            if max(ys) - min(ys) >= max(xs) - min(xs):
+                lst.sort(key=lambda t: (t[2], t[3], t[4]))
+            else:
+                lst.sort(key=lambda t: (t[3], t[2], t[4]))
+            out[k] = separator.join(t[1] for t in lst)
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data())
+def test_kv_dict_view_fuzz(spark, data):
+    """kv_items_to_dict == the scalar referee on random geometry,
+    contents (with spaces), duplicate keys, and shared key texts."""
+    n_cells = data.draw(st.integers(2, 8))
+    texts = st.text(alphabet="ab 契", min_size=0, max_size=4)
+    cells = []
+    for i in range(n_cells):
+        x1 = data.draw(st.integers(0, 300))
+        y1 = data.draw(st.integers(0, 300))
+        cells.append(
+            (f"c{i}", "cell", x1, y1, x1 + 40, y1 + 20, data.draw(texts))
+        )
+    ids = [c[0] for c in cells]
+    n_items = data.draw(st.integers(1, 6))
+    used_values = set()
+    kv = []
+    for _ in range(n_items):
+        v = data.draw(st.sampled_from(ids))
+        if v in used_values:  # parser invariant: one item per value cell
+            continue
+        used_values.add(v)
+        keys = data.draw(st.lists(st.sampled_from(ids), min_size=1, max_size=2))
+        kv.append((keys, v))
+    if not kv:
+        return
+    merge = data.draw(st.booleans())
+    sep = data.draw(st.sampled_from(["\n", "-", ""]))
+    got = _run(spark, cells, kv, merge_values=merge, separator=sep)
+    exp = _kv_dict_scalar(
+        [(c[0], c[1], c[2], c[3], c[4], c[5], c[6]) for c in cells],
+        kv, merge, sep,
+    )
+    assert got == exp, (got, exp, cells, kv, merge, sep)
+
+
+def _grids_dict_scalar(cells, col_headers, data):
+    """Scalar referee for grids_to_dict (reference :516-549): skip
+    own-column header cells, join header-stack contents per column,
+    first-column occurrence per duplicate cell id, duplicate-key
+    occurrence suffixes in column order."""
+    safe = {cid: (c or "").replace(" ", "").replace("　", "") for cid, _, c in cells}
+    out = []
+    for r, rowlist in enumerate(data):
+        picked = []
+        seen = set()
+        for c, cid in enumerate(rowlist):
+            stack = col_headers[c] if c < len(col_headers) else []
+            if cid in stack or cid in seen:
+                continue
+            seen.add(cid)
+            key = "_".join(safe.get(h, "") for h in stack)
+            picked.append((c, key, safe.get(cid, "")))
+        counts = defaultdict(int)
+        for _, k, _v in picked:
+            counts[k] += 1
+        idx = defaultdict(int)
+        for c, k, v in picked:
+            kk = f"{k}_{idx[k]}" if counts[k] > 1 else k
+            idx[k] += 1
+            out.append((r, kk, v))
+    return sorted(out)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data())
+def test_grids_to_dict_fuzz(spark, data):
+    """grids_to_dict == the scalar referee on random header stacks,
+    spanning (repeated) cells, and stray headers inside data rows."""
+    n_cols = data.draw(st.integers(1, 4))
+    n_rows = data.draw(st.integers(1, 4))
+    texts = st.text(alphabet="xy 値", min_size=0, max_size=3)
+    hdr_ids = [f"h{c}{p}" for c in range(n_cols) for p in range(2)]
+    cell_ids = [f"d{i}" for i in range(n_rows * n_cols)]
+    cells = [(cid, "header", data.draw(texts)) for cid in hdr_ids] + [
+        (cid, "cell", data.draw(texts)) for cid in cell_ids
+    ]
+    col_headers = []
+    for c in range(n_cols):
+        k = data.draw(st.integers(0, 2))
+        col_headers.append([f"h{c}{p}" for p in range(k)])
+    grid = []
+    for r in range(n_rows):
+        row = []
+        for c in range(n_cols):
+            # mix: own data cell, a repeat of the previous column's cell
+            # (span), or a header id planted in a data row
+            pick = data.draw(st.integers(0, 5))
+            if pick == 0 and row:
+                row.append(row[-1])
+            elif pick == 1:
+                row.append(data.draw(st.sampled_from(hdr_ids)))
+            else:
+                row.append(f"d{r * n_cols + c}")
+        grid.append(row)
+    cdf, hdf, ddf = _grid_frames(
+        spark,
+        cells=cells,
+        col_headers=col_headers,
+        data=grid,
+    )
+    got = sorted((r.row, r.key, r.value) for r in SEM.grids_to_dict(cdf, hdf, ddf).collect())
+    exp = _grids_dict_scalar(cells, col_headers, grid)
+    assert got == exp, (got, exp, cells, col_headers, grid)

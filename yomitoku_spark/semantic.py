@@ -450,6 +450,11 @@ def grids_to_dict(
             )
         )
         .join(safe, ["doc_id", "cell_id"], "left")
+        # a column with NO header stack means key '' (the reference
+        # joins an empty list), which must share a duplicate-key
+        # partition with genuinely empty header contents — normalize
+        # BEFORE the windows, or NULL and '' count separately
+        .withColumn("key_str", F.coalesce("key_str", F.lit("")))
     )
     first = W.partitionBy("doc_id", "grid_id", "row", "cell_id").orderBy("col")
     d = d.withColumn("__occ", F.row_number().over(first)).filter(F.col("__occ") == 1)
