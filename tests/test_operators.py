@@ -410,6 +410,13 @@ def test_index_stage_single_evaluation(spark):
         t = tree_of(QUERIES[name](spark, sf))
         assert t.count("MapInPandas") == 0, (name, t)
         assert "Scan ExistingRDD" in t, (name, t)
+    # simhash_near_pairs: 4 band rotations self-joined — without the
+    # eager signature materialization the plan held SIXTEEN copies of
+    # the per-token-hash python stage (the round-4 perf finding)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    t = tree_of(DD.simhash_near_pairs(docs, "doc_id", "text"))
+    assert t.count("MapInPandas") == 0, t
+    assert "Scan ExistingRDD" in t, t
     # corpus_build keeps its single extraction stage in-plan
     t = tree_of(QUERIES["corpus_build"](spark, sf))
     assert t.count("MapInPandas") == 1, t

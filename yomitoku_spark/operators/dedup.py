@@ -273,26 +273,43 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     on prefix bands like MinHash."""
     import hashlib
     import re
+    from collections import Counter
 
     ws = re.compile(r"[ \t\n\x0b\x0c\r]+")
 
     def batch(it):
+        shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        # md5 is the per-token constant; corpora repeat tokens heavily,
+        # so hash each distinct token once per worker and vectorize the
+        # bit votes across a doc's unique tokens (occurrence counts as
+        # weights) instead of one hashlib call + 60-bit unpack per
+        # occurrence. Output is byte-identical to the scalar loop.
+        cache: dict[str, int] = {}
         for pdf in it:
             out = np.zeros(len(pdf), dtype=np.uint64)
             for i, txt in enumerate(pdf[text_col].tolist()):
                 toks = [t for t in ws.split((txt or "").lower()) if t]
                 if not toks:
                     continue
-                votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
-                shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
-                for t in toks:
-                    h = np.uint64(int(hashlib.md5(t.encode()).hexdigest()[:15], 16))
-                    bits = (h >> shifts) & np.uint64(1)
-                    votes += 2 * bits.astype(np.int64) - 1
-                bits = (votes > 0).astype(np.uint64)
-                out[i] = np.bitwise_or.reduce(
-                    bits << np.arange(SIMHASH_BITS, dtype=np.uint64)
+                cnt = Counter(toks)
+                hs = np.empty(len(cnt), dtype=np.uint64)
+                wts = np.empty(len(cnt), dtype=np.int64)
+                for k, (t, c) in enumerate(cnt.items()):
+                    h = cache.get(t)
+                    if h is None:
+                        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                        cache[t] = h
+                    hs[k] = h
+                    wts[k] = c
+                bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                    np.int64
                 )
+                votes = ((2 * bits - 1) * wts[:, None]).sum(axis=0)
+                out[i] = np.bitwise_or.reduce(
+                    (votes > 0).astype(np.uint64) << shifts
+                )
+            if len(cache) > 2_000_000:  # bound worker memory on huge vocab
+                cache.clear()
             yield pd.DataFrame(
                 {"id": pdf[id_col], "simhash": out.astype(np.int64)}
             )
@@ -338,6 +355,12 @@ def simhash_near_pairs(
     n_bands = -(-SIMHASH_BITS // prefix_bits)
     max_hamming = n_bands - 1
     sh = simhash64(df, id_col, text_col)
+    # materialize the signature table ONCE (same pattern as the MinHash
+    # index above): the n_bands rotations below union and then
+    # self-join, and without the eager barrier the physical plan holds
+    # 2·n_bands² copies of the per-token-hash python stage (16 corpus
+    # scans at the defaults — the round-4 perf finding).
+    sh = sh.localCheckpoint(eager=True)
     mask = (1 << prefix_bits) - 1
     rots = []
     for r in range(n_bands):
