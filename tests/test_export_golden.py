@@ -44,6 +44,12 @@ def test_convert_text_to_html_vectors(spark):
             "これはテストです。&lt;a href=&#x27;https://www.google.com&#x27;&gt;"
             "Google&lt;/a&gt;",
         ),
+        # the URL re-escape pass is NOT a no-op when the char right after
+        # :// is HTML-special: the reference double-escapes the entity's
+        # ampersand (ADVICE r4; verified against convert_text_to_html)
+        ("http://&x", "http://&amp;amp;x"),
+        ('see http://"q end', "see http://&amp;quot;q end"),
+        ("https://'a and http://<b", "https://&amp;#x27;a and http://&amp;lt;b"),
     ]
     for text, expected in vectors:
         assert _one(spark, EX.html_escape(F.lit(text))) == expected

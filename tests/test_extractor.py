@@ -30,6 +30,14 @@ def test_date_iso_era_and_western(spark):
             "2023/3/2",
             "２０２３年３月２日",
             "no date here",
+            # reference-cascade order + tolerance cases (ADVICE r4):
+            "令和5年3月2日(2023/4/1)",  # era pattern tried BEFORE western
+            "令和 5 年 3 月 2 日",  # \s* between every component
+            "令和5/3/2",  # kanji era takes ONLY the 年月日 form
+            "2023年3月2",  # 年月日 form requires the trailing 日
+            "R 5 / 3 . 2",  # initials: \s* + mixed /-. separators
+            "2023.3.2",  # documented superset (last tier)
+            "2023.3.2 vs 2024/1/1",  # ...which never outranks a ref tier
         ],
     )
     assert got == [
@@ -43,6 +51,13 @@ def test_date_iso_era_and_western(spark):
         "2023-03-02",
         "2023-03-02",
         "no date here",  # reference date_jp returns the input unchanged
+        "2023-03-02",
+        "2023-03-02",
+        "令和5/3/2",
+        "2023年3月2",
+        "2023-03-02",
+        "2023-03-02",
+        "2024-01-01",
     ]
 
 

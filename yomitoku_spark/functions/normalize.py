@@ -53,27 +53,22 @@ def digits(col: Column) -> Column:
 
 @register("numeric")
 def numeric(col: Column) -> Column:
-    """Strip currency/commas, keep digits + one decimal point
-    (reference: normalizer.py:38-43)."""
-    return F.regexp_replace(z2h(col), r"[^0-9.\-]", "")
+    """Strip currency/commas, keep digits, '.', '-', '+'
+    (reference: normalizer.py:38-43 — the kept class is [\\d.\\-+])."""
+    return F.regexp_replace(z2h(col), r"[^0-9.\-+]", "")
 
 
-_FW_DIGITS = "０１２３４５６７８９"
-_HW_DIGITS = "0123456789"
-_FW_UPPER = "ＡＢＣＤＥＦＧＨＩＪＫＬＭＮＯＰＱＲＳＴＵＶＷＸＹＺ"
-_HW_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-_FW_LOWER = "ａｂｃｄｅｆｇｈｉｊｋｌｍｎｏｐｑｒｓｔｕｖｗｘｙｚ"
-_HW_LOWER = "abcdefghijklmnopqrstuvwxyz"
+# the complete full-width ASCII block (！ U+FF01 … ～ U+FF5E) plus the
+# ideographic space — exactly what jaconv.z2h(digit=True, ascii=True,
+# kana=False) folds (reference normalizer.py:40,48,75)
+_FW_ASCII = "".join(chr(c) for c in range(0xFF01, 0xFF5F)) + "　"
+_HW_ASCII = "".join(chr(c) for c in range(0x21, 0x7F)) + " "
 
 
 @register("z2h")
 def z2h(col: Column) -> Column:
-    """Full-width → half-width alnum (jaconv.z2h analog)."""
-    return F.translate(
-        col,
-        _FW_DIGITS + _FW_UPPER + _FW_LOWER + "　．－",
-        _HW_DIGITS + _HW_UPPER + _HW_LOWER + " .-",
-    )
+    """Full-width → half-width ASCII (jaconv.z2h analog, full block)."""
+    return F.translate(col, _FW_ASCII, _HW_ASCII)
 
 
 _HIRA = "".join(chr(c) for c in range(0x3041, 0x3097))
@@ -117,36 +112,70 @@ _ERAS = [("令和", "R", 2018), ("平成", "H", 1988), ("昭和", "S", 1925),
          ("大正", "T", 1911), ("明治", "M", 1867)]
 
 
+def _era_offset(letter: Column) -> Column:
+    expr = None
+    for _kanji, initial, offset in _ERAS:
+        expr = (
+            F.when(letter == initial, offset)
+            if expr is None
+            else expr.when(letter == initial, offset)
+        )
+    return expr
+
+
 def _date_parsed(col: Column, fmt_str: str) -> Column:
-    """Shared era/western date parse with the reference's date_jp
-    semantics (normalizer.py:74-120): kanji eras take the 年月日 form
-    (令和6年3月15日); initial eras take 年月日 OR any of the / - .
-    separators (R6/3/15, H30.1.1, S60-12-25); western 2024年3月15日,
-    2024/3/15, 2024-03-15. NO MATCH RETURNS THE INPUT UNCHANGED, like
-    the reference (date_jp:117-120). Documented supersets over the
-    reference: 元年 parses as year 1 and dotted western dates
-    (2023.3.2) parse — both unmatched (returned as-is) by the
-    reference, never conflicting outputs."""
+    """Shared era/western date parse mirroring the reference's
+    _parse_date cascade EXACTLY (normalizer.py:74-109): same pattern
+    ORDER (kanji eras 年月日 → era initials with /-. separators → era
+    initials 年月日 → western 年月日 → western slash/dash), same \\s*
+    tolerance between every component (令和 5 年 3 月 2 日 parses), the
+    年月日 forms REQUIRE the trailing 日, kanji eras take ONLY the
+    年月日 form, and the western separator form accepts only / and -
+    (each independently, so mixed R5/3.2 or 2024/3-15 match — as in the
+    reference). NO MATCH RETURNS THE INPUT UNCHANGED (date_jp:117-120).
+    Two documented NON-CONFLICTING supersets: 元 parses as era year 1
+    (the reference's \\d+ never matches 元, and every reference pattern
+    is still tried at its own priority first), and a LAST-tier dotted
+    western form (2023.3.2) fires only on strings where the whole
+    reference cascade passed the input through unchanged."""
     s = z2h(col)
 
     def fmt(y: Column, m: Column, d: Column) -> Column:
         return F.format_string(fmt_str, y.cast("int"), m.cast("int"), d.cast("int"))
 
-    # western: 2023年3月2日 / 2023/3/2 / 2023-03-02 / 2023.3.2
-    wpat = r"(\d{4})[年/\-.](\d{1,2})[月/\-.](\d{1,2})日?"
-    w_y = F.regexp_extract(s, wpat, 1)
-    result = F.when(w_y != "", fmt(w_y, F.regexp_extract(s, wpat, 2), F.regexp_extract(s, wpat, 3)))
-    # era forms: 令和5年3月2日 / R5.3.2 / R6/3/15 / S60-12-25 / 平成元年1月8日
-    for kanji, initial, offset in _ERAS:
-        pat = (
-            rf"(?:{kanji}|{initial})(元|\d{{1,2}})"
-            rf"[年/\-.](\d{{1,2}})[月/\-.](\d{{1,2}})日?"
-        )
+    tiers: list[tuple[Column, Column]] = []
+    # 1. kanji eras, 年月日 form only (reference :77-82); dict order = era order
+    for kanji, _initial, offset in _ERAS:
+        pat = rf"{kanji}\s*(元|\d+)\s*年\s*(\d+)\s*月\s*(\d+)\s*日"
         ey = F.regexp_extract(s, pat, 1)
         year = F.when(ey == "元", F.lit(1)).otherwise(ey.cast("int")) + offset
-        result = result.when(
-            ey != "", fmt(year, F.regexp_extract(s, pat, 2), F.regexp_extract(s, pat, 3))
+        tiers.append(
+            (ey != "", fmt(year, F.regexp_extract(s, pat, 2), F.regexp_extract(s, pat, 3)))
         )
+    # 2. era initial + separators (reference :84-90); 3. + 年月日 (:92-99)
+    for pat in (
+        r"([RHSTM])\s*(\d{1,2})\s*[/\-.]\s*(\d{1,2})\s*[/\-.]\s*(\d{1,2})",
+        r"([RHSTM])\s*(\d{1,2})\s*年\s*(\d{1,2})\s*月\s*(\d{1,2})\s*日",
+    ):
+        letter = F.regexp_extract(s, pat, 1)
+        year = F.regexp_extract(s, pat, 2).cast("int") + _era_offset(letter)
+        tiers.append(
+            (letter != "", fmt(year, F.regexp_extract(s, pat, 3), F.regexp_extract(s, pat, 4)))
+        )
+    # 4. western 年月日 (reference :101-103); 5. western /- (:105-107);
+    # 6. dotted western — the documented superset tier, deliberately last
+    for pat in (
+        r"(\d{4})\s*年\s*(\d{1,2})\s*月\s*(\d{1,2})\s*日",
+        r"(\d{4})[/\-](\d{1,2})[/\-](\d{1,2})",
+        r"(\d{4})\.(\d{1,2})\.(\d{1,2})",
+    ):
+        y = F.regexp_extract(s, pat, 1)
+        tiers.append(
+            (y != "", fmt(y, F.regexp_extract(s, pat, 2), F.regexp_extract(s, pat, 3)))
+        )
+    result = None
+    for cond, out in tiers:
+        result = F.when(cond, out) if result is None else result.when(cond, out)
     return result.otherwise(col)
 
 

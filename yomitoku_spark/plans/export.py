@@ -22,16 +22,21 @@ from pyspark.sql import functions as F
 
 def html_escape(col: Column) -> Column:
     """Python ``html.escape`` parity (the reference's escaper,
-    export_html.py:3,20): & < > AND the two quote characters. The
-    reference's URL re-escape pass (export_html.py:14-20) is a no-op —
-    its URL regex matches a single character after ``https?://``, whose
-    re-escape equals itself — so plain full escaping IS its behavior,
-    as its own test vectors confirm (tests/test_export.py:37-54)."""
+    export_html.py:3,20): & < > AND the two quote characters, plus the
+    reference's URL re-escape pass (export_html.py:14-20). That pass
+    runs AFTER the full escape and its regex matches ``https?://`` + one
+    non-space/</> character — a no-op unless the character right after
+    ``://`` was one of &<>\"' , in which case the first escape turned it
+    into an entity starting with ``&`` and the re-escape doubles that
+    ampersand (``http://&x`` → ``http://&amp;amp;x``). Since a raw ``&``
+    never survives the first pass, the whole behavior reduces to one
+    rule on the escaped text: ``https?://&`` → ``https?://&amp;``."""
     out = F.regexp_replace(col, "&", "&amp;")
     out = F.regexp_replace(out, "<", "&lt;")
     out = F.regexp_replace(out, ">", "&gt;")
     out = F.regexp_replace(out, '"', "&quot;")
-    return F.regexp_replace(out, "'", "&#x27;")
+    out = F.regexp_replace(out, "'", "&#x27;")
+    return F.regexp_replace(out, r"(https?://)&", "$1&amp;")
 
 
 def md_escape(col: Column) -> Column:
