@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "embedding_topk",
     "simhash_pairs",
     "ann_lsh_topk",
+    "ann_multiprobe_topk",
     "ivf_flat_topk",
     "ivf_scaled_topk",
     "ivf_lloyd_topk",
@@ -90,7 +91,13 @@ def main():
         run_plan(plan_fn())  # untimed warmup: codegen + JIT + cache warm
         warm = time.perf_counter() - t0
         if warm < 3.0:
-            run_plan(plan_fn())  # short queries need a 2nd pass for C2
+            # short queries need a 2nd pass for C2; its wall is the
+            # steady-state estimate — the COLD warmup wall overestimates
+            # it several-fold and starved sub-second queries of reps
+            # (embedding_topk got 4 reps and a 2.57x spread in r4)
+            t0 = time.perf_counter()
+            run_plan(plan_fn())
+            warm = time.perf_counter() - t0
         n = max(reps, min(12, int(4.5 / max(warm, 0.4))))
         walls = []
         for _ in range(n):
@@ -122,7 +129,13 @@ def main():
     exact = topk_sets("embedding_topk")
     n_exact = sum(len(v) for v in exact.values())
     recall = {}
-    for name in ("ann_lsh_topk", "ivf_flat_topk", "ivf_scaled_topk", "ivf_lloyd_topk"):
+    for name in (
+        "ann_lsh_topk",
+        "ann_multiprobe_topk",
+        "ivf_flat_topk",
+        "ivf_scaled_topk",
+        "ivf_lloyd_topk",
+    ):
         approx = topk_sets(name)
         hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
         recall[name] = round(hits / n_exact, 3)

@@ -259,6 +259,31 @@ def test_lsh_ann_recall_vs_brute_force(spark, emb):
     assert recall > 0.5, recall
 
 
+def test_multiprobe_lifts_recall(spark, emb):
+    """Multi-probe (flip lowest-|margin| bits on the query side) must
+    lift recall@3 over the same planes/tables base config with ZERO
+    extra index rows — the production-retrieval lever the registry's
+    ann_multiprobe_topk row ships (0.88 @ sf0.1, 0.84 @ sf0.01)."""
+    exact = {}
+    for r in SIM.brute_force_topk_quantized(emb, emb, k=3).collect():
+        exact.setdefault(r.query_id, set()).add(r.corpus_id)
+
+    def recall(n_flip):
+        approx = {}
+        res = SIM.lsh_ann_topk_quantized(
+            emb, k=3, n_planes=6, n_tables=8, n_flip=n_flip
+        )
+        for r in res.collect():
+            approx.setdefault(r.query_id, set()).add(r.corpus_id)
+        return sum(len(exact[q] & approx.get(q, set())) for q in exact) / sum(
+            len(v) for v in exact.values()
+        )
+
+    r0, r4 = recall(0), recall(4)
+    assert r4 > r0, (r0, r4)
+    assert r4 >= 0.75, (r0, r4)
+
+
 def test_ivf_flat_recall_vs_brute_force(spark, emb):
     """Recall@3 of the IVF-flat path against exact brute force — the
     inverted-list quality/speed trade, and the n_probe recall lever

@@ -1311,15 +1311,53 @@ def ann_lsh_topk(spark, sf_dir):
 # (6x2, the round-3 config) to 0.55 for ~0.4 s — bench reports the
 # recall so the trade stays visible round over round
 _ANN_PLANES, _ANN_TABLES = 5, 8
+# multi-probe config (planes, tables, flips): recall@3 0.88 at sf0.1 /
+# 0.84 at sf0.01 with ~950 candidates/query at sf0.1 — the ≥0.8
+# production-retrieval config, with the SAME index size as 6x8
+_MP_PLANES, _MP_TABLES, _MP_FLIP = 6, 8, 4
 
-SQL_ANN_LSH = f"""
+
+def ann_multiprobe_topk(spark, sf_dir):
+    """Multi-probe LSH ANN (Lv et al., VLDB'07): the query side probes
+    its base bucket plus the 4 buckets reached by flipping its
+    lowest-|margin| sign bits; the index side stays base-only, so
+    recall rises (0.55 → 0.88 @3 at sf0.1) with NO extra index memory
+    and no extra tables. Bucketing, probe derivation (margin-sorted bit
+    flips), candidate join, and quantized re-rank are all reproduced
+    bit-for-bit by the DuckDB oracle."""
+    e = t(spark, sf_dir, "embeddings")
+    return SIM.lsh_ann_topk_quantized(
+        e, k=3, n_planes=_MP_PLANES, n_tables=_MP_TABLES, n_flip=_MP_FLIP
+    )
+
+
+def _sql_ann_lsh(n_planes: int, n_tables: int, n_flip: int, k: int) -> str:
+    """DuckDB twin of lsh_ann_topk_quantized: md5-sign planes, integer
+    dots, base buckets, optional multi-probe (flip the n_flip
+    lowest-|d| bits, ties by plane index — the stable-argsort rule),
+    candidate join against BASE buckets only, quantized re-rank."""
+    probes = "  SELECT vec_id, t, bucket FROM buckets"
+    flips_cte = ""
+    if n_flip:
+        flips_cte = """
+flips AS (
+  SELECT vec_id, t, p,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, t ORDER BY ABS(d), p) AS r
+  FROM dots
+),"""
+        probes += f"""
+  UNION ALL
+  SELECT b.vec_id, b.t, xor(b.bucket, CAST(1 << fl.p AS BIGINT)) AS bucket
+  FROM buckets b
+  JOIN flips fl ON fl.vec_id = b.vec_id AND fl.t = b.t AND fl.r <= {n_flip}"""
+    return f"""
 WITH planes AS (
   SELECT CAST(t AS INT) AS t, CAST(p AS INT) AS p, CAST(i AS INT) AS i,
          CASE WHEN ('0x' || substr(md5(CAST(t AS VARCHAR) || ':' ||
                     CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1))::INT
                    % 2 = 1
               THEN 1 ELSE -1 END AS s
-  FROM range({_ANN_TABLES}) tt(t), range({_ANN_PLANES}) pp(p), range(64) ii(i)
+  FROM range({n_tables}) tt(t), range({n_planes}) pp(p), range(64) ii(i)
 ),
 qv AS (
   SELECT vec_id, CAST(i AS INT) AS i,
@@ -1335,10 +1373,13 @@ buckets AS (
   SELECT vec_id, t,
          CAST(SUM(CASE WHEN d > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
   FROM dots GROUP BY vec_id, t
+),{flips_cte}
+probes AS (
+{probes}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS corpus_id
-  FROM buckets a JOIN buckets b
+  FROM probes a JOIN buckets b
     ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
 ),
 pairdot AS (
@@ -1352,8 +1393,12 @@ SELECT query_id, corpus_id, dot_q, CAST(rk AS INT) AS rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY dot_q DESC, corpus_id) rk
   FROM pairdot
-) WHERE rk <= 3
+) WHERE rk <= {k}
 """
+
+
+SQL_ANN_LSH = _sql_ann_lsh(_ANN_PLANES, _ANN_TABLES, 0, 3)
+SQL_ANN_MULTIPROBE = _sql_ann_lsh(_MP_PLANES, _MP_TABLES, _MP_FLIP, 3)
 
 
 def multimodal_features(spark, sf_dir):
@@ -2790,6 +2835,7 @@ LEFT JOIN placed p
 # replayed by tools/check_oracle.py every round).
 QUERIES = {
     # --- never (or not recently) driver-checked: keep in the window ---
+    "ann_multiprobe_topk": ann_multiprobe_topk,
     "template_override": template_override,
     "grid_header_derivation": grid_header_derivation,
     "grid_merged_cells": grid_merged_cells,
@@ -2899,6 +2945,7 @@ ORACLE = {
     "rollup_revenue": SQL_ROLLUP,
     "simhash_pairs": SQL_SIMHASH_DOCS,
     "ann_lsh_topk": SQL_ANN_LSH,
+    "ann_multiprobe_topk": SQL_ANN_MULTIPROBE,
     "ivf_flat_topk": SQL_IVF,
     "ivf_scaled_topk": SQL_IVF_SCALED,
     "ivf_lloyd_topk": SQL_IVF_LLOYD,
