@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "doc_lang_id",
     "training_set_selection",
     "corpus_build",
+    "corpus_build_full",
     "minhash_lsh_pairs",
     "embedding_topk",
     "simhash_pairs",

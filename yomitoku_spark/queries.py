@@ -577,12 +577,20 @@ def _sql_minhash(j):
     )
 
 
-_SQL_MINHASH_CTES = f"""toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+def _sql_minhash_ctes(src: str) -> str:
+    """MinHash-LSH banding CTEs (8 hashes, 4 bands of 2, 3-shingles)
+    over any source relation exposing (doc_id, text). The short-text
+    fallback shingle COALESCEs to '' because DuckDB's
+    array_to_string([]) is NULL where Python's ' '.join([]) is '' —
+    without it an empty document gets a NULL signature and silently
+    drops out of every bucket (diverging from the engine, which banks
+    empty docs into one shared bucket)."""
+    return f"""toks AS (SELECT doc_id, {_TOKS} AS tk FROM {src}),
 sh AS (
   SELECT doc_id,
     list_distinct(CASE WHEN len(tk) >= 3
       THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]
-      ELSE [array_to_string(tk, ' ')] END) AS s
+      ELSE [COALESCE(array_to_string(tk, ' '), '')] END) AS s
   FROM toks),
 sig AS (
   SELECT doc_id,
@@ -596,6 +604,9 @@ banded AS (
   UNION ALL SELECT doc_id, 1, h2::VARCHAR || ',' || h3::VARCHAR FROM sig
   UNION ALL SELECT doc_id, 2, h4::VARCHAR || ',' || h5::VARCHAR FROM sig
   UNION ALL SELECT doc_id, 3, h6::VARCHAR || ',' || h7::VARCHAR FROM sig)"""
+
+
+_SQL_MINHASH_CTES = _sql_minhash_ctes("documents")
 
 SQL_MINHASH_PAIRS = f"""
 WITH {_SQL_MINHASH_CTES}
@@ -1850,6 +1861,139 @@ FROM ckept
 """
 
 
+def corpus_build_full(spark, sf_dir):
+    """corpus_build + the NEAR-DUP stage — the whole brief as one
+    composed query: REAL fused extraction → quality permilles →
+    exact-dedup keeper (digest window) → star-capped MinHash-LSH over
+    the EXTRACTED markdown → fixpoint label-propagation clustering →
+    near-dup cluster keeper → gate → JSON record.
+
+    Scale shape: the extracted+scored corpus is materialized ONCE
+    (localCheckpoint) because it feeds three consumers — the signature
+    stage, the iterative LP loop, and the final join — and a lazy plan
+    would re-run the extraction MapInPandas for each (the corpus_build
+    window trick only covers single-consumer pipelines). The near-dup
+    key is the (conv, turn) bijection back to doc_id, so the DuckDB
+    referee (recursive closure over the SAME capped pairs) joins on it
+    directly."""
+    from yomitoku_spark.operators import components as CC
+    from yomitoku_spark.plans.pipeline import extract
+    from yomitoku_spark.sources.transcripts_corpus import corpus_transcripts
+
+    ex = extract(corpus_transcripts(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "extracted_text"
+    )
+    ntok = TS.token_count(F.col("extracted_text"))
+    stop = TS.stopword_count(F.col("extracted_text"), "en")
+    punct = F.length(F.regexp_replace("extracted_text", r"[\w\s]", ""))
+    wk = W.partitionBy("digest").orderBy("conv_id", "turn_idx")
+    stats = (
+        ex.select(
+            "conv_id",
+            "turn_idx",
+            "extracted_text",
+            # conv_id='c<doc_id%25>', turn_idx=doc_id//25 → doc_id
+            (
+                F.regexp_extract("conv_id", "([0-9]+)", 1).cast("bigint")
+                + F.col("turn_idx").cast("bigint") * 25
+            ).alias("turn_key"),
+            ntok.alias("n_tokens"),
+            F.floor(F.lit(1000) * stop / F.greatest(ntok, F.lit(1)))
+            .cast("bigint")
+            .alias("stop_permille"),
+            F.floor(
+                F.lit(1000) * punct / F.greatest(F.length("extracted_text"), F.lit(1))
+            )
+            .cast("bigint")
+            .alias("punct_permille"),
+            F.md5(
+                F.trim(F.regexp_replace(F.lower("extracted_text"), r"\s+", " "))
+            ).alias("digest"),
+        )
+        .withColumn("__rk", F.row_number().over(wk))
+        .withColumn("exact_keeper", (F.col("__rk") == 1).cast("int"))
+        .drop("__rk")
+    )
+    stats = stats.localCheckpoint(eager=True)
+    pairs = DD.lsh_candidate_pairs(
+        stats, "turn_key", "extracted_text", n_hashes=8, bands=4, shingle_n=3,
+        max_bucket_size=_LSH_CAP,
+    )
+    comp = CC.label_propagation(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).withColumnRenamed("node", "turn_key")
+    j = stats.join(comp, "turn_key", "left")
+    neardup = F.coalesce("label", F.col("turn_key")) == F.col("turn_key")
+    selected = (
+        (F.col("exact_keeper") == 1)
+        & neardup
+        & (F.col("n_tokens") >= 6)
+        & (F.col("punct_permille") <= 150)
+    )
+    return j.select(
+        "conv_id",
+        "turn_idx",
+        "n_tokens",
+        "stop_permille",
+        "punct_permille",
+        "exact_keeper",
+        neardup.cast("int").alias("neardup_keeper"),
+        selected.cast("int").alias("selected"),
+        F.when(
+            selected,
+            F.to_json(F.struct("conv_id", "turn_idx", "extracted_text")),
+        )
+        .otherwise(F.lit(""))
+        .alias("record"),
+    )
+
+
+SQL_CORPUS_BUILD_FULL = f"""
+WITH RECURSIVE {TC.SQL_CORPUS_PIECES},
+cext AS (
+  SELECT conv_id, turn_idx, did AS doc_id, {_TC_ET} AS text FROM tc_base
+),
+{_sql_minhash_ctes('cext')},
+{_SQL_CAPPED_PAIRS},
+und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a AS node, a AS peer FROM und
+  UNION
+  SELECT r.node, u.b FROM reach r JOIN und u ON u.a = r.peer
+),
+comp AS (SELECT node, MIN(peer) AS cluster FROM reach GROUP BY node),
+cstats AS (
+  SELECT conv_id, turn_idx, doc_id, text,
+    CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+    CAST(FLOOR(1000.0 * len(list_filter({_TOKS},
+          w -> w IN ('the','and','of','to','a','in','is','it','that','for')))
+         / GREATEST(len({_TOKS}), 1)) AS BIGINT) AS stop_permille,
+    CAST(FLOOR(1000.0 * length(regexp_replace(text, '[a-zA-Z0-9_\\s]', '', 'g'))
+         / GREATEST(length(text), 1)) AS BIGINT) AS punct_permille,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest
+  FROM cext
+),
+ckept AS (
+  SELECT *, CASE WHEN ROW_NUMBER() OVER (
+                   PARTITION BY digest ORDER BY conv_id, turn_idx) = 1
+                 THEN 1 ELSE 0 END AS exact_keeper
+  FROM cstats
+)
+SELECT k.conv_id, k.turn_idx, k.n_tokens, k.stop_permille, k.punct_permille,
+  k.exact_keeper,
+  CAST(COALESCE(c.cluster, k.doc_id) = k.doc_id AS INT) AS neardup_keeper,
+  CAST((k.exact_keeper = 1 AND COALESCE(c.cluster, k.doc_id) = k.doc_id
+        AND k.n_tokens >= 6 AND k.punct_permille <= 150) AS INT) AS selected,
+  CASE WHEN k.exact_keeper = 1 AND COALESCE(c.cluster, k.doc_id) = k.doc_id
+            AND k.n_tokens >= 6 AND k.punct_permille <= 150
+       THEN '{{"conv_id":"' || k.conv_id || '","turn_idx":' || CAST(k.turn_idx AS VARCHAR)
+            || ',"extracted_text":"' || {_sql_json_escape('k.text')} || '"}}'
+       ELSE '' END AS record
+FROM ckept k LEFT JOIN comp c ON c.node = k.doc_id
+"""
+
+
 # ===================================================================
 # semantic layout parsing (§2.3 joins / §2.7 — the rule cascade,
 # geometric KV recovery, table-field match, template override)
@@ -2835,6 +2979,7 @@ LEFT JOIN placed p
 # replayed by tools/check_oracle.py every round).
 QUERIES = {
     # --- never (or not recently) driver-checked: keep in the window ---
+    "corpus_build_full": corpus_build_full,
     "ann_multiprobe_topk": ann_multiprobe_topk,
     "template_override": template_override,
     "grid_header_derivation": grid_header_derivation,
@@ -2924,6 +3069,7 @@ ORACLE = {
     "doc_near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
     "training_set_selection": SQL_TRAINING_SELECTION,
     "corpus_build": SQL_CORPUS_BUILD,
+    "corpus_build_full": SQL_CORPUS_BUILD_FULL,
     "doc_token_stats": SQL_TOKEN_STATS,
     "doc_quality": SQL_QUALITY,
     "doc_lang_id": SQL_LANG_ID,
