@@ -12,30 +12,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import duckdb
-import numpy as np
 import pandas as pd
 
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-
-
-def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.reindex(sorted(pdf.columns), axis=1).copy()
-    for c in pdf.columns:
-        if pd.api.types.is_float_dtype(pdf[c]):
-            pdf[c] = pdf[c].round(6)
-        elif pd.api.types.is_integer_dtype(pdf[c]):
-            pdf[c] = pdf[c].astype("int64")
-        elif pd.api.types.is_datetime64_any_dtype(pdf[c]):
-            pdf[c] = pdf[c].astype("datetime64[us]").astype(str)
-        else:
-            try:  # duckdb may hand back decimal.Decimal / object ints
-                pdf[c] = pd.to_numeric(pdf[c], downcast=None)
-                if pd.api.types.is_integer_dtype(pdf[c]):
-                    pdf[c] = pdf[c].astype("int64")
-            except (ValueError, TypeError):
-                pdf[c] = pdf[c].astype(str)
-    return pdf.sort_values(list(pdf.columns), kind="stable").reset_index(drop=True)
+from yomitoku_spark.oracle_compare import duckdb_connect, normalize
 
 
 def main():
@@ -46,9 +25,7 @@ def main():
     from yomitoku_spark.session import get_spark
 
     spark = get_spark(app="check_oracle", master="local[8]", shuffle_partitions=8)
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = duckdb_connect(sf_dir)
 
     failures = []
     for name, fn in QUERIES.items():

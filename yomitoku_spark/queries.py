@@ -2972,68 +2972,25 @@ LEFT JOIN placed p
 # ===================================================================
 
 # Registry order matters for the driver's correctness artifact: it
-# snapshots the FIRST 50 entries only (the registry has 64, so the 14
-# tail entries are outside the window). Queries that have not yet
-# appeared in a driver artifact are placed first; long-stable rows that
-# were driver-green in earlier rounds are rotated to the tail (still
-# replayed by tools/check_oracle.py every round).
+# snapshots the FIRST 50 entries only (the registry has 66, so the 16
+# tail entries are outside the window). Rotation policy: new queries
+# and rows absent from the last driver artifact go first; rows that
+# are driver-green two consecutive rounds rotate to the tail. No row
+# stays out of the window more than two rounds, and EVERY tail row is
+# hard-gated by tests/test_oracle_tail.py (full DuckDB replay at
+# sf0.01) — rotation never leaves a row with only a by-convention
+# referee.
+#
+# r5 rotation: the 14 r2/r3-green rows rotated out in r4
+# (jaccard_near_pairs … zip_join_positional) return to the window; 15
+# operator rows green in r2+r3+r4 plus connected_components_labels
+# (r4-green; its operator is also exercised in-window via
+# doc_near_dup_clusters and corpus_build_full) rotate out.
 QUERIES = {
-    # --- never (or not recently) driver-checked: keep in the window ---
+    # --- new this round: never driver-checked ---
     "corpus_build_full": corpus_build_full,
     "ann_multiprobe_topk": ann_multiprobe_topk,
-    "template_override": template_override,
-    "grid_header_derivation": grid_header_derivation,
-    "grid_merged_cells": grid_merged_cells,
-    "split_words_across_cells": split_words_across_cells,
-    "connected_components_labels": connected_components_labels,
-    "embedding_near_dup_pairs": embedding_near_dup_pairs,
-    "adjacency_rules": adjacency_rules,
-    "kv_items_geometric": kv_items_geometric,
-    "extract_scalar_cascade": extract_scalar_cascade,
-    "extract_table_field": extract_table_field,
-    "search_cells_adjacent": search_cells_adjacent,
-    "kv_dict_view": kv_dict_view,
-    "grid_row_dicts": grid_row_dicts,
-    # --- flagship + operator rows ---
-    "extract_transcripts": extract_transcripts,
-    "extract_transcripts_staged": extract_transcripts_staged,
-    "extract_transcripts_mix": extract_transcripts_mix,
-    "segment_features": segment_features,
-    "extract_fields_kv": extract_fields_kv,
-    "export_formats": export_formats,
-    "argmax_join": argmax_join,
-    "anti_join_orphans": anti_join_orphans,
-    "semi_join_hot_parts": semi_join_hot_parts,
-    "content_concat": content_concat,
-    "dup_key_indexer": dup_key_indexer,
-    "direction_vote": direction_vote,
-    "grid_cells": grid_cells,
-    "span_extents": span_extents,
-    "containment_join": containment_join,
-    "dedup_contained_boxes": dedup_contained_boxes,
-    "topk_per_group": topk_per_group,
-    "doc_near_dup_clusters": doc_near_dup_clusters,
-    "training_set_selection": training_set_selection,
-    "corpus_build": corpus_build,
-    "doc_token_stats": doc_token_stats,
-    "doc_quality": doc_quality,
-    "doc_lang_id": doc_lang_id,
-    "doc_fingerprint": doc_fingerprint,
-    "minhash_lsh_pairs": minhash_lsh_pairs,
-    "embedding_topk": embedding_topk,
-    "adjacency_join": adjacency_join,
-    "grid_recovery": grid_recovery,
-    "asof_join": asof_join,
-    "rollup_revenue": rollup_revenue,
-    "simhash_pairs": simhash_pairs,
-    "ann_lsh_topk": ann_lsh_topk,
-    "multimodal_features": multimodal_features,
-    "multimodal_plan": multimodal_plan,
-    "ivf_flat_topk": ivf_flat_topk,
-    "ivf_scaled_topk": ivf_scaled_topk,
-    "ivf_lloyd_topk": ivf_lloyd_topk,
-    # --- rotated out of the 50-row driver window (driver-green in
-    # earlier rounds; still oracle-replayed by tools/check_oracle.py) ---
+    # --- returning from the r4 tail (driver-green r2/r3, replay-green r4) ---
     "jaccard_near_pairs": jaccard_near_pairs,
     "q1_pricing_summary": q1_pricing_summary,
     "gap_detection": gap_detection,
@@ -3048,6 +3005,60 @@ QUERIES = {
     "union_distinct_nations": union_distinct_nations,
     "page_select": page_select,
     "zip_join_positional": zip_join_positional,
+    # --- first driver row was r4: keep a second consecutive row ---
+    "template_override": template_override,
+    "grid_header_derivation": grid_header_derivation,
+    "grid_merged_cells": grid_merged_cells,
+    "split_words_across_cells": split_words_across_cells,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "adjacency_rules": adjacency_rules,
+    "kv_items_geometric": kv_items_geometric,
+    "extract_scalar_cascade": extract_scalar_cascade,
+    "extract_table_field": extract_table_field,
+    "search_cells_adjacent": search_cells_adjacent,
+    "kv_dict_view": kv_dict_view,
+    "grid_row_dicts": grid_row_dicts,
+    # --- flagship + composed + LLM-pipeline rows: always in-window ---
+    "extract_transcripts": extract_transcripts,
+    "extract_transcripts_staged": extract_transcripts_staged,
+    "extract_transcripts_mix": extract_transcripts_mix,
+    "segment_features": segment_features,
+    "extract_fields_kv": extract_fields_kv,
+    "export_formats": export_formats,
+    "doc_near_dup_clusters": doc_near_dup_clusters,
+    "training_set_selection": training_set_selection,
+    "corpus_build": corpus_build,
+    "doc_token_stats": doc_token_stats,
+    "doc_quality": doc_quality,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "embedding_topk": embedding_topk,
+    "simhash_pairs": simhash_pairs,
+    "ann_lsh_topk": ann_lsh_topk,
+    "multimodal_features": multimodal_features,
+    "multimodal_plan": multimodal_plan,
+    "ivf_flat_topk": ivf_flat_topk,
+    "ivf_scaled_topk": ivf_scaled_topk,
+    "ivf_lloyd_topk": ivf_lloyd_topk,
+    # --- rotated out of the 50-row driver window (driver-green
+    # r2+r3+r4; hard-gated by tests/test_oracle_tail.py every run) ---
+    "argmax_join": argmax_join,
+    "anti_join_orphans": anti_join_orphans,
+    "semi_join_hot_parts": semi_join_hot_parts,
+    "content_concat": content_concat,
+    "dup_key_indexer": dup_key_indexer,
+    "direction_vote": direction_vote,
+    "grid_cells": grid_cells,
+    "span_extents": span_extents,
+    "containment_join": containment_join,
+    "dedup_contained_boxes": dedup_contained_boxes,
+    "topk_per_group": topk_per_group,
+    "adjacency_join": adjacency_join,
+    "grid_recovery": grid_recovery,
+    "asof_join": asof_join,
+    "rollup_revenue": rollup_revenue,
+    "connected_components_labels": connected_components_labels,
 }
 
 ORACLE = {
