@@ -159,6 +159,31 @@ def test_derive_grid_headers_memo_no_cache_growth(spark):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == n_after_first - 1
 
 
+def test_derive_grid_headers_memo_eviction(spark):
+    """The memo is CAPPED: distinct input plans beyond _DERIVE_MEMO_MAX
+    evict (and unpersist) the oldest entry, so a long-lived session
+    feeding many plans cannot pin unbounded cached RDDs (r4 advice)."""
+    from pyspark.sql import functions as F
+
+    from yomitoku_spark.operators import grid_headers as GH
+    from yomitoku_spark.sources.layout import form_table_cells
+
+    GH.clear_derive_memo()
+    old_max = GH._DERIVE_MEMO_MAX
+    GH._DERIVE_MEMO_MAX = 2
+    try:
+        base = form_table_cells(spark, "/root/testdata/sf0.001")
+        plans = [base.filter(F.col("doc_id") >= i) for i in range(3)]
+        results = [GH.derive_grid_headers(p) for p in plans]
+        assert len(GH._DERIVE_MEMO) == 2
+        # oldest (plans[0]) evicted: a repeat call recomputes, newest hits
+        assert GH.derive_grid_headers(plans[2]) is results[2]
+        assert GH.derive_grid_headers(plans[0]) is not results[0]
+    finally:
+        GH._DERIVE_MEMO_MAX = old_max
+        GH.clear_derive_memo()
+
+
 @settings(max_examples=25, deadline=None)
 @given(st.data())
 def test_split_words_column_equals_scalar(spark, data):

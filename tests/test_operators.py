@@ -241,6 +241,53 @@ def test_blocked_dedup_equals_theta_on_sparse_boxes(spark):
     assert len(plain) < len(rows)  # something was actually deduped
 
 
+def test_dedup_contained_auto_switch(spark):
+    """blocked_cell='auto' must MEASURE the geometry and choose the
+    scale-safe plan itself (r4 stretch item): blocked for big sparse
+    inputs, theta for tiny or degenerate-dense ones — with identical
+    results on both sides of the switch."""
+    import random
+
+    rng = random.Random(11)
+    sparse = []
+    for i in range(3000):
+        x1, y1 = (i % 60) * 100, (i // 60) * 100
+        sparse.append((i, {"x1": x1, "y1": y1, "x2": x1 + 50, "y2": y1 + 50}))
+        if i % 10 == 0:  # plant containments
+            sparse.append(
+                (100000 + i, {"x1": x1 + 5, "y1": y1 + 5, "x2": x1 + 20, "y2": y1 + 20})
+            )
+    dense = []
+    for i in range(3000):
+        x1, y1 = rng.randrange(0, 30), rng.randrange(0, 30)
+        dense.append((i, {"x1": x1, "y1": y1, "x2": x1 + 100, "y2": y1 + 100}))
+    schema = "id bigint, box struct<x1:int,y1:int,x2:int,y2:int>"
+    df_sparse = spark.createDataFrame(sparse, schema)
+    df_dense = spark.createDataFrame(dense, schema)
+    df_tiny = spark.createDataFrame(sparse[:100], schema)
+
+    mode, cell = SP.dedup_strategy(df_sparse, "id")
+    assert mode == "blocked" and cell >= 16, (mode, cell)
+    assert SP.dedup_strategy(df_dense, "id")[0] == "theta"  # dense: n²-ish anyway
+    assert SP.dedup_strategy(df_tiny, "id")[0] == "theta"  # tiny: exchange not worth it
+
+    # identical results across the switch point, both keep modes
+    for df in (df_sparse, df_tiny):
+        for keep in ("larger", "smaller"):
+            auto = sorted(
+                r.id
+                for r in SP.dedup_contained(
+                    df, "id", keep=keep, blocked_cell="auto"
+                ).collect()
+            )
+            theta = sorted(
+                r.id for r in SP.dedup_contained(df, "id", keep=keep).collect()
+            )
+            assert auto == theta, (keep, len(auto), len(theta))
+    n_kept = len(SP.dedup_contained(df_sparse, "id", blocked_cell="auto").collect())
+    assert n_kept < df_sparse.count()  # containments actually removed
+
+
 def test_lsh_ann_recall_vs_brute_force(spark, emb):
     """Recall@3 of the LSH-ANN path against exact brute force — the
     documented quality/speed trade of the approximate scale path."""

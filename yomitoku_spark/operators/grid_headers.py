@@ -105,9 +105,12 @@ def expand_units(assigned: DataFrame) -> DataFrame:
 # input plan: repeated derive_grid_headers calls on semantically equal
 # inputs (the registry/bench paths call it from three queries) reuse
 # ONE cached `units` instead of accumulating session-lived cache
-# entries per call. Bounded by the number of distinct input plans in
-# the session; clear_derive_memo() unpersists and resets.
+# entries per call. Capped at _DERIVE_MEMO_MAX entries (FIFO — the
+# oldest entry is unpersisted and evicted), so a long-lived session
+# feeding many distinct plans cannot pin unbounded cached RDDs;
+# clear_derive_memo() unpersists and resets everything.
 _DERIVE_MEMO: list[tuple[DataFrame, DataFrame, tuple]] = []
+_DERIVE_MEMO_MAX = 8
 
 
 def clear_derive_memo() -> None:
@@ -210,6 +213,12 @@ def derive_grid_headers(
     )
     result = (headers, data, demoted, colmap)
     _DERIVE_MEMO.append((cells, units, result))
+    while len(_DERIVE_MEMO) > _DERIVE_MEMO_MAX:
+        _, old_units, _ = _DERIVE_MEMO.pop(0)
+        try:
+            old_units.unpersist()
+        except Exception:
+            pass  # session already stopped
     return result
 
 

@@ -145,12 +145,64 @@ def grid_blocked_pairs(df: DataFrame, id_col: str, cell: int = 64) -> DataFrame:
     )
 
 
+# auto-switch thresholds: below _AUTO_MIN_BOXES the n² probe is cheaper
+# than standing up the blocking exchange; past _AUTO_MAX_PER_CELL
+# expected boxes per blocking cell, the per-cell self-joins MATERIALIZE
+# nearly as many pairs as the theta join evaluates — but through an
+# exchange + dropDuplicates shuffle, which loses badly (measured on the
+# registry's dense stress synthetic: blocked 525 s vs theta 5.4 s at
+# 20k boxes in a 130x130 extent)
+_AUTO_MIN_BOXES = 2048
+_AUTO_MAX_PER_CELL = 64
+
+
+def dedup_strategy(df: DataFrame, id_col: str) -> tuple[str, int | None]:
+    """Measure the geometry and pick the scale-safe dedup plan:
+    ``("blocked", cell)`` for big sparse geometry, ``("theta", None)``
+    for tiny or pathologically dense inputs.
+
+    One tiny aggregate (7 numbers to the driver): box count, the
+    bounding extent, and the median short side. The blocking pitch is
+    2× the median short side (≥16) so a typical box covers ~a few
+    cells; the decision key is the EXPECTED BOXES PER CELL under that
+    pitch, B ≈ 2.25·n·cell²/extent (2.25 = (1 + side/cell)² cells
+    covered per box at cell = 2·side, assuming ~uniform placement —
+    clustered layouts underestimate B, which errs toward 'blocked', the
+    side that still beats theta unless density is extreme). Blocked
+    pair volume scales with Σ_cells B² ≈ n·B, so B ≤ 64 keeps the
+    materialized candidate set ~64·n — far below the n² theta probe at
+    any real corpus size — while a dense stress input (B ≈ 900) falls
+    back to the exchange-free nested loop."""
+    s = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.min("box.x1").alias("minx"),
+        F.max("box.x2").alias("maxx"),
+        F.min("box.y1").alias("miny"),
+        F.max("box.y2").alias("maxy"),
+        F.percentile_approx(
+            F.least(
+                F.col("box.x2") - F.col("box.x1"), F.col("box.y2") - F.col("box.y1")
+            ),
+            0.5,
+        ).alias("med_side"),
+    ).first()
+    n = s["n"] or 0
+    if n < _AUTO_MIN_BOXES:
+        return ("theta", None)
+    extent = max((s["maxx"] - s["minx"]) * (s["maxy"] - s["miny"]), 1)
+    cell = int(max(16, 2 * (s["med_side"] or 8)))
+    boxes_per_cell = 2.25 * n * cell * cell / extent
+    if boxes_per_cell > _AUTO_MAX_PER_CELL:
+        return ("theta", None)
+    return ("blocked", cell)
+
+
 def dedup_contained(
     df: DataFrame,
     id_col: str,
     keep: str = "larger",
     threshold: float = 0.8,
-    blocked_cell: int | None = None,
+    blocked_cell: int | str | None = None,
 ) -> DataFrame:
     """Drop boxes contained in another box of the same DataFrame.
 
@@ -159,9 +211,15 @@ def dedup_contained(
     Implemented as a containment self-join → LEFT ANTI of the losers;
     on mutual containment the area tiebreak (then id) decides.
 
-    ``blocked_cell``: when set, candidate pairs come from the grid-cell
-    equi join (:func:`grid_blocked_pairs`) instead of the O(n²)
-    nested-loop theta join — identical results, scalable plan."""
+    ``blocked_cell``: when an int, candidate pairs come from the
+    grid-cell equi join (:func:`grid_blocked_pairs`) instead of the
+    O(n²) nested-loop theta join — identical results, scalable plan.
+    ``"auto"`` measures the geometry (:func:`dedup_strategy`) and makes
+    the scale-safe choice itself: blocked for big sparse inputs, theta
+    for tiny or degenerate-dense ones."""
+    if blocked_cell == "auto":
+        mode, cell = dedup_strategy(df, id_col)
+        blocked_cell = cell if mode == "blocked" else None
     contained = contains("b.box", "a.box", threshold)  # b contains a
     area_a = box_area("a.box")
     area_b = box_area("b.box")
