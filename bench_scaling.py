@@ -303,6 +303,10 @@ the tables below let a reader match every slow rep to its cause.
 
 Raw: local[8] {json.dumps(r8)}
 Raw: local[32] {json.dumps(r32)}
+
+Round-specific findings (throughput attribution, operator mode
+benchmarks) live in BENCH/NOTES.md — bench_scaling.py regenerates THIS
+file only.
 """)
     print(f"E = {eff:.3f}; checksums match={checks_match}; oracle match={oracle_match}")
     print(f"wrote {out_md}")
