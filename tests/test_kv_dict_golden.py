@@ -294,3 +294,106 @@ def test_grids_to_dict_fuzz(spark, data):
     got = sorted((r.row, r.key, r.value) for r in SEM.grids_to_dict(cdf, hdf, ddf).collect())
     exp = _grids_dict_scalar(cells, col_headers, grid)
     assert got == exp, (got, exp, cells, col_headers, grid)
+
+
+# ------------------------------------------------- semantic file sinks
+# Reference TableSemanticContentsExport golden vectors
+# (test_table_semantic_parser.py:425-510)
+
+
+def test_export_to_json_writes_kv_and_grids(spark, tmp_path):
+    """Reference test_export_to_json_writes_kv_and_grids (:425-445)."""
+    import json
+
+    cdf = spark.createDataFrame(
+        [(0, "k", "header", 0, 0, 10, 10, "Key"),
+         (0, "v", "cell", 10, 0, 20, 10, "Val"),
+         (0, "h", "header", 0, 0, 10, 10, "H"),
+         (0, "c", "cell", 0, 10, 10, 20, "C")],
+        CELLS_SCHEMA,
+    )
+    kdf = spark.createDataFrame([(0, ["k"], "v")], KV_SCHEMA)
+    _, hdf, ddf = _grid_frames(
+        spark, cells=[("h", "header", "H"), ("c", "cell", "C")],
+        col_headers=[["h"]], data=[["c"]],
+    )
+    out = tmp_path / "out" / "table.json"
+    obj = SEM.semantic_to_json(cdf, kdf, hdf, ddf, str(out))
+    data = json.loads(out.read_text(encoding="utf-8"))
+    assert data == obj
+    assert isinstance(data["kv_items"], dict)
+    assert isinstance(data["grids"], list)
+    assert data["kv_items"] == {"Key": "Val"}
+    assert data["grids"] == [{"id": "g0", "rows": [{"H": "C"}]}]
+
+
+def test_export_kv_items_to_json_writes_dict(spark, tmp_path):
+    """Reference test_export_kv_items_to_json_writes_dict (:446-461)."""
+    import json
+
+    cdf = spark.createDataFrame(
+        [(0, "k", "header", 0, 0, 10, 10, "Key"),
+         (0, "v", "cell", 10, 0, 20, 10, "Val")],
+        CELLS_SCHEMA,
+    )
+    kdf = spark.createDataFrame([(0, ["k"], "v")], KV_SCHEMA)
+    out = tmp_path / "kv" / "kv.json"
+    obj = SEM.kv_items_to_json(cdf, kdf, str(out))
+    assert obj == {"Key": "Val"}
+    assert json.loads(out.read_text(encoding="utf-8")) == {"Key": "Val"}
+
+
+def test_export_grids_to_json_writes_list(spark, tmp_path):
+    """Reference test_export_grids_to_json_writes_list (:464-480)."""
+    import json
+
+    cdf, hdf, ddf = _grid_frames(
+        spark, cells=[("h", "header", "H"), ("c", "cell", "C")],
+        col_headers=[["h"]], data=[["c"]],
+    )
+    out = tmp_path / "grids" / "grids.json"
+    obj = SEM.grids_to_json(cdf, hdf, ddf, str(out))
+    data = json.loads(out.read_text(encoding="utf-8"))
+    assert isinstance(data, list)
+    assert data[0]["id"] == "g0"
+    assert data == obj
+
+
+def test_export_grids_to_csv_writes_csv_files(spark, tmp_path):
+    """Reference test_export_grids_to_csv_writes_csv_files (:483-510):
+    cell text space-stripped ('1 2' -> '12'), one file per grid."""
+    cdf, hdf, ddf = _grid_frames(
+        spark,
+        cells=[("h1", "header", "A"), ("h2", "header", "B"),
+               ("a", "cell", "1 2"), ("b", "cell", "3")],
+        col_headers=[["h1"], ["h2"]],
+        data=[["a", "b"]],
+    )
+    out = tmp_path / "csv" / "out.csv"
+    csvs = SEM.grids_to_csv(cdf, ddf, str(out), ignore_space=True)
+    assert csvs == [[["12", "3"]]]
+    f = tmp_path / "csv" / "out_g0.csv"
+    assert f.exists()
+    assert f.read_text(encoding="utf-8").strip() == "12,3"
+
+
+def test_filter_grid_columns_by_header_substring(spark, tmp_path):
+    """Reference filter_columns_ignore_space via grids_to_csv(columns=)
+    (table_semantic_parser.py:319-377): keep only columns whose
+    space-stripped header text contains a space-stripped query."""
+    cdf, hdf, ddf = _grid_frames(
+        spark,
+        cells=[("h1", "header", "品 名"), ("h2", "header", "金 額"),
+               ("a", "cell", "apple"), ("b", "cell", "100")],
+        col_headers=[["h1"], ["h2"]],
+        data=[["a", "b"]],
+    )
+    hk, dk = SEM.filter_grid_columns(cdf, hdf, ddf, ["金額"])
+    assert [r.col for r in hk.collect()] == [1]
+    assert [(r.col, r.cell_id) for r in dk.collect()] == [(1, "b")]
+    csvs = SEM.grids_to_csv(cdf, ddf, str(tmp_path / "f.csv"),
+                            headers=hdf, columns=["金額"])
+    assert csvs == [[["100"]]]
+    # no match -> no columns, no files
+    hk2, dk2 = SEM.filter_grid_columns(cdf, hdf, ddf, ["zzz"])
+    assert hk2.count() == 0 and dk2.count() == 0

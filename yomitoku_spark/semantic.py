@@ -478,6 +478,213 @@ def grids_to_dict(
     )
 
 
+# -------------------------------------------------- grid column filtering
+
+
+def filter_grid_columns(
+    cells: DataFrame,
+    headers: DataFrame,
+    data: DataFrame,
+    queries: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Reference ``filter_columns_ignore_space`` /
+    ``find_table_by_column_name`` (schemas/table_semantic_parser.py:
+    319-377): keep only the grid columns whose header text — raw
+    contents of the column's header stack joined in hdr_pos order, then
+    space-stripped (``normalize``) — contains ANY of the space-stripped
+    ``queries`` as a substring. Returns the (headers, data) long-form
+    pair restricted to matching columns; rows with no surviving cells
+    simply have no rows, like the reference's empty-filtered-row drop.
+    The original ``col`` ids are preserved (the reference rebuilds
+    n_col/n_row metadata — irrelevant in long form)."""
+    import re
+
+    txt = F.coalesce(F.col("contents"), F.lit(""))
+    safe = cells.select("doc_id", "cell_id", norm_text(txt).alias("nk"))
+    colkey = (
+        headers.join(safe, ["doc_id", "cell_id"], "left")
+        .groupBy("doc_id", "grid_id", "col")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("hdr_pos", F.coalesce("nk", F.lit("")).alias("t"))
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                "",
+            ).alias("nk")
+        )
+    )
+    cond = F.lit(False)
+    for q in queries:
+        nq = re.sub(r"[ 　]", "", q)
+        cond = cond | F.col("nk").contains(F.lit(nq))
+    kept = colkey.filter(cond).select("doc_id", "grid_id", "col")
+    return (
+        headers.join(kept, ["doc_id", "grid_id", "col"], "left_semi"),
+        data.join(kept, ["doc_id", "grid_id", "col"], "left_semi"),
+    )
+
+
+# -------------------------------------------------- semantic file sinks
+# Reference TableSemanticContentsExport (schemas/table_semantic_parser.py:
+# 379-457): thin file sinks over the kv/grid dict views. The reference
+# object holds ONE table; these take the per-doc view DataFrames and
+# write the reference-exact shape for a single doc, or (documented
+# extension) a {doc_id: shape} map when the input carries several.
+
+
+def _per_doc(obj_by_doc: dict):
+    if len(obj_by_doc) == 1:
+        return next(iter(obj_by_doc.values()))
+    return {str(k): v for k, v in sorted(obj_by_doc.items())}
+
+
+def _dump_json(obj, out_path: str):
+    import json
+    import os
+
+    d = os.path.dirname(out_path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    with open(out_path, "w", encoding="utf-8") as f:
+        json.dump(obj, f, ensure_ascii=False, indent=4)
+
+
+def _kv_dict_by_doc(cells, kv_items, merge_values, separator) -> dict:
+    out: dict = {}
+    for r in kv_items_to_dict(cells, kv_items, merge_values, separator).collect():
+        out.setdefault(r["doc_id"], {})[r["key"]] = r["value"]
+    return out
+
+
+def _grids_list_by_doc(cells, headers, data, ignore_space) -> dict:
+    rows: dict = {}
+    for r in grids_to_dict(cells, headers, data, ignore_space).collect():
+        rows.setdefault(r["doc_id"], {}).setdefault(r["grid_id"], {}).setdefault(
+            r["row"], {}
+        )[r["key"]] = r["value"]
+    # every grid present in the data long-form appears, even when all
+    # its rows filtered out (reference appends {"id", "rows": []})
+    all_grids = data.select("doc_id", "grid_id").distinct().collect()
+    out: dict = {}
+    for g in sorted(all_grids, key=lambda r: (r["doc_id"], r["grid_id"])):
+        by_row = rows.get(g["doc_id"], {}).get(g["grid_id"], {})
+        out.setdefault(g["doc_id"], []).append(
+            {
+                "id": g["grid_id"],
+                "rows": [by_row[k] for k in sorted(by_row)],
+            }
+        )
+    return out
+
+
+def kv_items_to_json(
+    cells, kv_items, out_path: str, merge_values: bool = False, separator: str = "\n"
+):
+    """Reference ``export.kv_items_to_json`` (:443-457): dump the KV
+    dict view to a JSON file; returns the written object."""
+    obj = _per_doc(_kv_dict_by_doc(cells, kv_items, merge_values, separator))
+    _dump_json(obj, out_path)
+    return obj
+
+
+def grids_to_json(cells, headers, data, out_path: str, ignore_space: bool = True):
+    """Reference ``export.grids_to_json`` (:431-441): dump the grid
+    row-dict view ([{"id", "rows": [...]}] per grid) to a JSON file."""
+    obj = _per_doc(_grids_list_by_doc(cells, headers, data, ignore_space))
+    _dump_json(obj, out_path)
+    return obj
+
+
+def semantic_to_json(
+    cells,
+    kv_items,
+    headers,
+    data,
+    out_path: str,
+    merge_values: bool = False,
+    separator: str = "\n",
+):
+    """Reference ``export.to_json`` (:383-397): one file carrying both
+    views — {"kv_items": dict, "grids": list}."""
+    kv_by_doc = _kv_dict_by_doc(cells, kv_items, merge_values, separator)
+    gr_by_doc = _grids_list_by_doc(cells, headers, data, True)
+    docs = sorted(set(kv_by_doc) | set(gr_by_doc))
+    obj = _per_doc(
+        {
+            d: {"kv_items": kv_by_doc.get(d, {}), "grids": gr_by_doc.get(d, [])}
+            for d in docs
+        }
+    )
+    _dump_json(obj, out_path)
+    return obj
+
+
+def grids_to_csv(
+    cells,
+    data,
+    out_path: str,
+    headers: DataFrame | None = None,
+    columns: list[str] | None = None,
+    ignore_space: bool = True,
+):
+    """Reference ``export.grids_to_csv`` (:399-429): every grid's FULL
+    unit matrix (header rows included — unlike grids_to_dict, the csv
+    sink does not skip header cells) as one csv file per grid,
+    ``{base}_{grid_id}.csv``, cells space-stripped when
+    ``ignore_space``. ``columns`` filters grid columns by header
+    substring first (find_table_by_column_name; requires ``headers``).
+    Returns the row matrices. Documented deviation: each file is named
+    from the ORIGINAL base — the reference rebinds out_path inside its
+    loop so a second grid's file compounds the first grid's suffix
+    (out_0_1.csv), an accumulation artifact, not a stated rule."""
+    import os
+
+    if columns is not None:
+        if headers is None:
+            raise ValueError("columns filtering requires the headers frame")
+        _, data = filter_grid_columns(cells, headers, data, columns)
+    txt = F.coalesce(F.col("contents"), F.lit(""))
+    safe = cells.select(
+        "doc_id", "cell_id", (norm_text(txt) if ignore_space else txt).alias("t")
+    )
+    rows = (
+        data.join(safe, ["doc_id", "cell_id"], "left")
+        .groupBy("doc_id", "grid_id", "row")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("col", F.coalesce("t", F.lit("")).alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            ).alias("cells")
+        )
+        .collect()
+    )
+    grids: dict = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["grid_id"], r["row"])):
+        grids.setdefault((r["doc_id"], r["grid_id"]), []).append(list(r["cells"]))
+    d = os.path.dirname(out_path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    base = out_path.rsplit(".", 1)[0]
+    multi_doc = len({k[0] for k in grids}) > 1
+    csvs = []
+    for (doc, gid), matrix in sorted(grids.items()):
+        name = f"{base}_{doc}_{gid}.csv" if multi_doc else f"{base}_{gid}.csv"
+        with open(name, "w", encoding="utf-8") as f:
+            for row in matrix:
+                f.write(",".join(row) + "\n")
+        csvs.append(matrix)
+    return csvs
+
+
 # -------------------------------------------------- directional cell search
 
 
