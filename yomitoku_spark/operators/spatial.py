@@ -258,6 +258,30 @@ def quad_to_xyxy(quad: Column) -> Column:
     )
 
 
+def _edge_sq(quad: Column, i: int, j: int) -> Column:
+    dx = F.get(F.get(quad, i), 0) - F.get(F.get(quad, j), 0)
+    dy = F.get(F.get(quad, i), 1) - F.get(F.get(quad, j), 1)
+    return dx * dx + dy * dy
+
+
+def quad_is_vertical(quad: Column, thresh_aspect: int = 2) -> Column:
+    """Reference ``is_vertical`` (document_analyzer.py:240-245):
+    compares the Euclidean lengths of the quad's top edge (p0→p1,
+    'width') and right edge (p1→p2, 'height') — general rotated quads,
+    not just axis-aligned boxes. Squared-integer comparison
+    (h² > a²·w², both sides non-negative) so no sqrt enters the plan
+    and integer coordinates stay exact."""
+    return _edge_sq(quad, 1, 2) > _edge_sq(quad, 0, 1) * (thresh_aspect * thresh_aspect)
+
+
+def quad_is_noise(quad: Column, thresh: int = 15) -> Column:
+    """Reference ``is_noise`` (document_analyzer.py:248-253): a quad is
+    noise when either Euclidean edge length is under ``thresh`` px —
+    same squared-comparison trick as :func:`quad_is_vertical`."""
+    t2 = thresh * thresh
+    return (_edge_sq(quad, 0, 1) < t2) | (_edge_sq(quad, 1, 2) < t2)
+
+
 def quad_valid(quad: Column, width: Column, height: Column) -> Column:
     """Reference ``validate_quads`` per quad (data/functions.py:267-298)
     as a boolean column: exactly 4 points of 2 coordinates each, with
