@@ -1180,6 +1180,32 @@ SQL_SIMHASH_DOCS = DD.SQL_SIMHASH.format(
 )
 
 
+def simhash_near_dup_pairs(spark, sf_dir):
+    """SimHash near-dup candidate pairs: 15-bit band join over the
+    60-bit signatures (4 bands → pigeonhole-complete at Hamming ≤ 3),
+    refined by exact bit_count Hamming distance — the full banded
+    pipeline reproduced by the DuckDB referee, not just the digests."""
+    d = t(spark, sf_dir, "documents")
+    return DD.simhash_near_pairs(d, "doc_id", "text")
+
+
+SQL_SIMHASH_NEAR = f"""
+WITH shf AS ({SQL_SIMHASH_DOCS}),
+banded AS (
+  SELECT id, simhash, CAST(r AS INT) AS band,
+         (simhash >> CAST(r * 15 AS INT)) & 32767 AS key
+  FROM shf, range(4) rr(r)
+),
+p AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM p WHERE hamming <= 3
+"""
+
+
 def embedding_near_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup PAIRS (threshold form of the
     similarity family): every (a < b) pair with quantized integer dot
@@ -2990,6 +3016,7 @@ QUERIES = {
     # --- new this round: never driver-checked ---
     "corpus_build_full": corpus_build_full,
     "ann_multiprobe_topk": ann_multiprobe_topk,
+    "simhash_near_dup_pairs": simhash_near_dup_pairs,
     # --- returning from the r4 tail (driver-green r2/r3, replay-green r4) ---
     "jaccard_near_pairs": jaccard_near_pairs,
     "q1_pricing_summary": q1_pricing_summary,
@@ -3101,6 +3128,7 @@ ORACLE = {
     "asof_join": SQL_ASOF,
     "rollup_revenue": SQL_ROLLUP,
     "simhash_pairs": SQL_SIMHASH_DOCS,
+    "simhash_near_dup_pairs": SQL_SIMHASH_NEAR,
     "ann_lsh_topk": SQL_ANN_LSH,
     "ann_multiprobe_topk": SQL_ANN_MULTIPROBE,
     "ivf_flat_topk": SQL_IVF,
