@@ -397,3 +397,21 @@ def test_filter_grid_columns_by_header_substring(spark, tmp_path):
     # no match -> no columns, no files
     hk2, dk2 = SEM.filter_grid_columns(cdf, hdf, ddf, ["zzz"])
     assert hk2.count() == 0 and dk2.count() == 0
+
+
+def test_export_grids_to_json_empty_is_list(spark, tmp_path):
+    """Zero grids must still write the documented [] list shape (r5
+    code-review finding: _per_doc of an empty map returned {})."""
+    import json
+
+    cdf = spark.createDataFrame([], CELLS_SCHEMA)
+    hdf = spark.createDataFrame(
+        [], "doc_id bigint, grid_id string, col int, hdr_pos int, cell_id string"
+    )
+    ddf = spark.createDataFrame(
+        [], "doc_id bigint, grid_id string, row int, col int, cell_id string"
+    )
+    out = tmp_path / "empty.json"
+    obj = SEM.grids_to_json(cdf, hdf, ddf, str(out))
+    assert obj == []
+    assert json.loads(out.read_text(encoding="utf-8")) == []

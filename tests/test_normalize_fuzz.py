@@ -56,7 +56,10 @@ _piece = st.one_of(
     st.sampled_from(
         ["令和", "平成", "昭和", "R", "H", "S", "M", "T", "年", "月", "日",
          "/", "-", ".", " ", "　", "元", "19", "2023", "5", "03", "1",
-         "２０２４", "３", "x", "abc", "no date", ":"]
+         "２０２４", "３", "x", "abc", "no date", ":",
+         # exotic Unicode whitespace: Python \s matches these, Java \s
+         # does not — the engine uses an explicit class to agree
+         "\xa0", " ", " "]
     ),
     st.text(alphabet="0123456789", min_size=1, max_size=4),
 )

@@ -39,6 +39,12 @@ VECTORS = [
     ("time_hms", "14時30分", "14:30:00"),
     ("time_hms", "9:5", "09:05:00"),
     ("time_hms", "14:30:59", "14:30:59"),
+    # the reference's \s* tolerance between every component (ADVICE r4
+    # item (b)) — incl. non-ASCII whitespace, which Python's \s matches
+    ("time_hms", "14 時 30 分 15 秒", "14:30:15"),
+    ("time_jp", "9 : 05", "9時05分"),
+    ("date_iso", "令和5年 3月2日", "2023-03-02"),  # NBSP: Python \\s matches it, Java \\s alone would not
+    ("time_hms", "14 時 30 分", "14:30:00"),
     ("alphanumeric", "ＡＢＣ１２３", "ABC123"),
     ("alphanumeric", "abc 123!@#", "abc123"),
     ("alphanumeric", "商品A01", "A01"),

@@ -266,10 +266,10 @@ def test_dedup_contained_auto_switch(spark):
     df_dense = spark.createDataFrame(dense, schema)
     df_tiny = spark.createDataFrame(sparse[:100], schema)
 
-    mode, cell = SP.dedup_strategy(df_sparse, "id")
+    mode, cell = SP.dedup_strategy(df_sparse)
     assert mode == "blocked" and cell >= 16, (mode, cell)
-    assert SP.dedup_strategy(df_dense, "id")[0] == "theta"  # dense: n²-ish anyway
-    assert SP.dedup_strategy(df_tiny, "id")[0] == "theta"  # tiny: exchange not worth it
+    assert SP.dedup_strategy(df_dense)[0] == "theta"  # dense: n²-ish anyway
+    assert SP.dedup_strategy(df_tiny)[0] == "theta"  # tiny: exchange not worth it
 
     # identical results across the switch point, both keep modes
     for df in (df_sparse, df_tiny):

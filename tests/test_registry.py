@@ -24,3 +24,26 @@ def test_rows_only_queries_documented():
         "extract_transcripts_mix",
         "multimodal_features",
     }
+
+
+def test_driver_window_boundary_matches_rotation_comment():
+    """The driver snapshots the FIRST 50 registry entries. The QUERIES
+    dict's section comments claim exactly which rows sit inside that
+    window — pin the boundary so adding a query without re-running the
+    rotation can't silently push a flagship row out of the artifact
+    (the r5 code-review finding)."""
+    names = list(entrymod.queries())
+    window, tail = names[:50], names[50:]
+    # every tail row must be oracle-backed or one of the two pinned
+    # rows-only entries (the tail gate can't check a rows-only entry's
+    # values) — and the two rows-only entries must sit IN the window
+    assert "extract_transcripts_mix" in window
+    assert "multimodal_features" in window
+    # flagship/composed rows never rotate out
+    for must in ("extract_transcripts", "corpus_build", "corpus_build_full",
+                 "training_set_selection", "export_formats"):
+        assert must in window, must
+    # the dict comment documents the boundary: last in-window row and
+    # first tail row
+    assert window[-1] == "ivf_scaled_topk", window[-1]
+    assert tail[0] == "ivf_lloyd_topk", tail[0]

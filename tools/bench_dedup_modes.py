@@ -71,7 +71,7 @@ def main():
     print(f"{'input':<26} {'mode':<10} {'strategy':<18} {'wall_s':>8}", flush=True)
     for label, n in (("sparse sf0.1-grade", 20_000), ("sparse sf1-grade", 200_000)):
         df = sparse_boxes(spark, n).localCheckpoint(eager=True)
-        mode, cell = SP.dedup_strategy(df, "id")
+        mode, cell = SP.dedup_strategy(df)
         for name, kw in (
             ("theta", {}),
             ("blocked", {"blocked_cell": cell or 100}),
@@ -96,7 +96,7 @@ def main():
     from yomitoku_spark.queries import _part_boxes
 
     dense = _part_boxes(spark, "/root/testdata/sf0.1").localCheckpoint(eager=True)
-    mode, cell = SP.dedup_strategy(dense, "p_partkey")
+    mode, cell = SP.dedup_strategy(dense)
     for name, kw, reps, warm in (
         ("theta", {}, 3, True),
         ("blocked", {"blocked_cell": 64}, 1, False),  # ~9 min; once, no warmup

@@ -2,6 +2,11 @@
 entry on Spark and its oracle_sql() on DuckDB over the same parquet,
 compare row count, column names, and order-insensitive values.
 
+The verdict logic lives in yomitoku_spark/oracle_compare.py (shared
+with the pytest tail gate, tests/test_oracle_tail.py — one
+canonicalizer, one verdict, so the two can never drift apart); this
+script only adds the CLI loop and per-query progress output.
+
 Usage: python tools/check_oracle.py [sf_dir] [only_query ...]
 """
 
@@ -12,9 +17,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import pandas as pd
-
-from yomitoku_spark.oracle_compare import duckdb_connect, normalize
+from yomitoku_spark.oracle_compare import compare_query, duckdb_connect
 
 
 def main():
@@ -33,46 +36,16 @@ def main():
             continue
         sql = ORACLE.get(name)
         try:
-            got = fn(spark, sf_dir)
-            gpdf = got.toPandas()
+            err = compare_query(spark, con, name, fn, sql, sf_dir)
         except Exception as e:
+            err = f"{name}: ERROR {type(e).__name__}: {str(e)[:300]}"
+        if err:
             failures.append(name)
-            print(f"✗ {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
-            continue
-        if sql is None:
-            print(f"· {name}: rows-only ({len(gpdf)} rows)")
-            if len(gpdf) == 0:
-                failures.append(name)
-                print(f"  ✗ zero rows!")
-            continue
-        try:
-            wpdf = con.sql(sql).df()
-        except Exception as e:
-            failures.append(name)
-            print(f"✗ {name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:300]}")
-            continue
-        g, w = normalize(gpdf), normalize(wpdf)
-        ok = True
-        if list(g.columns) != list(w.columns):
-            print(f"✗ {name}: columns differ: spark={list(g.columns)} duck={list(w.columns)}")
-            ok = False
-        elif len(g) != len(w):
-            print(f"✗ {name}: rowcount spark={len(g)} duck={len(w)}")
-            ok = False
+            print(f"✗ {err}")
+        elif sql is None:
+            print(f"· {name}: rows-only OK")
         else:
-            try:
-                pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=False, rtol=1e-9)
-            except AssertionError as e:
-                print(f"✗ {name}: VALUES differ: {str(e)[:400]}")
-                # show first few diffs
-                neq = (g.astype(str) != w.astype(str)).any(axis=1)
-                print(pd.concat([g[neq].head(3).assign(side='spark'),
-                                 w[neq].head(3).assign(side='duck')]))
-                ok = False
-        if ok:
-            print(f"✓ {name}: {len(g)} rows match")
-        else:
-            failures.append(name)
+            print(f"✓ {name}: match")
     print()
     if failures:
         print("FAILURES:", failures)

@@ -15,8 +15,10 @@ Mapping from the reference's flags to the turn-grain engine:
   range grammar, cli/main.py:94-102) applied to ``turn_idx``;
 * ``--combine`` — the reference's multi-page merge (cli/main.py:24-59):
   one output per conversation, turns joined in turn order;
-* ``--ignore-line-break`` — newline policy passed through the block
-  renderers (paragraph_to_md/html parity);
+* the reference's ``--ignore_line_break`` is NOT a CLI flag here: the
+  newline policy lives at the block-renderer functions
+  (plans/export.py paragraph_md/paragraph_html) and the CLI ships the
+  oracle-checked default rendering;
 * ``--encoding`` — validated against the reference's accepted set
   (cli/main.py:82-91), used for --per-file writes;
 * sink: by default ONE distributed parquet dataset of
@@ -57,7 +59,7 @@ EXT = {"markdown": "md", "html": "html", "csv": "csv", "json": "json"}
 
 
 def render(spark, input_path: str, fmt: str, pages: list[int] | None,
-           combine: bool, ignore_line_break: bool = False):
+           combine: bool):
     """Build the output DataFrame (conv_id, turn_idx, content) — or
     (conv_id, content) when combining — for one format."""
     from pyspark.sql import functions as F
@@ -109,7 +111,6 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-f", "--format", default="md", choices=sorted(FORMATS))
     ap.add_argument("--pages", default=None, help="e.g. 1,2,5-10 (turn_idx)")
     ap.add_argument("--combine", action="store_true")
-    ap.add_argument("--ignore-line-break", action="store_true")
     ap.add_argument("--per-file", action="store_true",
                     help="reference-style file-per-document output")
     ap.add_argument("--encoding", default="utf-8")
@@ -121,8 +122,7 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app="yomitoku_cli", master=args.master)
     pages = parse_pages(args.pages) if args.pages else None
-    out = render(spark, args.input, args.format, pages, args.combine,
-                 args.ignore_line_break)
+    out = render(spark, args.input, args.format, pages, args.combine)
 
     ext = EXT[FORMATS[args.format]]
     if args.per_file:

@@ -112,6 +112,12 @@ _ERAS = [("令和", "R", 2018), ("平成", "H", 1988), ("昭和", "S", 1925),
          ("大正", "T", 1911), ("明治", "M", 1867)]
 
 
+# Java-regex class equal to PYTHON's \\s (the reference runs CPython
+# re): Java \\s is ASCII-only, so NBSP/ideographic/typographic spaces
+# between date-time components would silently diverge without this.
+_WS = r"[\s\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]"
+
+
 def _era_offset(letter: Column) -> Column:
     expr = None
     for _kanji, initial, offset in _ERAS:
@@ -146,7 +152,7 @@ def _date_parsed(col: Column, fmt_str: str) -> Column:
     tiers: list[tuple[Column, Column]] = []
     # 1. kanji eras, 年月日 form only (reference :77-82); dict order = era order
     for kanji, _initial, offset in _ERAS:
-        pat = rf"{kanji}\s*(元|\d+)\s*年\s*(\d+)\s*月\s*(\d+)\s*日"
+        pat = rf"{kanji}{_WS}*(元|\d+){_WS}*年{_WS}*(\d+){_WS}*月{_WS}*(\d+){_WS}*日"
         ey = F.regexp_extract(s, pat, 1)
         year = F.when(ey == "元", F.lit(1)).otherwise(ey.cast("int")) + offset
         tiers.append(
@@ -154,8 +160,8 @@ def _date_parsed(col: Column, fmt_str: str) -> Column:
         )
     # 2. era initial + separators (reference :84-90); 3. + 年月日 (:92-99)
     for pat in (
-        r"([RHSTM])\s*(\d{1,2})\s*[/\-.]\s*(\d{1,2})\s*[/\-.]\s*(\d{1,2})",
-        r"([RHSTM])\s*(\d{1,2})\s*年\s*(\d{1,2})\s*月\s*(\d{1,2})\s*日",
+        rf"([RHSTM]){_WS}*(\d{{1,2}}){_WS}*[/\-.]{_WS}*(\d{{1,2}}){_WS}*[/\-.]{_WS}*(\d{{1,2}})",
+        rf"([RHSTM]){_WS}*(\d{{1,2}}){_WS}*年{_WS}*(\d{{1,2}}){_WS}*月{_WS}*(\d{{1,2}}){_WS}*日",
     ):
         letter = F.regexp_extract(s, pat, 1)
         year = F.regexp_extract(s, pat, 2).cast("int") + _era_offset(letter)
@@ -165,7 +171,7 @@ def _date_parsed(col: Column, fmt_str: str) -> Column:
     # 4. western 年月日 (reference :101-103); 5. western /- (:105-107);
     # 6. dotted western — the documented superset tier, deliberately last
     for pat in (
-        r"(\d{4})\s*年\s*(\d{1,2})\s*月\s*(\d{1,2})\s*日",
+        rf"(\d{{4}}){_WS}*年{_WS}*(\d{{1,2}}){_WS}*月{_WS}*(\d{{1,2}}){_WS}*日",
         r"(\d{4})[/\-](\d{1,2})[/\-](\d{1,2})",
         r"(\d{4})\.(\d{1,2})\.(\d{1,2})",
     ):
@@ -201,10 +207,10 @@ def time_hms(col: Column) -> Column:
     input unchanged."""
     s = z2h(col)
     pats = [
-        (r"(\d{1,2})時(\d{1,2})分(\d{1,2})秒", True),
-        (r"(\d{1,2})時(\d{1,2})分", False),
-        (r"(\d{1,2}):(\d{1,2}):(\d{1,2})", True),
-        (r"(\d{1,2}):(\d{1,2})", False),
+        (rf"(\d{{1,2}}){_WS}*時{_WS}*(\d{{1,2}}){_WS}*分{_WS}*(\d{{1,2}}){_WS}*秒", True),
+        (rf"(\d{{1,2}}){_WS}*時{_WS}*(\d{{1,2}}){_WS}*分", False),
+        (rf"(\d{{1,2}}){_WS}*:{_WS}*(\d{{1,2}}){_WS}*:{_WS}*(\d{{1,2}})", True),
+        (rf"(\d{{1,2}}){_WS}*:{_WS}*(\d{{1,2}})", False),
     ]
     result = None
     for pat, has_sec in pats:
@@ -226,10 +232,10 @@ def time_jp(col: Column) -> Column:
     seconds kept only when present; no match returns the input."""
     s = z2h(col)
     pats = [
-        (r"(\d{1,2})時(\d{1,2})分(\d{1,2})秒", True),
-        (r"(\d{1,2})時(\d{1,2})分", False),
-        (r"(\d{1,2}):(\d{1,2}):(\d{1,2})", True),
-        (r"(\d{1,2}):(\d{1,2})", False),
+        (rf"(\d{{1,2}}){_WS}*時{_WS}*(\d{{1,2}}){_WS}*分{_WS}*(\d{{1,2}}){_WS}*秒", True),
+        (rf"(\d{{1,2}}){_WS}*時{_WS}*(\d{{1,2}}){_WS}*分", False),
+        (rf"(\d{{1,2}}){_WS}*:{_WS}*(\d{{1,2}}){_WS}*:{_WS}*(\d{{1,2}})", True),
+        (rf"(\d{{1,2}}){_WS}*:{_WS}*(\d{{1,2}})", False),
     ]
     result = None
     for pat, has_sec in pats:

@@ -156,12 +156,12 @@ _AUTO_MIN_BOXES = 2048
 _AUTO_MAX_PER_CELL = 64
 
 
-def dedup_strategy(df: DataFrame, id_col: str) -> tuple[str, int | None]:
+def dedup_strategy(df: DataFrame) -> tuple[str, int | None]:
     """Measure the geometry and pick the scale-safe dedup plan:
     ``("blocked", cell)`` for big sparse geometry, ``("theta", None)``
     for tiny or pathologically dense inputs.
 
-    One tiny aggregate (7 numbers to the driver): box count, the
+    One tiny aggregate (6 numbers to the driver): box count, the
     bounding extent, and the median short side. The blocking pitch is
     2× the median short side (≥16) so a typical box covers ~a few
     cells; the decision key is the EXPECTED BOXES PER CELL under that
@@ -218,7 +218,7 @@ def dedup_contained(
     the scale-safe choice itself: blocked for big sparse inputs, theta
     for tiny or degenerate-dense ones."""
     if blocked_cell == "auto":
-        mode, cell = dedup_strategy(df, id_col)
+        mode, cell = dedup_strategy(df)
         blocked_cell = cell if mode == "blocked" else None
     contained = contains("b.box", "a.box", threshold)  # b contains a
     area_a = box_area("a.box")

@@ -61,5 +61,9 @@ def compare_query(spark, con, name: str, fn, sql: str | None, sf_dir: str) -> st
             g, w, check_dtype=False, check_exact=False, rtol=1e-9
         )
     except AssertionError as e:
-        return f"{name}: VALUES differ: {str(e)[:400]}"
+        neq = (g.astype(str) != w.astype(str)).any(axis=1)
+        head = pd.concat(
+            [g[neq].head(3).assign(side="spark"), w[neq].head(3).assign(side="duck")]
+        )
+        return f"{name}: VALUES differ: {str(e)[:400]}\n{head}"
     return None

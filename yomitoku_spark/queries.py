@@ -2998,7 +2998,7 @@ LEFT JOIN placed p
 # ===================================================================
 
 # Registry order matters for the driver's correctness artifact: it
-# snapshots the FIRST 50 entries only (the registry has 66, so the 16
+# snapshots the FIRST 50 entries only (the registry has 67, so the 17
 # tail entries are outside the window). Rotation policy: new queries
 # and rows absent from the last driver artifact go first; rows that
 # are driver-green two consecutive rounds rotate to the tail. No row
@@ -3009,9 +3009,10 @@ LEFT JOIN placed p
 #
 # r5 rotation: the 14 r2/r3-green rows rotated out in r4
 # (jaccard_near_pairs … zip_join_positional) return to the window; 15
-# operator rows green in r2+r3+r4 plus connected_components_labels
-# (r4-green; its operator is also exercised in-window via
-# doc_near_dup_clusters and corpus_build_full) rotate out.
+# operator rows green in r2+r3+r4, connected_components_labels and
+# ivf_lloyd_topk (both r3/r4-green; their operator families stay
+# exercised in-window via doc_near_dup_clusters / corpus_build_full /
+# ivf_flat / ivf_scaled) rotate out.
 QUERIES = {
     # --- new this round: never driver-checked ---
     "corpus_build_full": corpus_build_full,
@@ -3067,9 +3068,9 @@ QUERIES = {
     "multimodal_plan": multimodal_plan,
     "ivf_flat_topk": ivf_flat_topk,
     "ivf_scaled_topk": ivf_scaled_topk,
+    # --- rotated out of the 50-row driver window (driver-green at
+    # least r3+r4; hard-gated by tests/test_oracle_tail.py every run) ---
     "ivf_lloyd_topk": ivf_lloyd_topk,
-    # --- rotated out of the 50-row driver window (driver-green
-    # r2+r3+r4; hard-gated by tests/test_oracle_tail.py every run) ---
     "argmax_join": argmax_join,
     "anti_join_orphans": anti_join_orphans,
     "semi_join_hot_parts": semi_join_hot_parts,

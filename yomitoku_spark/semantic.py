@@ -537,7 +537,12 @@ def filter_grid_columns(
 # extension) a {doc_id: shape} map when the input carries several.
 
 
-def _per_doc(obj_by_doc: dict):
+def _per_doc(obj_by_doc: dict, empty=None):
+    """Single doc → the reference-exact shape; several → {doc: shape};
+    NO docs → ``empty`` (so grids_to_json of a grid-less input still
+    writes the documented [] list shape, not a spurious {})."""
+    if len(obj_by_doc) == 0:
+        return {} if empty is None else empty
     if len(obj_by_doc) == 1:
         return next(iter(obj_by_doc.values()))
     return {str(k): v for k, v in sorted(obj_by_doc.items())}
@@ -595,7 +600,7 @@ def kv_items_to_json(
 def grids_to_json(cells, headers, data, out_path: str, ignore_space: bool = True):
     """Reference ``export.grids_to_json`` (:431-441): dump the grid
     row-dict view ([{"id", "rows": [...]}] per grid) to a JSON file."""
-    obj = _per_doc(_grids_list_by_doc(cells, headers, data, ignore_space))
+    obj = _per_doc(_grids_list_by_doc(cells, headers, data, ignore_space), empty=[])
     _dump_json(obj, out_path)
     return obj
 
