@@ -643,7 +643,11 @@ def grids_to_csv(
     ``{base}_{grid_id}.csv``, cells space-stripped when
     ``ignore_space``. ``columns`` filters grid columns by header
     substring first (find_table_by_column_name; requires ``headers``).
-    Returns the row matrices. Documented deviation: each file is named
+    Returns the row matrices. Cells are joined with a RAW ','.join and
+    no quoting — reference-exact (:416-424 writes the same), so a cell
+    whose contents contain a comma or newline produces the same
+    (malformed) csv the reference produces; use grids_to_json for
+    structurally safe output. Documented deviation: each file is named
     from the ORIGINAL base — the reference rebinds out_path inside its
     loop so a second grid's file compounds the first grid's suffix
     (out_0_1.csv), an accumulation artifact, not a stated rule."""
