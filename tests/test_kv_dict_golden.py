@@ -415,3 +415,24 @@ def test_export_grids_to_json_empty_is_list(spark, tmp_path):
     obj = SEM.grids_to_json(cdf, hdf, ddf, str(out))
     assert obj == []
     assert json.loads(out.read_text(encoding="utf-8")) == []
+
+
+def test_search_cells_by_bbox(spark):
+    """Reference test_search_cells_by_bbox_* vectors
+    (test_table_semantic_parser.py:122-155), with real geometry instead
+    of the reference's monkeypatched is_contained: groups are skipped
+    even when fully contained, and only >=50%-contained cells match."""
+    cdf = spark.createDataFrame(
+        [(0, "g", "group", 0, 0, 100, 100, ""),
+         (0, "c", "cell", 0, 0, 100, 100, ""),
+         (0, "c1", "cell", 0, 0, 10, 10, ""),
+         (0, "c2", "cell", 10, 0, 20, 10, ""),
+         (0, "half", "cell", 15, 0, 25, 10, "")],
+        CELLS_SCHEMA,
+    )
+    got = sorted(r.cell_id for r in SEM.search_cells_by_bbox(cdf, [0, 0, 100, 100]).collect())
+    assert got == ["c", "c1", "c2", "half"]  # group skipped
+    got = sorted(r.cell_id for r in SEM.search_cells_by_bbox(cdf, [10, 0, 20, 10]).collect())
+    assert got == ["c2", "half"]  # 'half' is exactly 50% contained -> kept
+    got = sorted(r.cell_id for r in SEM.search_cells_by_bbox(cdf, [16, 0, 20, 10]).collect())
+    assert got == []  # 'half' now only 40% contained

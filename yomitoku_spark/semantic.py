@@ -697,6 +697,20 @@ def grids_to_csv(
 # -------------------------------------------------- directional cell search
 
 
+def search_cells_by_bbox(cells: DataFrame, box: list[int]) -> DataFrame:
+    """Reference ``search_cells_by_bbox``
+    (schemas/table_semantic_parser.py:202-211): every non-group cell
+    whose box is ≥50% contained in the query box (is_contained with
+    threshold 0.5, integer-exact as everywhere else)."""
+    q = _lit_box(box)
+    c = _boxed(cells)
+    ov_w = F.least(q["x2"], F.col("box.x2")) - F.greatest(q["x1"], F.col("box.x1"))
+    ov_h = F.least(q["y2"], F.col("box.y2")) - F.greatest(q["y1"], F.col("box.y1"))
+    ov = F.greatest(ov_w, F.lit(0)) * F.greatest(ov_h, F.lit(0))
+    area = (F.col("box.x2") - F.col("box.x1")) * (F.col("box.y2") - F.col("box.y1"))
+    return c.filter((F.col("role") != "group") & (ov * 1000 >= 500 * area)).drop("box")
+
+
 def search_cells_by_query(cells: DataFrame, query: str) -> DataFrame:
     """Reference ``search_cells_by_query``
     (schemas/table_semantic_parser.py:276-287): non-group cells whose
