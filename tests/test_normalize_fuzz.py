@@ -77,3 +77,42 @@ def test_date_iso_column_equals_scalar(spark, pieces):
         .collect()[0]["o"]
     )
     assert got == _scalar_date_iso(text), (text, got, _scalar_date_iso(text))
+
+
+def _scalar_time_hms(text: str) -> str:
+    """Stdlib mirror of the reference's time_hms (normalizer.py:154-173)."""
+    s = _z2h(text)
+    m = re.search(r"(\d{1,2})\s*時\s*(\d{1,2})\s*分\s*(\d{1,2})\s*秒", s)
+    if m:
+        return f"{int(m.group(1)):02d}:{int(m.group(2)):02d}:{int(m.group(3)):02d}"
+    m = re.search(r"(\d{1,2})\s*時\s*(\d{1,2})\s*分", s)
+    if m:
+        return f"{int(m.group(1)):02d}:{int(m.group(2)):02d}:00"
+    m = re.search(r"(\d{1,2})\s*:\s*(\d{1,2})\s*:\s*(\d{1,2})", s)
+    if m:
+        return f"{int(m.group(1)):02d}:{int(m.group(2)):02d}:{int(m.group(3)):02d}"
+    m = re.search(r"(\d{1,2})\s*:\s*(\d{1,2})", s)
+    if m:
+        return f"{int(m.group(1)):02d}:{int(m.group(2)):02d}:00"
+    return text
+
+
+_time_piece = st.one_of(
+    st.sampled_from(["時", "分", "秒", ":", " ", "　", "\xa0", "14", "9", "05",
+                     "１２", "x", "."]),
+    st.text(alphabet="0123456789", min_size=1, max_size=3),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_time_piece, min_size=0, max_size=8))
+def test_time_hms_column_equals_scalar(spark, pieces):
+    from yomitoku_spark.functions.normalize import time_hms
+
+    text = "".join(pieces)
+    got = (
+        spark.range(1)
+        .select(time_hms(F.lit(text)).alias("o"))
+        .collect()[0]["o"]
+    )
+    assert got == _scalar_time_hms(text), (text, got, _scalar_time_hms(text))
