@@ -139,3 +139,70 @@ def test_stream_sessionize_stateful_equals_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_exact_dedup_equals_batch_keeper(spark, tmp_path):
+    """Streaming dedup-on-ingest == the batch exact-dedup keeper rule,
+    with the seen-digest state surviving a checkpointed restart between
+    two ordered appends (a wave-2 duplicate of wave-1 content must be
+    dropped even though it arrives in a different run)."""
+    from pyspark.sql import functions as F
+
+    from yomitoku_spark.operators import dedup as DD
+
+    in_dir = str(tmp_path / "dd_in")
+    out_dir = str(tmp_path / "dd_out")
+    cp_dir = str(tmp_path / "dd_cp")
+
+    schema = "conv_id string, turn_idx int, text string"
+    wave1 = spark.createDataFrame(
+        [("c0", 0, "hello  world"), ("c0", 1, "unique one"),
+         ("c0", 2, "Hello World")],  # in-batch duplicate of (c0, 0)
+        schema,
+    )
+    wave2 = spark.createDataFrame(
+        [("c1", 0, "HELLO world"),  # cross-restart duplicate of (c0, 0)
+         ("c1", 1, "another doc"),
+         ("c1", 2, "unique ONE")],  # cross-restart duplicate of (c0, 1)
+        schema,
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            ST.stream_exact_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    wave1.coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    wave2.coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+
+    got = {
+        (r.conv_id, r.turn_idx)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # batch referee over the full union: min (conv_id, turn_idx) per digest
+    batch = wave1.unionByName(wave2)
+    keepers = {
+        (r.conv_id, r.turn_idx)
+        for r in DD.exact_dedup(
+            batch.withColumn("k", F.concat_ws("|", "conv_id", "turn_idx")),
+            "text",
+            "k",
+        )
+        .select("conv_id", "turn_idx")
+        .collect()
+    }
+    assert got == keepers == {("c0", 0), ("c0", 1), ("c1", 1)}

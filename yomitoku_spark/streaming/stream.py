@@ -72,6 +72,57 @@ def event_rates(events_stream: DataFrame, window: str = "5 minutes", slide: str 
     )
 
 
+def stream_exact_dedup(turns_stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Dedup-on-ingest: streaming exact-dedup keeper over an
+    append-only turns stream, keyed by the SAME normalized-text md5
+    digest as the batch ``exact_dedup``/``corpus_build`` keeper.
+
+    ``applyInPandasWithState`` per digest: the first time a digest is
+    seen its (conv_id, turn_idx)-minimal row in that micro-batch is
+    emitted as the keeper; every later arrival is dropped, with the
+    seen-flag carried across micro-batches and restarts by the
+    streaming checkpoint. Equals the batch keeper rule (min
+    (conv_id, turn_idx) per digest) whenever ingestion is
+    (conv_id, turn_idx)-ordered — the append shape; under arbitrary
+    arrival order it keeps the earliest ARRIVAL instead, the standard
+    on-ingest semantics. State is one int per distinct digest — the
+    streaming analog of the digest-hash aggregation, so it scales with
+    distinct content, not stream length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from yomitoku_spark.operators.dedup import normalized_text
+
+    s = turns_stream.select(
+        "conv_id",
+        "turn_idx",
+        F.col(text_col).alias("text"),
+        F.md5(normalized_text(F.col(text_col))).alias("digest"),
+    )
+    out_schema = "digest string, conv_id string, turn_idx int"
+    state_schema = "seen int"
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            for _ in pdfs:  # drain: this digest already has its keeper
+                pass
+        else:
+            rows = pd.concat(list(pdfs)).sort_values(["conv_id", "turn_idx"])
+            first = rows.iloc[0]
+            state.update((1,))
+            yield pd.DataFrame(
+                {
+                    "digest": [key[0]],
+                    "conv_id": [first["conv_id"]],
+                    "turn_idx": [int(first["turn_idx"])],
+                }
+            )
+
+    return s.groupBy("digest").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_sessionize(events_stream: DataFrame, gap_sec: int = 3600) -> DataFrame:
     """Custom stateful streaming operator: per-user sessionization with
     ``applyInPandasWithState`` — the arbitrary-state surface Spark
