@@ -436,3 +436,18 @@ def test_search_cells_by_bbox(spark):
     assert got == ["c2", "half"]  # 'half' is exactly 50% contained -> kept
     got = sorted(r.cell_id for r in SEM.search_cells_by_bbox(cdf, [16, 0, 20, 10]).collect())
     assert got == []  # 'half' now only 40% contained
+
+
+def test_search_cells_by_query_vectors(spark):
+    """Reference test_search_cells_by_query_matches_ignore_spaces_and_
+    skips_group (test_table_semantic_parser.py:157-168): space-stripped
+    substring match, groups and null-content cells excluded."""
+    cdf = spark.createDataFrame(
+        [(0, "g", "group", 0, 0, 10, 10, "契約番号"),
+         (0, "c1", "cell", 0, 0, 10, 10, "契約 番号"),
+         (0, "c2", "cell", 0, 0, 10, 10, "担当者"),
+         (0, "c3", "cell", 0, 0, 10, 10, None)],
+        CELLS_SCHEMA,
+    )
+    got = [r.cell_id for r in SEM.search_cells_by_query(cdf, "契約番号").collect()]
+    assert got == ["c1"]
