@@ -454,6 +454,30 @@ def test_label_propagation_fixpoint_long_chain(spark):
     assert all(lp12[i] == 0 for i in range(13))
 
 
+def test_label_propagation_pointer_jumping(spark):
+    """compress=True (pointer jumping) must converge in O(log diameter)
+    sweeps: a 40-long chain exceeds max_iters=7 for plain hash-min
+    (raises) but converges under the same budget with compression —
+    the escape hatch for chain-shaped duplicate families whose
+    diameter exceeds any fixed sweep cap at 100 TB. Labels must equal
+    the plain fixpoint result exactly."""
+    import pytest as _pytest
+
+    from yomitoku_spark.operators.components import label_propagation
+
+    edges = [(i, i + 1) for i in range(40)] + [(500, 501)]
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        label_propagation(edf, max_iters=7)
+    fast = {
+        r.node: r.label
+        for r in label_propagation(edf, max_iters=7, compress=True).collect()
+    }
+    assert fast == {**{i: 0 for i in range(41)}, 500: 500, 501: 500}
+    slow = {r.node: r.label for r in label_propagation(edf, max_iters=40).collect()}
+    assert fast == slow
+
+
 def test_index_stage_single_evaluation(spark):
     """The expensive python index stages (LSH bucketing, IVF
     assignment, MinHash signatures) must appear EXACTLY ONCE in their

@@ -72,6 +72,7 @@ def label_propagation(
     dst: str = "dst",
     iters: int | None = None,
     max_iters: int = 64,
+    compress: bool = False,
 ) -> DataFrame:
     """GLOBAL weakly-connected components by iterative min-label
     (hash-min) propagation — the scale path for corpus-wide graphs.
@@ -91,6 +92,15 @@ def label_propagation(
     labels — the round-3 hazard where chain-shaped duplicate families
     at 100 TB exceeded a fixed sweep count and
     ``training_set_selection`` kept duplicates.
+
+    ``compress=True`` adds POINTER JUMPING (shortcutting) to every
+    sweep: after the neighbor-min step each node also takes its
+    label's label (one extra self-join), so convergence needs
+    O(log diameter) sweeps instead of O(diameter) — a 10⁶-long chain
+    of chained near-duplicates converges in ~20 sweeps where plain
+    hash-min would need 10⁶. Default off: the composed registry
+    queries run over star-capped LSH graphs whose diameter is tiny,
+    and the plain sweep is one join cheaper there.
 
     Passing an explicit ``iters`` runs exactly that many sweeps with
     no convergence probe (for tests / known-diameter graphs).
@@ -134,6 +144,27 @@ def label_propagation(
             ),
             (F.coalesce("nmin", F.col("label")) < F.col("label")).alias("_changed"),
         )
+        if compress:
+            # pointer jumping: label <- min(label, label(label)). Every
+            # label is a node id (init label=node; mins preserve that),
+            # so the lookup is total and monotone toward the component
+            # minimum — the standard O(log d) shortcutting step.
+            l2 = stepped.select(
+                F.col("node").alias("__ln"), F.col("label").alias("__ll")
+            )
+            stepped = (
+                stepped.join(l2, stepped["label"] == l2["__ln"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("__ll", F.col("label"))
+                    ).alias("label"),
+                    (
+                        F.col("_changed")
+                        | (F.coalesce("__ll", F.col("label")) < F.col("label"))
+                    ).alias("_changed"),
+                )
+            )
         if fixed:
             labels = stepped.drop("_changed")
             continue
@@ -146,6 +177,7 @@ def label_propagation(
         raise RuntimeError(
             f"label_propagation did not converge within {max_iters} sweeps; "
             "the graph has a component with diameter > max_iters — raise "
-            "max_iters or pre-contract the graph"
+            "max_iters, pass compress=True (O(log diameter) pointer "
+            "jumping), or pre-contract the graph"
         )
     return labels
