@@ -60,6 +60,40 @@ def test_cli_combine_html_one_file_per_conv(spark, tmp_path, transcripts_path):
     assert txt.count("<html><body>") == 1 and txt.count("</body></html>") == 1
 
 
+def test_cli_combine_json_is_one_document(spark, tmp_path, transcripts_path):
+    """Reference merge_all_pages builds a JSON LIST for -f json
+    (cli/main.py:30-33): the combined output must parse as ONE JSON
+    array with one element per kept turn, in turn order."""
+    import json
+
+    out = tmp_path / "json"
+    cli.main([transcripts_path, "-o", str(out), "-f", "json", "--combine",
+              "--per-file"])
+    files = sorted(out.glob("*.json"))
+    assert len(files) == 3
+    for f in files:
+        pages = json.loads(f.read_text(encoding="utf-8"))
+        assert isinstance(pages, list) and pages
+        idxs = [p["turn_idx"] for p in pages]
+        assert idxs == sorted(idxs)
+        assert all({"conv_id", "extracted_text"} <= set(p) for p in pages)
+
+
+def test_cli_combine_md_joins_with_single_newline(spark, transcripts_path):
+    """Reference md merge joins pages with '\\n' (cli/main.py:47-51)."""
+    per_turn = cli.render(spark, transcripts_path, "md", None, combine=False)
+    one = per_turn.orderBy("conv_id", "turn_idx").collect()
+    combined = {
+        r["conv_id"]: r["content"]
+        for r in cli.render(spark, transcripts_path, "md", None, combine=True).collect()
+    }
+    by_conv: dict[str, list[str]] = {}
+    for r in one:
+        by_conv.setdefault(r["conv_id"], []).append(r["content"])
+    for conv, parts in by_conv.items():
+        assert combined[conv] == "\n".join(parts)
+
+
 def test_cli_dataset_sink(spark, tmp_path, transcripts_path):
     out = tmp_path / "ds"
     cli.main([transcripts_path, "-o", str(out), "-f", "json"])

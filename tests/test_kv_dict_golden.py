@@ -399,6 +399,30 @@ def test_filter_grid_columns_by_header_substring(spark, tmp_path):
     assert hk2.count() == 0 and dk2.count() == 0
 
 
+def test_export_grids_to_json_header_only_grid_listed(spark, tmp_path):
+    """A grid whose cells are ALL headers (no data rows) must still
+    appear as {"id", "rows": []} — the reference appends every grid
+    (r5 advice: the grid universe unions headers AND data)."""
+    import json
+
+    cdf = spark.createDataFrame(
+        [(0, "h1", "header", 0, 0, 10, 10, "A"),
+         (0, "h2", "header", 10, 0, 20, 10, "B")],
+        CELLS_SCHEMA,
+    )
+    hdf = spark.createDataFrame(
+        [(0, "gH", 0, 0, "h1"), (0, "gH", 1, 0, "h2")],
+        "doc_id bigint, grid_id string, col int, hdr_pos int, cell_id string",
+    )
+    ddf = spark.createDataFrame(
+        [], "doc_id bigint, grid_id string, row int, col int, cell_id string"
+    )
+    out = tmp_path / "hdr_only.json"
+    obj = SEM.grids_to_json(cdf, hdf, ddf, str(out))
+    assert obj == [{"id": "gH", "rows": []}]
+    assert json.loads(out.read_text(encoding="utf-8")) == obj
+
+
 def test_export_grids_to_json_empty_is_list(spark, tmp_path):
     """Zero grids must still write the documented [] list shape (r5
     code-review finding: _per_doc of an empty map returned {})."""

@@ -15,6 +15,10 @@ VECTORS = [
     ("numeric", "１，２３４円", "1234"),
     ("numeric", "¥3,000", "3000"),
     ("numeric", "-100.5", "-100.5"),
+    # CPython's \d is Unicode (category Nd): the reference KEEPS
+    # non-ASCII decimal digits — r5 advice parity fix (\p{Nd})
+    ("numeric", "٣٤٥kg", "٣٤٥"),
+    ("postal", "１２３٤٥６７", "123-٤٥67"),
     ("phone", "０９０１２３４５６７８", "090-1234-5678"),
     ("phone", "０３１２３４５６７８", "031-234-5678"),
     ("postal", "１２３４５６７", "123-4567"),

@@ -478,6 +478,25 @@ def test_label_propagation_pointer_jumping(spark):
     assert fast == slow
 
 
+def test_pointer_jumping_sweep_count_logarithmic(spark):
+    """Pin the O(log diameter) claim on the flagship LP path: a
+    100-long chain needs 100 productive sweeps plain but ≤ 9
+    (≈ log2(100) + confirm) with compress=True — the mode the flagship
+    consumers (training_set_selection, corpus_build_full,
+    doc_near_dup_clusters) now enable (r5 advice item 5)."""
+    from yomitoku_spark.operators import components as CC
+
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "src bigint, dst bigint"
+    )
+    out = {
+        r.node: r.label
+        for r in CC.label_propagation(edf, max_iters=12, compress=True).collect()
+    }
+    assert out == {i: 0 for i in range(101)}
+    assert CC.LAST_SWEEPS <= 9
+
+
 def test_index_stage_single_evaluation(spark):
     """The expensive python index stages (LSH bucketing, IVF
     assignment, MinHash signatures) must appear EXACTLY ONCE in their

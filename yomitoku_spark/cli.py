@@ -76,26 +76,31 @@ def render(spark, input_path: str, fmt: str, pages: list[int] | None,
     out = export_blocks(blocks).select("conv_id", "turn_idx", F.col(col).alias("content"))
     if not combine:
         return out
-    # multi-page merge (reference merge_all_pages): join turns in order.
-    # html merges BODY content so the combined doc keeps one wrapper.
+    # multi-page merge (reference merge_all_pages, cli/main.py:24-59):
+    #   json -> a LIST of per-page payloads (one valid JSON array document);
+    #   csv  -> rows extended (per-turn CSV strings joined with '\n');
+    #   md   -> pages joined with '\n'.
+    #   html -> reference joins full documents with '\n'; deliberate
+    #           deviation here: we merge BODY content under ONE wrapper so
+    #           the combined output stays a single well-formed document.
     body = F.col("content")
     if col == "html":
         body = F.regexp_replace(
             F.regexp_replace(body, "^<html><body>", ""), "</body></html>$", ""
         )
-    sep = "\n" if col == "html" else "\n\n"
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "body"))),
+        lambda s: s["body"],
+    )
+    merged = (
+        F.concat(F.lit("["), F.array_join(ordered, ","), F.lit("]"))
+        if col == "json"
+        else F.array_join(ordered, "\n")
+    )
     agg = (
         out.select("conv_id", "turn_idx", body.alias("body"))
         .groupBy("conv_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("turn_idx", "body"))),
-                    lambda s: s["body"],
-                ),
-                sep,
-            ).alias("content")
-        )
+        .agg(merged.alias("content"))
     )
     if col == "html":
         agg = agg.withColumn(

@@ -48,14 +48,19 @@ def collapse_ws(col: Column) -> Column:
 
 @register("digits")
 def digits(col: Column) -> Column:
-    return F.regexp_replace(col, r"[^0-9]", "")
+    """Keep decimal digits. The reference's ``re.sub(r"[^\\d]")`` runs
+    under CPython's UNICODE ``\\d`` (= category Nd), so non-ASCII
+    decimal digits (e.g. Arabic-Indic ٣) are KEPT — Java's ``\\d`` is
+    ASCII-only, hence the explicit ``\\p{Nd}`` class."""
+    return F.regexp_replace(col, r"[^\p{Nd}]", "")
 
 
 @register("numeric")
 def numeric(col: Column) -> Column:
     """Strip currency/commas, keep digits, '.', '-', '+'
-    (reference: normalizer.py:38-43 — the kept class is [\\d.\\-+])."""
-    return F.regexp_replace(z2h(col), r"[^0-9.\-+]", "")
+    (reference: normalizer.py:38-43 — the kept class is [\\d.\\-+],
+    with PYTHON's Unicode \\d → ``\\p{Nd}`` here)."""
+    return F.regexp_replace(z2h(col), r"[^\p{Nd}.\-+]", "")
 
 
 # the complete full-width ASCII block (！ U+FF01 … ～ U+FF5E) plus the

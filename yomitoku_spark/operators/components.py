@@ -21,6 +21,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# sweep count of the most recent label_propagation call (diagnostics /
+# tests pinning the O(log diameter) pointer-jumping claim)
+LAST_SWEEPS: int = 0
+
+
 class UnionFind:
     """Path-compressed union-find over arbitrary hashable ids."""
 
@@ -106,7 +111,11 @@ def label_propagation(
     no convergence probe (for tests / known-diameter graphs).
 
     Returns (node, label) for every node that appears in an edge.
+    The module-level ``LAST_SWEEPS`` records how many sweeps the last
+    call ran (including the quiet confirming one) so tests can pin the
+    O(log diameter) claim on chain topologies.
     """
+    global LAST_SWEEPS
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -125,7 +134,9 @@ def label_propagation(
     # supported diameter, not the sweep count
     sweeps = iters if fixed else max_iters + 1
     converged = fixed
+    LAST_SWEEPS = 0
     for _ in range(sweeps):
+        LAST_SWEEPS += 1
         nbr_min = (
             und.join(
                 labels.select(
@@ -149,6 +160,12 @@ def label_propagation(
             # label is a node id (init label=node; mins preserve that),
             # so the lookup is total and monotone toward the component
             # minimum — the standard O(log d) shortcutting step.
+            # Materialize the neighbor-min step FIRST: the self-join
+            # consumes `stepped` twice, and left lazy each sweep would
+            # evaluate the join/agg subtree twice before the sweep's
+            # own checkpoint (r5 advice) — doubling the cost the
+            # compression amortizes.
+            stepped = stepped.localCheckpoint(eager=True)
             l2 = stepped.select(
                 F.col("node").alias("__ln"), F.col("label").alias("__ll")
             )

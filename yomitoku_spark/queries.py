@@ -669,7 +669,12 @@ def training_set_selection(spark, sf_dir):
         max_bucket_size=_LSH_CAP,
     )
     comp = CC.label_propagation(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        # compress=True: pointer jumping keeps the sweep count
+        # O(log diameter) even on chain-shaped duplicate families
+        # (star-capped LSH graphs are usually shallow, but a 100 TB
+        # corpus can chain near-dups arbitrarily long — r5 advice)
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        compress=True,
     ).withColumnRenamed("node", "doc_id")
     out = (
         stats.join(exact, "doc_id", "left")
@@ -771,7 +776,12 @@ def doc_near_dup_clusters(spark, sf_dir):
         max_bucket_size=_LSH_CAP,
     )
     comp = CC.label_propagation(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        # compress=True: pointer jumping keeps the sweep count
+        # O(log diameter) even on chain-shaped duplicate families
+        # (star-capped LSH graphs are usually shallow, but a 100 TB
+        # corpus can chain near-dups arbitrarily long — r5 advice)
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        compress=True,
     )
     return (
         d.select("doc_id")
@@ -1946,7 +1956,12 @@ def corpus_build_full(spark, sf_dir):
         max_bucket_size=_LSH_CAP,
     )
     comp = CC.label_propagation(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        # compress=True: pointer jumping keeps the sweep count
+        # O(log diameter) even on chain-shaped duplicate families
+        # (star-capped LSH graphs are usually shallow, but a 100 TB
+        # corpus can chain near-dups arbitrarily long — r5 advice)
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        compress=True,
     ).withColumnRenamed("node", "turn_key")
     j = stats.join(comp, "turn_key", "left")
     neardup = F.coalesce("label", F.col("turn_key")) == F.col("turn_key")

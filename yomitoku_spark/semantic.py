@@ -572,9 +572,15 @@ def _grids_list_by_doc(cells, headers, data, ignore_space) -> dict:
         rows.setdefault(r["doc_id"], {}).setdefault(r["grid_id"], {}).setdefault(
             r["row"], {}
         )[r["key"]] = r["value"]
-    # every grid present in the data long-form appears, even when all
-    # its rows filtered out (reference appends {"id", "rows": []})
-    all_grids = data.select("doc_id", "grid_id").distinct().collect()
+    # every grid appears, even when all its rows filtered out or every
+    # cell is a header (reference appends {"id", "rows": []}) — so the
+    # grid universe unions BOTH long-forms, not just data
+    all_grids = (
+        data.select("doc_id", "grid_id")
+        .union(headers.select("doc_id", "grid_id"))
+        .distinct()
+        .collect()
+    )
     out: dict = {}
     for g in sorted(all_grids, key=lambda r: (r["doc_id"], r["grid_id"])):
         by_row = rows.get(g["doc_id"], {}).get(g["grid_id"], {})
