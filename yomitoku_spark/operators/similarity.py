@@ -185,6 +185,46 @@ def signed_planes_md5(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
     return s
 
 
+def clustered_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 50,
+    weight: float = 0.25,
+    dim: int = 64,
+    out_col: str = "cvec",
+) -> DataFrame:
+    """Derive a DETERMINISTIC clustered embedding column from any
+    embedding table: vector v with id k is pulled toward the Rademacher
+    center of cluster ``k % n_clusters`` —
+
+        cvec[i] = v[i] + weight * sign(cluster, i)
+
+    with sign(c, i) the md5-parity Rademacher matrix
+    (:func:`signed_planes_md5` at table 0), so the construction is one
+    CASE expression in ANSI SQL and the whole derived table is
+    bit-reproducible in the DuckDB oracle.
+
+    Rationale: synthetic near-uniform embeddings make every ANN method
+    look like brute force — real retrieval corpora are CLUSTERED
+    (mixture-like), which is the regime where IVF probing wins. With
+    weight≈0.25 over unit-ish residuals the same-cluster cosine is
+    ~0.8 vs ~0 cross-cluster: clearly clustered, but the within-cluster
+    ranking is still decided by the residual vector, so recall is not
+    trivially 1. Everything stays JVM-side: the sign matrix is a folded
+    literal and the add is one zip_with per row."""
+    signs = signed_planes_md5(dim, n_clusters, 1)[0]
+    signs_lit = F.array(
+        *[F.array(*[F.lit(int(v)) for v in row]) for row in signs]
+    )
+    srow = F.element_at(signs_lit, (F.col(id_col) % n_clusters).cast("int") + 1)
+    cvec = F.zip_with(
+        F.col(vec_col), srow,
+        lambda x, s: x.cast("double") + F.lit(float(weight)) * s,
+    )
+    return df.select(id_col, cvec.alias(out_col))
+
+
 def lsh_buckets_quantized(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -416,6 +456,40 @@ def ivf_flat_topk(
     the inverted-list analog of the LSH path, with candidate count
     ~ n_probe/n_cells of the corpus per query. Each Lloyd sweep adds one
     scan + a tiny driver fold (no shuffle of the corpus)."""
+    pairs = ivf_candidate_pairs(
+        corpus, id_col, vec_col, n_cells, n_probe, scale, lloyd_iters
+    )
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    j = pairs.join(
+        vecs.withColumnRenamed("id", "query_id").withColumnRenamed("vec", "qvec"),
+        "query_id",
+    ).join(
+        vecs.withColumnRenamed("id", "corpus_id").withColumnRenamed("vec", "cvec"),
+        "corpus_id",
+    )
+    dq = dot_quantized_arrow(scale)(F.col("qvec"), F.col("cvec")).alias("dot_q")
+    w = W.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("corpus_id"))
+    return (
+        j.select("query_id", "corpus_id", dq)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_candidate_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_probe: int = 2,
+    scale: int = 1000,
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """The ids-only candidate stage of :func:`ivf_flat_topk` (train /
+    assign / probe / cell-join / dedup), exposed separately so bench
+    and tests can measure the SCAN FRACTION — candidates per query over
+    corpus size — which is the number that decides whether an ANN
+    config is sub-linear or brute force with extra steps."""
     cent_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     c_mat = _q_away(np.asarray([r[1] for r in cent_rows], dtype=np.float64) * scale)
     if lloyd_iters > 0:
@@ -460,26 +534,11 @@ def ivf_flat_topk(
         F.col("id").alias("query_id"),
         F.explode(F.array(*[F.col(f"p{p}") for p in range(n_probe)])).alias("cell"),
     )
-    pairs = (
+    return (
         probes.join(lists, "cell")
         .filter(F.col("query_id") != F.col("corpus_id"))
         .select("query_id", "corpus_id")
         .distinct()
-    )
-    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    j = pairs.join(
-        vecs.withColumnRenamed("id", "query_id").withColumnRenamed("vec", "qvec"),
-        "query_id",
-    ).join(
-        vecs.withColumnRenamed("id", "corpus_id").withColumnRenamed("vec", "cvec"),
-        "corpus_id",
-    )
-    dq = dot_quantized_arrow(scale)(F.col("qvec"), F.col("cvec")).alias("dot_q")
-    w = W.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("corpus_id"))
-    return (
-        j.select("query_id", "corpus_id", dq)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
     )
 
 
