@@ -39,6 +39,67 @@ def test_real_decode_is_marked_unimplemented(spark):
         MM.extract_features(df, use_stub=False)
 
 
+def test_bmp_round_trip_scalar():
+    """encode_bmp → decode_bmp recovers dims/bpp and the exact pixel
+    byte sum, across widths that exercise every stride-padding case
+    (w*3 % 4 ∈ {0,1,2,3})."""
+    import numpy as np
+
+    for w in (8, 9, 10, 11):
+        h = 5
+        px = np.arange(w * h * 3, dtype=np.int64).reshape(h, w, 3) % 256
+        payload = MM.encode_bmp(w, h, px.astype(np.uint8))
+        dw, dh, bpp, px_sum = MM.decode_bmp(payload)
+        assert (dw, dh, bpp) == (w, h, 24)
+        assert px_sum == int(px.sum())
+
+
+def test_wav_round_trip_scalar():
+    import numpy as np
+
+    s = np.array([0, 1000, -1000, 32767, -32768, 7], dtype=np.int64)
+    payload = MM.encode_wav(16000, s)
+    sr, nch, n, amp = MM.decode_wav(payload)
+    assert (sr, nch, n) == (16000, 1, len(s))
+    assert amp == int(np.abs(s).sum())
+
+
+def test_decode_media_real_and_malformed(spark):
+    """decode_media parses real BMP/WAV payloads distributed and
+    degrades per-row on malformed input (decode_error set, stats null)
+    — the reference's per-file error-skip contract."""
+    import pandas as pd
+
+    df = MM.synthetic_media_codec(spark, n=30)
+    rows = {r.media_id: r for r in MM.decode_media(df).collect()}
+    assert len(rows) == 30
+    for i, r in rows.items():
+        assert r.decode_error is None
+        if r.kind == "audio":
+            assert r.sample_rate == 8000 + (i % 3) * 4000
+            assert r.n_samples == 50 + i % 100
+            assert r.width is None
+        else:
+            assert (r.width, r.height, r.bpp) == (
+                8 + (i * 37) % 33, 8 + (i * 53) % 33, 24)
+            assert r.px_sum is not None and r.sample_rate is None
+    # malformed payloads: wrong magic, truncated body, garbage WAV
+    bad = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": [100, 101, 102],
+            "kind": ["image", "image", "audio"],
+            "payload": [b"XX" + b"\x00" * 60,
+                        MM.encode_bmp(4, 4, __import__("numpy").zeros((4, 4, 3), dtype="uint8"))[:40],
+                        b"RIFFgarbage"],
+        }),
+        schema="media_id bigint, kind string, payload binary",
+    )
+    out = {r.media_id: r for r in MM.decode_media(bad).collect()}
+    assert all(out[k].decode_error for k in (100, 101, 102))
+    assert all(out[k].px_sum is None and out[k].amp_sum is None
+               for k in (100, 101, 102))
+
+
 def test_sample_frames(spark):
     df = MM.synthetic_media(spark, n=60)
     frames = MM.sample_frames(df, every_n=30)

@@ -15,15 +15,13 @@ def test_rows_only_queries_documented():
     qs = entrymod.queries()
     osql = entrymod.oracle_sql()
     rows_only = set(qs) - set(osql)
-    # the ONLY two rows-only entries: the datagen full mix (layout
+    # the ONLY rows-only entry left: the datagen full mix (layout
     # reading-order is graph-valued; correctness comes from the pytest
-    # engine==oracle byte-equality gate + scaling checksum) and the
-    # multimodal stub boundary. Everything else carries a DuckDB SQL
-    # referee over the parquet tables.
-    assert rows_only == {
-        "extract_transcripts_mix",
-        "multimodal_features",
-    }
+    # engine==oracle byte-equality gate + scaling checksum).
+    # multimodal_features graduated in r6: the stdlib BMP/WAV decode
+    # path carries a closed-form DuckDB referee. Everything else has a
+    # DuckDB SQL referee over the parquet tables.
+    assert rows_only == {"extract_transcripts_mix"}
 
 
 def test_driver_window_boundary_matches_rotation_comment():

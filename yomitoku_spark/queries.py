@@ -1449,18 +1449,59 @@ SQL_ANN_MULTIPROBE = _sql_ann_lsh(_MP_PLANES, _MP_TABLES, _MP_FLIP, 3)
 
 
 def multimodal_features(spark, sf_dir):
-    """Binary media columns → deterministic stub features (rows-only).
-    The float-array features column is serialized (quantized to int
-    permille first, so the JSON repr is canonical) for the driver's
-    canonicalizer."""
-    from yomitoku_spark.multimodal.media import extract_features, synthetic_media, validate_media
+    """REAL multimodal decode (r5 verdict item 2 — the rows-only pin
+    retired): the synthetic media table carries VALID 24-bit BMP and
+    16-bit PCM WAV payloads (stdlib struct/wave encoders), and
+    decode_media parses them back in Arrow batches — BMP header +
+    stride-padded pixel scan, WAV PCM framing. Every decoded stat is
+    closed-form in the media id, so the DuckDB referee recomputes
+    width/height/px_sum/sample_rate/amp_sum from id arithmetic alone:
+    the encode→decode ROUND TRIP is what the 3-axis check verifies.
+    Reference analog: load_image decode-validate (data/functions.py:
+    33-78)."""
+    from yomitoku_spark.multimodal.media import decode_media, synthetic_media_codec
 
-    media = validate_media(synthetic_media(spark, n=256))
-    feats = extract_features(media.filter(F.col("valid")))
-    return feats.withColumn(
-        "features",
-        F.to_json(F.transform("features", lambda x: F.round(x.cast("double") * 1000).cast("bigint"))),
-    )
+    return decode_media(synthetic_media_codec(spark, n=256)).drop("decode_error")
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH m AS (
+  SELECT CAST(i AS BIGINT) AS media_id,
+         ['image', 'audio', 'video'][CAST(i % 3 AS INT) + 1] AS kind,
+         8 + (i * 37) % 33 AS w, 8 + (i * 53) % 33 AS h,
+         8000 + (i % 3) * 4000 AS sr, 50 + i % 100 AS ns
+  FROM range(256) r(i)
+),
+img AS (
+  SELECT m.media_id,
+         CAST(SUM((m.media_id*7 + x.x*3 + y.y*5 + c.c*11) % 256) AS BIGINT) AS px_sum
+  FROM m
+  JOIN range(41) x(x) ON x.x < m.w
+  JOIN range(41) y(y) ON y.y < m.h
+  CROSS JOIN range(3) c(c)
+  WHERE m.kind <> 'audio'
+  GROUP BY m.media_id
+),
+aud AS (
+  SELECT m.media_id,
+         CAST(SUM(ABS((m.media_id*13 + t.t*17) % 2001 - 1000)) AS BIGINT) AS amp_sum
+  FROM m JOIN range(150) t(t) ON t.t < m.ns
+  WHERE m.kind = 'audio'
+  GROUP BY m.media_id
+)
+SELECT m.media_id, m.kind,
+       CASE WHEN m.kind <> 'audio' THEN m.w END AS width,
+       CASE WHEN m.kind <> 'audio' THEN m.h END AS height,
+       CAST(CASE WHEN m.kind <> 'audio' THEN 24 END AS BIGINT) AS bpp,
+       img.px_sum,
+       CASE WHEN m.kind = 'audio' THEN m.sr END AS sample_rate,
+       CAST(CASE WHEN m.kind = 'audio' THEN 1 END AS BIGINT) AS n_channels,
+       CASE WHEN m.kind = 'audio' THEN m.ns END AS n_samples,
+       aud.amp_sum
+FROM m
+LEFT JOIN img ON img.media_id = m.media_id
+LEFT JOIN aud ON aud.media_id = m.media_id
+"""
 
 
 def _extract_corpus_result(spark, sf_dir, extract_fn):
@@ -3271,6 +3312,7 @@ ORACLE = {
     "ivf_scaled_topk": SQL_IVF_SCALED,
     "embedding_clustered_topk": SQL_EMB_CLUSTERED_TOPK,
     "ann_ivf_clustered_topk": SQL_ANN_IVF_CLUSTERED,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "ivf_lloyd_topk": SQL_IVF_LLOYD,
     "jaccard_near_pairs": SQL_JACCARD,
     "connected_components_labels": SQL_CC,
