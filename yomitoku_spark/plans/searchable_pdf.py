@@ -10,18 +10,17 @@ width best matches the word box (:44-57, rate grid 0.50..0.99 of the
 box height).
 
 Everything DATA-shaped is computed here as Spark column expressions —
-the text-layer table (word sequence, position, fitted font size) is the
-real, tested artifact. Two pieces are stubbed for this container, the
-same policy as multimodal/media.py:
-
-* font metrics — reportlab's ``stringWidth`` needs the bundled font;
-  the stub metric is width = 0.55 · font_size · len(text), evaluated on
-  the SAME 50-step rate grid with integer-scaled arithmetic
-  (diff = |55·n·h·rate − 10000·w|), so the argmin is bit-exact and
-  engine-testable;
-* the PDF canvas itself — :func:`render_pdf` raises unless reportlab
-  is importable; :func:`write_text_layer` writes the layer as JSON
-  lines, the deterministic sink the tests check.
+the text-layer table (word sequence, position, box dims, fitted font
+size) is the real, tested artifact — and since r6 the PDF canvas is
+REAL too: :func:`render_pdf` hand-rolls a valid searchable PDF
+(xref table, Identity-H font, render-mode-3 invisible text objects,
+the reference's placement math) via plans/pdf_writer.py, no reportlab
+needed. One stub remains, documented at the function: font METRICS —
+reportlab's ``stringWidth`` needs the bundled TTF, so the fit uses the
+width = 0.55 · font_size · len(text) metric evaluated on the SAME
+50-step rate grid with integer-scaled arithmetic
+(diff = |55·n·h·rate − 10000·w|), keeping the argmin bit-exact and
+engine-testable. :func:`write_text_layer` stays the distributed sink.
 """
 
 from __future__ import annotations
@@ -124,6 +123,8 @@ def text_layer(containers: DataFrame, words: DataFrame) -> DataFrame:
         text.alias("text"),
         F.col("x1").alias("x"),
         F.col("y1").alias("y"),
+        w.alias("box_w"),
+        h.alias("box_h"),
         font.alias("font_centi"),
         "vertical",
     )
@@ -140,15 +141,18 @@ def write_text_layer(layer: DataFrame, path: str) -> None:
     )
 
 
-def render_pdf(layer: DataFrame, images, output_path: str):
-    """Real PDF rendering needs reportlab + the bundled font, absent in
-    this container — the plumbing above is real and tested; only the
-    canvas call is stubbed (same policy as multimodal.media)."""
-    try:
-        import reportlab  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "reportlab is not available in this environment; use "
-            "write_text_layer() for the deterministic text-layer artifact"
-        ) from e
-    raise NotImplementedError("canvas rendering not implemented in this build")
+def render_pdf(
+    layer: DataFrame,
+    page_sizes: dict[int, tuple[float, float]],
+    output_path: str,
+) -> int:
+    """Render the text layer into a REAL searchable PDF — a hand-rolled
+    xref-table writer with an Identity-H font and render-mode-3
+    invisible text (plans.pdf_writer; no reportlab needed). The
+    reference additionally paints the page JPEG under the layer
+    (searchable_pdf.py:108-115) — this environment has no raster
+    codecs, so pages carry the extractable text layer only (documented
+    deviation). Returns the page count written."""
+    from yomitoku_spark.plans.pdf_writer import render_searchable_pdf
+
+    return render_searchable_pdf(layer, page_sizes, output_path)
