@@ -206,3 +206,59 @@ def test_stream_exact_dedup_equals_batch_keeper(spark, tmp_path):
         .collect()
     }
     assert got == keepers == {("c0", 0), ("c0", 1), ("c1", 1)}
+
+
+def test_stream_simhash_near_dup_equals_batch_pairs(spark, tmp_path):
+    """Streaming SimHash near-dup on ingest == the batch
+    simhash_near_pairs rule over a two-append replay of the documents
+    table, with band-bucket state surviving the checkpointed restart
+    (a wave-2 near-dup of wave-1 content must pair across runs)."""
+    from pyspark.sql import functions as F
+
+    from yomitoku_spark.operators import dedup as DD
+
+    in_dir = str(tmp_path / "sh_in")
+    out_dir = str(tmp_path / "sh_out")
+    cp_dir = str(tmp_path / "sh_cp")
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    # split so that near-dup family members land in DIFFERENT waves:
+    # odd/even doc_id (the synthetic near-dup families span adjacent ids)
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            ST.stream_simhash_near_dup(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in spark.read.parquet(out_dir).distinct().collect()
+    }
+    batch = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in DD.simhash_near_pairs(docs, "doc_id", "text").collect()
+    }
+    assert got == batch
+    assert batch  # the fixture really contains near-dup pairs
+    # cross-wave pairs exist (state crossed the restart)
+    assert any((a + b) % 2 == 1 for a, b, _ in got)
