@@ -2190,6 +2190,37 @@ UNION ALL {_sql_search_dir('upper', AJ.sql_bottom_adjacent('t', 'k'))}
 """
 
 
+def search_cells_lookup(spark, sf_dir):
+    """Cell lookup surfaces (§2.3; reference search_cells_by_bbox —
+    ≥50% containment in a query box, schemas/table_semantic_parser.py:
+    202-211 — and search_cells_by_query — space-stripped substring
+    match, :276-287) over the form corpus, one row per (doc, method,
+    matched cell). Both lookups are pure predicates over the same
+    corpus derivation, which is materialized once."""
+    cells = LY.form_cells(spark, sf_dir).localCheckpoint(eager=True)
+    by_q = SEM.search_cells_by_query(cells, "hkey3").select(
+        "doc_id", F.lit("query").alias("method"), "cell_id"
+    )
+    by_b = SEM.search_cells_by_bbox(cells, [0, 0, 300, 200]).select(
+        "doc_id", F.lit("bbox").alias("method"), "cell_id"
+    )
+    return by_q.unionByName(by_b)
+
+
+SQL_SEARCH_LOOKUP = f"""
+WITH {LY.SQL_FORM_BASE},{LY.SQL_FORM_CELLS}
+SELECT doc_id, 'query' AS method, cell_id FROM fc_cells
+WHERE role <> 'group' AND contents IS NOT NULL AND contents <> ''
+  AND contains(replace(replace(contents, ' ', ''), '　', ''), 'hkey3')
+UNION ALL
+SELECT doc_id, 'bbox' AS method, cell_id FROM fc_cells
+WHERE role <> 'group'
+  AND GREATEST(LEAST(300, x2) - GREATEST(0, x1), 0)
+    * GREATEST(LEAST(200, y2) - GREATEST(0, y1), 0) * 1000
+    >= 500 * (x2 - x1) * (y2 - y1)
+"""
+
+
 def kv_items_geometric(spark, sf_dir):
     """Geometric KV recovery over the deterministic form corpus (§2.3;
     reference kv_parser.py:14-345). The engine runs the full
@@ -3179,7 +3210,7 @@ LEFT JOIN placed p
 # sf0.01) — rotation never leaves a row with only a by-convention
 # referee.
 #
-# r6 rotation: the 2 clustered-ANN rows are new (never checked) and go
+# r6 rotation: the new rows (cell-lookup + 2 clustered-ANN) are new (never checked) and go
 # first; the 3 r5-new rows keep a second consecutive window round; the
 # whole 17-row r5 tail returns (out exactly one round, per policy); 7
 # of the r2/r3+r5-green generic rows (jaccard … phone_format) stay for
@@ -3188,6 +3219,7 @@ LEFT JOIN placed p
 # rotate to the tail.
 QUERIES = {
     # --- new this round: never driver-checked ---
+    "search_cells_lookup": search_cells_lookup,
     "ann_ivf_clustered_topk": ann_ivf_clustered_topk,
     "embedding_clustered_topk": embedding_clustered_topk,
     # --- first driver row was r5: keep a second consecutive row ---
@@ -3219,7 +3251,6 @@ QUERIES = {
     "sessionize": sessionize,
     "markdown_escape": markdown_escape,
     "normalize_dates": normalize_dates,
-    "phone_format": phone_format,
     # --- flagship + composed + LLM-pipeline rows: always in-window ---
     "extract_transcripts": extract_transcripts,
     "extract_transcripts_staged": extract_transcripts_staged,
@@ -3245,6 +3276,7 @@ QUERIES = {
     # --- rotated out of the 50-row driver window (all driver-green at
     # least twice; hard-gated by tests/test_oracle_tail.py every run) ---
     "q1_pricing_summary": q1_pricing_summary,
+    "phone_format": phone_format,
     "filter_threshold": filter_threshold,
     "price_histogram": price_histogram,
     "pivot_event_types": pivot_event_types,
@@ -3310,6 +3342,7 @@ ORACLE = {
     "ann_multiprobe_topk": SQL_ANN_MULTIPROBE,
     "ivf_flat_topk": SQL_IVF,
     "ivf_scaled_topk": SQL_IVF_SCALED,
+    "search_cells_lookup": SQL_SEARCH_LOOKUP,
     "embedding_clustered_topk": SQL_EMB_CLUSTERED_TOPK,
     "ann_ivf_clustered_topk": SQL_ANN_IVF_CLUSTERED,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
