@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "ivf_lloyd_topk",
     "embedding_clustered_topk",
     "ann_ivf_clustered_topk",
+    "ann_ivf_pq_topk",
     "kv_items_geometric",
     "extract_scalar_cascade",
     "grid_header_derivation",
@@ -218,7 +219,10 @@ def main():
     # the clustered-ANN row is measured against the brute-force referee
     # over the SAME derived clustered vectors
     recall.update(
-        recall_vs("embedding_clustered_topk", ("ann_ivf_clustered_topk",))
+        recall_vs(
+            "embedding_clustered_topk",
+            ("ann_ivf_clustered_topk", "ann_ivf_pq_topk"),
+        )
     )
 
     # candidates/query and scan fraction per ANN config: recall without

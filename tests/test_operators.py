@@ -381,6 +381,32 @@ def test_ivf_clustered_recall_at_sublinear_scan(spark, emb):
     assert scan_fraction <= 0.25, scan_fraction
 
 
+def test_ivf_pq_recall_and_compression(spark, emb):
+    """IVF-PQ (the codes-only candidate-scoring path): on clustered
+    embeddings the registry config (64 codes x 8 subspaces, ADC top-32
+    re-rank) keeps recall@3 ≥ 0.85 while joining full vectors for only
+    `rerank` candidates per query — the shortlist, not the candidate
+    set, bounds vector traffic. Codes really are 8 small ints."""
+    c = SIM.clustered_embeddings(emb, n_clusters=50, weight=0.25)
+    exact = {}
+    for r in SIM.brute_force_topk_quantized(c, c, "vec_id", "cvec", k=3).collect():
+        exact.setdefault(r.query_id, set()).add(r.corpus_id)
+    approx = {}
+    for r in SIM.ivf_pq_topk(
+        c, "vec_id", "cvec", n_cells=64, n_probe=4, k=3,
+        n_codes=64, m=8, rerank=32, lloyd_iters=0,
+    ).collect():
+        approx.setdefault(r.query_id, set()).add(r.corpus_id)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.85, recall
+    cb = SIM.pq_codebooks(c, "vec_id", "cvec", n_codes=64, m=8)
+    assert cb.shape == (8, 64, 8)
+    codes = SIM.pq_encode(c, cb, "vec_id", "cvec").limit(5).collect()
+    assert all(len(r.codes) == 8 and all(0 <= x < 64 for x in r.codes)
+               for r in codes)
+
+
 def test_ivf_lloyd_recall_improves(spark, emb):
     """Lloyd refinement is a pure recall lever: same plan shape, better
     centroids. On the synthetic corpus, 2 deterministic sweeps beat the

@@ -637,3 +637,133 @@ def lsh_ann_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ------------------------------------------------- product quantization
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_codes: int = 16,
+    m: int = 8,
+    scale: int = 1000,
+) -> np.ndarray:
+    """Deterministic PQ codebooks: the quantized SUBVECTORS of the
+    ``n_codes`` lowest-id corpus vectors, one codebook per subspace —
+    shape (m, n_codes, dim/m) int64. Data-dependent (like the IVF
+    seeds) and reproducible in the DuckDB oracle; the Lloyd analog for
+    PQ would refine per-subspace, omitted to keep the oracle one CTE."""
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_codes).collect()
+    mat = _q_away(np.asarray([r[1] for r in rows], dtype=np.float64) * scale)
+    n, dim = mat.shape
+    return mat.reshape(n, m, dim // m).transpose(1, 0, 2).copy()
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Encode every vector as m one-byte-ish codes: per subspace the
+    L2-nearest codebook entry over the QUANTIZED int64 subvectors
+    (exact integer squared distances; ties break to the lowest code,
+    the same first-min rule as everywhere else). Returns
+    (id, codes array<int>) — the 64-dim float vector becomes m=8 small
+    ints: the compressed representation candidate scoring rides on."""
+    mq, n_codes, d = codebooks.shape
+    cb = codebooks
+
+    def enc(batches):
+        for pdf in batches:
+            mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if len(mat) == 0:
+                continue
+            q = _q_away(mat * scale).reshape(len(mat), mq, d)
+            # (n, m, n_codes) squared L2 per subspace
+            diff = q[:, :, None, :] - cb[None, :, :, :]
+            d2 = (diff * diff).sum(axis=3)
+            codes = np.argmin(d2, axis=2)  # first (lowest) min wins
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "codes": list(codes.astype(np.int32))}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        enc, schema="id bigint, codes array<int>"
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 64,
+    n_probe: int = 4,
+    k: int = 3,
+    n_codes: int = 16,
+    m: int = 8,
+    rerank: int = 16,
+    scale: int = 1000,
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """IVF-PQ: the 100 TB ANN shape — candidates from the inverted
+    lists are scored on their m-byte PQ CODES (asymmetric distance:
+    score = Σ_subspace  query_subvector · codebook[code]), and only the
+    ADC top-``rerank`` per query join the full vectors back for the
+    exact final top-k. Full vectors cross the wire once per query for
+    ``rerank`` candidates instead of once per candidate — at a 6%
+    scan fraction of 10^9 vectors that is the difference between
+    shipping 60M full vectors per query wave and shipping ``rerank``.
+
+    Everything is integer-exact (quantized subvectors, integer ADC
+    lookup sums, first-min/lowest-id tiebreaks) so the ENTIRE pipeline
+    — codebook construction, encoding, coarse cells, probing, ADC
+    scoring, re-rank — reproduces bit-for-bit in the DuckDB oracle."""
+    cb = pq_codebooks(corpus, id_col, vec_col, n_codes, m, scale)
+    mq, _ncodes, d = cb.shape
+    pairs = ivf_candidate_pairs(
+        corpus, id_col, vec_col, n_cells, n_probe, scale, lloyd_iters
+    )
+    codes = pq_encode(corpus, cb, id_col, vec_col, scale).localCheckpoint(eager=True)
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    j = pairs.join(
+        codes.select(F.col("id").alias("corpus_id"), "codes"), "corpus_id"
+    ).join(
+        vecs.withColumnRenamed("id", "query_id").withColumnRenamed("vec", "qvec"),
+        "query_id",
+    )
+
+    @F.pandas_udf("bigint")
+    def _adc(q: pd.Series, c: pd.Series) -> pd.Series:
+        qm = _q_away(np.asarray(q.tolist(), dtype=np.float64) * scale).reshape(
+            len(q), mq, d
+        )
+        cd = np.asarray(c.tolist(), dtype=np.int64)  # (n, m)
+        sel = cb[np.arange(mq)[None, :], cd]  # (n, m, d) gathered entries
+        return pd.Series((qm * sel).sum(axis=(1, 2)))
+
+    adc = j.select(
+        "query_id", "corpus_id", _adc(F.col("qvec"), F.col("codes")).alias("adc_q")
+    )
+    w_adc = W.partitionBy("query_id").orderBy(F.desc("adc_q"), F.asc("corpus_id"))
+    shortlist = (
+        adc.withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= rerank)
+        .select("query_id", "corpus_id")
+    )
+    jj = shortlist.join(
+        vecs.withColumnRenamed("id", "query_id").withColumnRenamed("vec", "qvec"),
+        "query_id",
+    ).join(
+        vecs.withColumnRenamed("id", "corpus_id").withColumnRenamed("vec", "cvec"),
+        "corpus_id",
+    )
+    dq = dot_quantized_arrow(scale)(F.col("qvec"), F.col("cvec")).alias("dot_q")
+    w = W.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("corpus_id"))
+    return (
+        jj.select("query_id", "corpus_id", dq)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

