@@ -253,8 +253,13 @@ def main():
         ("ivf_lloyd_topk", 8, 2, 2, e),
         ("ann_ivf_clustered_topk", _CL_CELLS, _CL_PROBE, _CL_LLOYD,
          SIM.clustered_embeddings(e, n_clusters=_CL_N, weight=_CL_W)),
+        # PQ row: same candidate stage at lloyd=0; its full-vector
+        # traffic is additionally bounded by rerank (recorded in the
+        # registry docstring), which cand/q alone does not show
+        ("ann_ivf_pq_topk", _CL_CELLS, _CL_PROBE, 0,
+         SIM.clustered_embeddings(e, n_clusters=_CL_N, weight=_CL_W)),
     ):
-        vec_col = "cvec" if name == "ann_ivf_clustered_topk" else "embedding"
+        vec_col = "cvec" if name.startswith("ann_ivf_") else "embedding"
         _scan(name, SIM.ivf_candidate_pairs(
             frame, "vec_id", vec_col, n_cells=cells, n_probe=probe,
             lloyd_iters=lloyd,

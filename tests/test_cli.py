@@ -94,6 +94,38 @@ def test_cli_combine_md_joins_with_single_newline(spark, transcripts_path):
         assert combined[conv] == "\n".join(parts)
 
 
+def test_cli_ignore_line_break_strips_paragraph_newlines(spark, transcripts_path):
+    """Reference --ignore_line_break (cli/main.py → convert_* →
+    paragraph contents.replace('\\n','')): paragraph bodies lose
+    interior newlines; structural blocks (lists/tables/code) keep
+    theirs; default rendering is unchanged."""
+    base = {
+        (r.conv_id, r.turn_idx): r.content
+        for r in cli.render(spark, transcripts_path, "md", None, False).collect()
+    }
+    stripped = {
+        (r.conv_id, r.turn_idx): r.content
+        for r in cli.render(
+            spark, transcripts_path, "md", None, False, ignore_line_break=True
+        ).collect()
+    }
+    assert base.keys() == stripped.keys()
+    assert base != stripped  # the corpus has multi-line paragraphs
+    for k, v in stripped.items():
+        blocks_b = base[k].split("\n\n")
+        blocks_s = v.split("\n\n")
+        assert len(blocks_b) == len(blocks_s)
+        for bb, bs in zip(blocks_b, blocks_s):
+            if "\n" not in bb:
+                assert bb == bs
+            elif bb.startswith(("|", "- ", "```", "# ")):
+                assert bb == bs  # structural blocks untouched
+            elif ":" in bb.split("\n")[0] and all(":" in ln for ln in bb.split("\n") if ln):
+                assert bb == bs  # kv blocks untouched
+            else:
+                assert bs == bb.replace("\n", "") or bb == bs
+
+
 def test_cli_dataset_sink(spark, tmp_path, transcripts_path):
     out = tmp_path / "ds"
     cli.main([transcripts_path, "-o", str(out), "-f", "json"])

@@ -15,10 +15,10 @@ Mapping from the reference's flags to the turn-grain engine:
   range grammar, cli/main.py:94-102) applied to ``turn_idx``;
 * ``--combine`` — the reference's multi-page merge (cli/main.py:24-59):
   one output per conversation, turns joined in turn order;
-* the reference's ``--ignore_line_break`` is NOT a CLI flag here: the
-  newline policy lives at the block-renderer functions
-  (plans/export.py paragraph_md/paragraph_html) and the CLI ships the
-  oracle-checked default rendering;
+* ``--ignore_line_break`` — the reference's paragraph newline-strip
+  (cli/main.py → export convert_* ``ignore_line_break``), applied at
+  export_blocks to paragraph bodies in every format; default off is
+  the oracle-checked rendering;
 * ``--encoding`` — validated against the reference's accepted set
   (cli/main.py:82-91), used for --per-file writes;
 * sink: by default ONE distributed parquet dataset of
@@ -59,7 +59,7 @@ EXT = {"markdown": "md", "html": "html", "csv": "csv", "json": "json"}
 
 
 def render(spark, input_path: str, fmt: str, pages: list[int] | None,
-           combine: bool):
+           combine: bool, ignore_line_break: bool = False):
     """Build the output DataFrame (conv_id, turn_idx, content) — or
     (conv_id, content) when combining — for one format."""
     from pyspark.sql import functions as F
@@ -73,7 +73,9 @@ def render(spark, input_path: str, fmt: str, pages: list[int] | None,
     if pages is not None:
         tdf = tdf.filter(F.col("turn_idx").isin(pages))
     blocks = classify(featurize(order_blocks(segment_blocks(tdf))))
-    out = export_blocks(blocks).select("conv_id", "turn_idx", F.col(col).alias("content"))
+    out = export_blocks(blocks, ignore_line_break=ignore_line_break).select(
+        "conv_id", "turn_idx", F.col(col).alias("content")
+    )
     if not combine:
         return out
     # multi-page merge (reference merge_all_pages, cli/main.py:24-59):
@@ -118,6 +120,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--combine", action="store_true")
     ap.add_argument("--per-file", action="store_true",
                     help="reference-style file-per-document output")
+    ap.add_argument("--ignore_line_break", action="store_true",
+                    help="drop newlines inside paragraphs (reference flag)")
     ap.add_argument("--encoding", default="utf-8")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -127,7 +131,8 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app="yomitoku_cli", master=args.master)
     pages = parse_pages(args.pages) if args.pages else None
-    out = render(spark, args.input, args.format, pages, args.combine)
+    out = render(spark, args.input, args.format, pages, args.combine,
+                 args.ignore_line_break)
 
     ext = EXT[FORMATS[args.format]]
     if args.per_file:

@@ -235,16 +235,34 @@ def block_csv(kind: Column, rendered: Column) -> Column:
     )
 
 
-def export_blocks(blocks: DataFrame) -> DataFrame:
+def export_blocks(blocks: DataFrame, ignore_line_break: bool = False) -> DataFrame:
     """Per-turn markdown/html/csv/json export columns from classified,
-    ordered blocks (same single-aggregation shape as pipeline.emit)."""
+    ordered blocks (same single-aggregation shape as pipeline.emit).
+
+    ``ignore_line_break`` mirrors the reference CLI flag (cli/main.py
+    ``--ignore_line_break`` → paragraph_to_md/html ``contents.replace
+    ("\n", "")``, export_markdown.py:15-17): when True, PARAGRAPH
+    bodies lose their interior newlines in every format. Structural
+    blocks (list/table/code/kv) keep theirs — the reference's flag
+    never touches structure either (tables apply it per-CELL, which the
+    cells-grain sinks table_cells_md/html honor). Default False is the
+    oracle-checked rendering, which keeps raw newlines where the
+    reference's default inserts <br> — a documented deviation."""
+    body = (
+        F.when(
+            F.col("kind") == "paragraph",
+            F.regexp_replace("rendered", "\n", ""),
+        ).otherwise(F.col("rendered"))
+        if ignore_line_break
+        else F.col("rendered")
+    )
     kept = F.when(
         F.col("keep"),
         F.struct(
             F.col("order"),
-            F.col("rendered"),
-            block_html(F.col("kind"), F.col("rendered")).alias("html"),
-            block_csv(F.col("kind"), F.col("rendered")).alias("csv"),
+            body.alias("rendered"),
+            block_html(F.col("kind"), body).alias("html"),
+            block_csv(F.col("kind"), body).alias("csv"),
         ),
     )
     agg = blocks.groupBy("conv_id", "turn_idx").agg(
