@@ -233,18 +233,19 @@ def main():
     from yomitoku_spark.operators import similarity as SIM
     from yomitoku_spark.queries import (
         _CL_CELLS, _CL_LLOYD, _CL_N, _CL_PROBE, _CL_W, _MP_FLIP, _MP_PLANES,
-        _MP_TABLES, t as read_table,
+        _MP_TABLES, _PQ_RERANK, t as read_table,
     )
 
     e = read_table(spark, sf_dir, "embeddings")
     n_vec = e.count()
     scan = {}
 
-    def _scan(name, pairs_df):
+    def _scan(name, pairs_df, **extra):
         n_pairs = pairs_df.count()
         scan[name] = {
             "cand_per_query": round(n_pairs / n_vec, 1),
             "scan_fraction": round(n_pairs / n_vec / n_vec, 3),
+            **extra,
         }
 
     for name, cells, probe, lloyd, frame in (
@@ -260,10 +261,15 @@ def main():
          SIM.clustered_embeddings(e, n_clusters=_CL_N, weight=_CL_W)),
     ):
         vec_col = "cvec" if name.startswith("ann_ivf_") else "embedding"
+        extra = (
+            {"full_vectors_per_query": _PQ_RERANK}
+            if name == "ann_ivf_pq_topk"
+            else {}
+        )
         _scan(name, SIM.ivf_candidate_pairs(
             frame, "vec_id", vec_col, n_cells=cells, n_probe=probe,
             lloyd_iters=lloyd,
-        ))
+        ), **extra)
     # multi-probe LSH candidates: same construction as the query's
     # candidate stage (base-bucket index side, probed query side)
     sigs = SIM.lsh_buckets_quantized(

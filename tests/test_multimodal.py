@@ -54,6 +54,20 @@ def test_bmp_round_trip_scalar():
         assert px_sum == int(px.sum())
 
 
+def test_bmp_rejects_zero_bpp():
+    """A payload with valid magic but bpp=0 must raise, not return a
+    bogus success row (bytes_px=0 made every length check pass
+    trivially — r6 review finding)."""
+    import struct
+
+    import pytest as _pytest
+
+    hdr = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 0, 0, 0, 0, 0, 0, 0)
+    with _pytest.raises(ValueError):
+        MM.decode_bmp(hdr + info + b"\x00" * 64)
+
+
 def test_wav_round_trip_scalar():
     import numpy as np
 

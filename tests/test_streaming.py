@@ -262,3 +262,62 @@ def test_stream_simhash_near_dup_equals_batch_pairs(spark, tmp_path):
     assert batch  # the fixture really contains near-dup pairs
     # cross-wave pairs exist (state crossed the restart)
     assert any((a + b) % 2 == 1 for a, b, _ in got)
+
+
+def test_stream_simhash_ignores_redelivered_ids(spark, tmp_path):
+    """A re-delivered doc id (same id in two waves) must not emit a
+    degenerate (id, id, 0) self-pair nor register twice in bucket
+    state — the batch rule joins on a.id < b.id (r6 review finding)."""
+    in_dir = str(tmp_path / "rd_in")
+    out_dir = str(tmp_path / "rd_out")
+    cp_dir = str(tmp_path / "rd_cp")
+    wave = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id bigint, text string",
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            ST.stream_simhash_near_dup(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    wave.coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    wave.coalesce(1).write.mode("append").parquet(in_dir)  # re-delivery
+    run_once()
+    got = [(r.id_a, r.id_b, r.hamming)
+           for r in spark.read.parquet(out_dir).distinct().collect()]
+    assert got == [(1, 2, 0)]  # the real pair once, no self-pairs
+
+
+def test_render_pdf_refuses_orphan_pages(spark, tmp_path):
+    """Text-layer rows on a page absent from page_sizes raise instead
+    of silently vanishing from the written PDF (r6 review finding)."""
+    import pytest as _pytest
+
+    from yomitoku_spark.plans import searchable_pdf as SPDF
+
+    containers = spark.createDataFrame(
+        [(7, 0, 0, False, 0, 0, 600, 100)],
+        "page int, order int, sub_order int, vertical boolean, "
+        "x1 int, y1 int, x2 int, y2 int",
+    )
+    words = spark.createDataFrame(
+        [(7, "w", "hello", 10, 10, 110, 30)],
+        "page int, word_id string, content string, x1 int, y1 int, x2 int, y2 int",
+    )
+    layer = SPDF.text_layer(containers, words)
+    with _pytest.raises(ValueError, match="absent from"):
+        SPDF.render_pdf(layer, {0: (800, 1000)}, str(tmp_path / "x.pdf"))

@@ -94,7 +94,7 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, int]:
         raise ValueError("not a BMP payload")
     (off,) = struct.unpack_from("<I", payload, 10)
     width, height, _planes, bpp = struct.unpack_from("<iiHH", payload, 18)
-    if width <= 0 or bpp % 8 != 0:
+    if width <= 0 or bpp not in (8, 16, 24, 32):
         raise ValueError("unsupported BMP geometry")
     h_abs = abs(height)  # negative height = top-down storage
     bytes_px = bpp // 8

@@ -22,7 +22,10 @@ from pyspark.sql import functions as F
 
 
 # sweep count of the most recent label_propagation call (diagnostics /
-# tests pinning the O(log diameter) pointer-jumping claim)
+# tests pinning the O(log diameter) pointer-jumping claim). Plain
+# module global: label_propagation materializes eagerly on the driver
+# thread, so concurrent writers would need driver-side threading the
+# engine never does — read it immediately after the call it describes.
 LAST_SWEEPS: int = 0
 
 

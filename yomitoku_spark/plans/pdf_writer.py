@@ -181,6 +181,12 @@ def render_searchable_pdf(layer, page_sizes: dict[int, tuple[float, float]],
     )
     for r in it:
         by_page.setdefault(r["page"], []).append(r.asDict())
+    orphans = set(by_page) - set(page_sizes)
+    if orphans:
+        raise ValueError(
+            f"text layer has rows for pages {sorted(orphans)} absent from "
+            "page_sizes — refusing to silently drop their text"
+        )
     pages = [
         (p, float(page_sizes[p][0]), float(page_sizes[p][1]), by_page[p])
         for p in sorted(page_sizes)

@@ -186,9 +186,15 @@ def stream_simhash_near_dup(
         else:
             ids, hashes = [], []
         out_a, out_b, out_h = [], [], []
+        known = set(ids)
         rows = pd.concat(list(pdfs)).sort_values("id")
         for rid, rhash in zip(rows["id"], rows["simhash"]):
             rid, rhash = int(rid), int(rhash)
+            if rid in known:
+                # re-delivered id: the batch rule joins on a.id < b.id,
+                # so a duplicate arrival must neither emit a (id, id, 0)
+                # self-pair nor register twice in the bucket state
+                continue
             for oid, ohash in zip(ids, hashes):
                 d = (rhash ^ ohash).bit_count()
                 if d <= max_hamming:
@@ -197,6 +203,7 @@ def stream_simhash_near_dup(
                     out_h.append(d)
             ids.append(rid)
             hashes.append(rhash)
+            known.add(rid)
         state.update((ids, hashes))
         if out_a:
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
