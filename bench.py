@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "training_set_selection",
     "corpus_build",
     "corpus_build_full",
+    "corpus_index_build",
     "minhash_lsh_pairs",
     "embedding_topk",
     "simhash_pairs",

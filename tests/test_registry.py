@@ -46,10 +46,11 @@ def test_driver_window_boundary_matches_rotation_comment():
     assert window[-1] == "ivf_scaled_topk", window[-1]
     assert tail[0] == "q1_pricing_summary", tail[0]
     # r6 additions lead the window
-    assert window[0] == "ann_ivf_pq_topk"
-    assert window[1] == "search_cells_lookup"
-    assert window[2] == "ann_ivf_clustered_topk"
-    assert window[3] == "embedding_clustered_topk"
+    assert window[0] == "corpus_index_build"
+    assert window[1] == "ann_ivf_pq_topk"
+    assert window[2] == "search_cells_lookup"
+    assert window[3] == "ann_ivf_clustered_topk"
+    assert window[4] == "embedding_clustered_topk"
     # the r5 tail returned to the window in full (no row sits out of
     # the driver window more than one consecutive round)
     for returned in ("ivf_lloyd_topk", "argmax_join", "content_concat",

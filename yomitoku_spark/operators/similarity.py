@@ -490,6 +490,36 @@ def ivf_candidate_pairs(
     and tests can measure the SCAN FRACTION — candidates per query over
     corpus size — which is the number that decides whether an ANN
     config is sub-linear or brute force with extra steps."""
+    ap = ivf_assign_probes(
+        corpus, id_col, vec_col, n_cells, n_probe, scale, lloyd_iters
+    )
+    n_probe = sum(1 for c in ap.columns if c.startswith("p"))
+    lists = ap.select(F.col("id").alias("corpus_id"), "cell")
+    probes = ap.select(
+        F.col("id").alias("query_id"),
+        F.explode(F.array(*[F.col(f"p{p}") for p in range(n_probe)])).alias("cell"),
+    )
+    return (
+        probes.join(lists, "cell")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id")
+        .distinct()
+    )
+
+
+def ivf_assign_probes(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_probe: int = 2,
+    scale: int = 1000,
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """The IVF INDEX itself: per-vector owning cell + top-``n_probe``
+    probe cells — (id, cell, p0..p{n_probe-1}), eagerly materialized
+    (this ids-only table is what an index BUILD persists; the corpus
+    index-build registry row exposes exactly this artifact)."""
     cent_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     c_mat = _q_away(np.asarray([r[1] for r in cent_rows], dtype=np.float64) * scale)
     if lloyd_iters > 0:
@@ -528,18 +558,7 @@ def ivf_candidate_pairs(
     # id — this IS the IVF inverted index). The probe and list sides
     # prune different columns, so no exchange/stage reuse applies and a
     # lazy plan re-runs the assignment matmul twice over the corpus.
-    ap = ap.localCheckpoint(eager=True)
-    lists = ap.select(F.col("id").alias("corpus_id"), "cell")
-    probes = ap.select(
-        F.col("id").alias("query_id"),
-        F.explode(F.array(*[F.col(f"p{p}") for p in range(n_probe)])).alias("cell"),
-    )
-    return (
-        probes.join(lists, "cell")
-        .filter(F.col("query_id") != F.col("corpus_id"))
-        .select("query_id", "corpus_id")
-        .distinct()
-    )
+    return ap.localCheckpoint(eager=True)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
@@ -657,6 +676,8 @@ def pq_codebooks(
     rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_codes).collect()
     mat = _q_away(np.asarray([r[1] for r in rows], dtype=np.float64) * scale)
     n, dim = mat.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     return mat.reshape(n, m, dim // m).transpose(1, 0, 2).copy()
 
 

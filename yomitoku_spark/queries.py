@@ -709,8 +709,9 @@ def training_set_selection(spark, sf_dir):
     )
 
 
-SQL_TRAINING_SELECTION = f"""
-WITH RECURSIVE {_SQL_MINHASH_CTES},
+# training-set selection referee, split so composed queries can reuse
+# the same CTE chain (corpus_index_build appends the IVF list build)
+_TSS_CTES = f"""{_SQL_MINHASH_CTES},
 {_SQL_CAPPED_PAIRS},
 und AS (SELECT id_a AS a, id_b AS b FROM pairs
         UNION SELECT id_b, id_a FROM pairs),
@@ -744,8 +745,9 @@ stats AS (
     CAST(FLOOR(1000.0 * length(regexp_replace(text, '[a-zA-Z0-9_\\s]', '', 'g'))
          / GREATEST(length(text), 1)) AS BIGINT) AS punct_permille
   FROM documents
-)
-SELECT s.doc_id, s.lang_detected, s.n_tokens, s.stop_permille, s.punct_permille,
+)"""
+
+_TSS_FINAL = f"""SELECT s.doc_id, s.lang_detected, s.n_tokens, s.stop_permille, s.punct_permille,
        CAST(e.doc_id IS NOT NULL AS INT) AS exact_keeper,
        CAST(COALESCE(c.cluster, s.doc_id) = s.doc_id AS INT) AS neardup_keeper,
        CAST((s.lang_detected = 'en' AND s.stop_permille >= 60
@@ -755,6 +757,11 @@ SELECT s.doc_id, s.lang_detected, s.n_tokens, s.stop_permille, s.punct_permille,
 FROM stats s
 LEFT JOIN exact e ON e.doc_id = s.doc_id
 LEFT JOIN comp c ON c.node = s.doc_id
+"""
+
+SQL_TRAINING_SELECTION = f"""
+WITH RECURSIVE {_TSS_CTES}
+{_TSS_FINAL}
 """
 
 
@@ -2525,6 +2532,10 @@ _CL_CELLS, _CL_PROBE, _CL_LLOYD = 64, 4, 2
 
 
 def _clustered_vecs(spark, sf_dir):
+    # the clustered table DERIVES from the driver's embeddings parquet
+    # (rather than a datagen variant) because the correctness gate runs
+    # every query against /root/testdata tables — a deterministic,
+    # SQL-reproducible derivation keeps the 3-axis oracle check intact
     e = t(spark, sf_dir, "embeddings")
     return SIM.clustered_embeddings(e, n_clusters=_CL_N, weight=_CL_W)
 
@@ -2624,6 +2635,68 @@ SELECT query_id, corpus_id, dot_q, CAST(rk AS INT) AS rank FROM (
             ORDER BY dot_q DESC, corpus_id) rk
   FROM pairdot
 ) WHERE rk <= 3
+"""
+
+
+def corpus_index_build(spark, sf_dir):
+    """The full training-data LOOP closed in one plan: run the composed
+    selection pipeline (lang ID + quality + exact keeper + star-capped
+    LSH + fixpoint LP), keep the surviving documents that carry an
+    embedding, and BUILD the retrieval index over exactly that kept set
+    — per-doc IVF cell assignment (sqrt-n cells, integer-exact argmax)
+    plus the resulting inverted-list sizes. This is the artifact a
+    100 TB pipeline persists after dedup+selection so retrieval serves
+    only curated content; the DuckDB referee recomputes the whole
+    composition (recursive near-dup closure included) and the index
+    assignment bit-for-bit."""
+    sel = (
+        training_set_selection(spark, sf_dir)
+        .filter(F.col("selected") == 1)
+        .select("doc_id")
+    )
+    e = t(spark, sf_dir, "embeddings")
+    kept = e.join(sel, e.vec_id == sel.doc_id).select("vec_id", "embedding")
+    ap = SIM.ivf_assign_probes(
+        kept, "vec_id", "embedding", n_cells=_CL_CELLS, n_probe=1, lloyd_iters=0
+    )
+    lists = ap.select(F.col("id").alias("doc_id"), "cell")
+    w = W.partitionBy("cell")
+    return lists.select(
+        "doc_id", "cell", F.count(F.lit(1)).over(w).alias("cell_size")
+    )
+
+
+SQL_CORPUS_INDEX = f"""
+WITH RECURSIVE {_TSS_CTES},
+sel AS ({_TSS_FINAL}),
+kept AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN sel ON sel.doc_id = e.vec_id AND sel.selected = 1
+),
+kqv AS (
+  SELECT vec_id, CAST(i AS INT) AS i,
+         CAST(CASE WHEN embedding[CAST(i AS INT) + 1] >= 0
+              THEN FLOOR(ABS(embedding[CAST(i AS INT) + 1] * 1000) + 0.5)
+              ELSE -FLOOR(ABS(embedding[CAST(i AS INT) + 1] * 1000) + 0.5)
+              END AS BIGINT) AS q
+  FROM kept, range(64) r(i)
+),
+kseeds AS (
+  SELECT vec_id AS cent_id FROM kept ORDER BY vec_id LIMIT {_CL_CELLS}
+),
+kcent AS (SELECT s.cent_id, q.i, q.q AS c FROM kseeds s JOIN kqv q ON q.vec_id = s.cent_id),
+kd AS (
+  SELECT v.vec_id, c.cent_id, SUM(v.q * c.c) AS d
+  FROM kqv v JOIN kcent c ON c.i = v.i
+  GROUP BY v.vec_id, c.cent_id
+),
+own AS (
+  SELECT vec_id AS doc_id, cent_id AS cell FROM kd
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cent_id) = 1
+)
+SELECT doc_id, cell,
+       CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_size
+FROM own
 """
 
 
@@ -3310,6 +3383,7 @@ LEFT JOIN placed p
 # rotate to the tail.
 QUERIES = {
     # --- new this round: never driver-checked ---
+    "corpus_index_build": corpus_index_build,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "search_cells_lookup": search_cells_lookup,
     "ann_ivf_clustered_topk": ann_ivf_clustered_topk,
@@ -3341,7 +3415,6 @@ QUERIES = {
     "gap_detection": gap_detection,
     "doc_exact_dedup": doc_exact_dedup,
     "sessionize": sessionize,
-    "markdown_escape": markdown_escape,
     # --- flagship + composed + LLM-pipeline rows: always in-window ---
     "extract_transcripts": extract_transcripts,
     "extract_transcripts_staged": extract_transcripts_staged,
@@ -3367,6 +3440,7 @@ QUERIES = {
     # --- rotated out of the 50-row driver window (all driver-green at
     # least twice; hard-gated by tests/test_oracle_tail.py every run) ---
     "q1_pricing_summary": q1_pricing_summary,
+    "markdown_escape": markdown_escape,
     "normalize_dates": normalize_dates,
     "phone_format": phone_format,
     "filter_threshold": filter_threshold,
@@ -3436,6 +3510,7 @@ ORACLE = {
     "ivf_scaled_topk": SQL_IVF_SCALED,
     "search_cells_lookup": SQL_SEARCH_LOOKUP,
     "ann_ivf_pq_topk": SQL_ANN_IVF_PQ,
+    "corpus_index_build": SQL_CORPUS_INDEX,
     "embedding_clustered_topk": SQL_EMB_CLUSTERED_TOPK,
     "ann_ivf_clustered_topk": SQL_ANN_IVF_CLUSTERED,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
