@@ -94,7 +94,10 @@ def _scalar_time_hms(text: str) -> str:
     m = re.search(r"(\d{1,2})\s*:\s*(\d{1,2})", s)
     if m:
         return f"{int(m.group(1)):02d}:{int(m.group(2)):02d}:00"
-    return text
+    # the reference reassigns text = jaconv.z2h(text) BEFORE matching
+    # (normalizer.py:155), so its no-match fall-through is the FOLDED
+    # string — unlike date_jp, which folds only inside _parse_date
+    return _z2h(text)
 
 
 _time_piece = st.one_of(

@@ -209,7 +209,10 @@ def time_hms(col: Column) -> Column:
     time_hms semantics (normalizer.py:154-173): seconds kept when
     present, ':00' appended otherwise, single-digit fields zero-padded,
     minutes may be one digit (9:5 → 09:05:00); no match returns the
-    input unchanged."""
+    WIDTH-FOLDED input — the reference reassigns ``text =
+    jaconv.z2h(text)`` before matching (:155), so its fall-through
+    returns the folded string (unlike date_jp, which folds only inside
+    _parse_date and passes the original through)."""
     s = z2h(col)
     pats = [
         (rf"(\d{{1,2}}){_WS}*時{_WS}*(\d{{1,2}}){_WS}*分{_WS}*(\d{{1,2}}){_WS}*秒", True),
@@ -227,14 +230,15 @@ def time_hms(col: Column) -> Column:
             F.regexp_extract(s, pat, 3).cast("int") if has_sec else F.lit(0),
         )
         result = F.when(h != "", out) if result is None else result.when(h != "", out)
-    return result.otherwise(col)
+    return result.otherwise(s)
 
 
 @register("time_jp")
 def time_jp(col: Column) -> Column:
     """Colon / 時分 forms → 'H時MM分[SS秒]' (reference time_jp,
     normalizer.py:131-151): hour unpadded, minutes/seconds padded,
-    seconds kept only when present; no match returns the input."""
+    seconds kept only when present; no match returns the WIDTH-FOLDED
+    input (see time_hms — the reference folds before matching)."""
     s = z2h(col)
     pats = [
         (rf"(\d{{1,2}}){_WS}*時{_WS}*(\d{{1,2}}){_WS}*分{_WS}*(\d{{1,2}}){_WS}*秒", True),
@@ -254,7 +258,7 @@ def time_jp(col: Column) -> Column:
         else:
             out = F.format_string("%d時%02d分", h.cast("int"), mm)
         result = F.when(h != "", out) if result is None else result.when(h != "", out)
-    return result.otherwise(col)
+    return result.otherwise(s)
 
 
 @register("phone")
