@@ -538,6 +538,8 @@ def test_stub_client_full_loop_kv_and_table():
     assert out["items"] == [{"品名": "pen", "金額": "1200"}]
 
     rich = run_extraction_doc(info, schema, KeyMatchStubClient())
+    _STUB_LOOP_CASE["info"] = info
+    _STUB_LOOP_CASE["schema"] = schema
     inv = rich["fields"]["invoice_no"]
     assert inv["cell_ids"] == ["v0"]          # value cell, not the key cell
     assert inv["bboxes"] == [[50, 0, 150, 30]]
@@ -547,3 +549,73 @@ def test_stub_client_full_loop_kv_and_table():
     assert items["structure"] == "table"
     assert items["records"][0]["金額"]["raw_text"] == "１，２００円"
     assert items["records"][0]["金額"]["bboxes"] == [[50, 130, 100, 160]]
+
+
+_STUB_LOOP_CASE: dict = {}
+
+
+def test_llm_extract_distributed_equals_scalar(spark):
+    """The distributed stage (union-tagged frames → applyInPandas per
+    doc) must emit exactly what the per-doc scalar loop produces for
+    the same semantic info — including the table field carried through
+    the headers/data frames."""
+    test_stub_client_full_loop_kv_and_table()  # (re)build the case
+    info, schema = _STUB_LOOP_CASE["info"], _STUB_LOOP_CASE["schema"]
+    table = info["tables"][0]
+
+    def df(rows, ddl):
+        return spark.createDataFrame(rows, ddl)
+
+    cells = df(
+        [(7, c["id"], c["role"], c["contents"], *c["box"])
+         for c in table["cells"].values()],
+        "doc_id long, cell_id string, role string, contents string, "
+        "x1 int, y1 int, x2 int, y2 int")
+    kv = df(
+        [(7, "/".join(k["key"]), k["value"]) for k in table["kv_items"]],
+        "doc_id long, key_cells string, value_cell string")
+    grid = table["grids"][0]
+    headers = df(
+        [(7, grid["id"], ci, pos, cid)
+         for ci, ids in enumerate(grid["col_headers"])
+         for pos, cid in enumerate(ids)],
+        "doc_id long, grid_id string, col int, hdr_pos int, cell_id string")
+    data = df(
+        [(7, grid["id"], ri, ci, cid)
+         for ri, row in enumerate(grid["data"])
+         for ci, cid in enumerate(row) if cid is not None],
+        "doc_id long, grid_id string, row int, col int, cell_id string")
+
+    from yomitoku_spark.extractor_llm import llm_extract
+
+    got = {
+        (r.field, r.record_idx, r.col): (r.value, r.raw_text, r.confidence,
+                                         r.source, r.cell_id)
+        for r in llm_extract(cells, kv, schema, headers=headers,
+                             data=data).collect()
+    }
+
+    # scalar referee over the SAME info (grid id + kv order as the
+    # distributed assembly produces them)
+    ref_info = {
+        "tables": [{**table, "id": "t7",
+                    "grids": [{**grid, "id": grid["id"]}]}],
+        "paragraphs": [], "words": [],
+    }
+    rich = run_extraction_doc(ref_info, schema, KeyMatchStubClient())
+    want = {}
+    for f in schema.fields:
+        entry = rich["fields"][f.name]
+        if entry["structure"] == "table":
+            for ri, rec in enumerate(entry["records"]):
+                for col, cv in rec.items():
+                    cids = cv.get("cell_ids", [])
+                    want[(f.name, ri, col)] = (
+                        cv.get("value", ""), cv.get("raw_text", ""), "high",
+                        entry["source"], cids[0] if cids else None)
+        else:
+            cids = entry.get("cell_ids", [])
+            want[(f.name, -1, "")] = (
+                entry["value"], entry["raw_text"], entry["confidence"],
+                entry["source"], cids[0] if cids else None)
+    assert got == want

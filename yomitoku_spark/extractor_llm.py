@@ -695,6 +695,179 @@ class KeyMatchStubClient:
 # ===================================================================
 
 
+LLM_EXTRACT_SCHEMA = (
+    "doc_id bigint, field string, record_idx int, col string, value string, "
+    "raw_text string, confidence string, source string, cell_id string"
+)
+
+
+def llm_extract(cells, kv_items, schema: LLMSchema, client=None, paragraphs=None,
+                headers=None, data=None):
+    """Distributed run_extraction: the reference loops documents on one
+    process (pipeline.py:139-198 is called per image); here every
+    document runs the full prompt → client → resolve loop inside ONE
+    ``applyInPandas`` group, so the stage parallelizes across the
+    corpus and the only shuffle is the doc_id hash partition of the
+    union-tagged input (cells ∪ kv items ∪ paragraphs in one tall
+    frame — one exchange, not one per relation).
+
+    ``cells`` is the (doc_id, cell_id, role, contents, x1..y2) layout
+    frame; ``kv_items`` is :func:`operators.kv_graph.parse_kv_items`
+    output. KV prompt order is the value cell's (y1, x1, cell_id) —
+    the deterministic geometric order the reference's parser emits its
+    list in. ``client`` must be picklable (default: the deterministic
+    :class:`KeyMatchStubClient`, which makes this oracle-checkable —
+    queries.llm_extract_kv).
+
+    ``headers``/``data`` (optional) are the
+    :func:`operators.grid_headers.derive_grid_headers` frames; they
+    become the prompt's Grid sections so structure=table fields work
+    distributed. Their integer positions ride the tall frame's x1/y1
+    slots (hdr: x1=col, y1=hdr_pos; dat: x1=row, y1=col) — the union
+    stays one exchange wide.
+
+    Output is long-form: scalar fields at (record_idx=-1, col=''),
+    table fields one row per (record_idx, col); cell_id is the first
+    resolved element of the entry."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    client = client or KeyMatchStubClient()
+    tall = cells.select(
+        "doc_id", F.lit("cell").alias("kind"), "cell_id",
+        F.coalesce("role", F.lit("")).alias("role"),
+        F.coalesce("contents", F.lit("")).alias("contents"),
+        "x1", "y1", "x2", "y2", F.lit("").alias("key_cells"),
+    ).unionByName(
+        kv_items.select(
+            "doc_id", F.lit("kv").alias("kind"),
+            F.col("value_cell").alias("cell_id"), F.lit("").alias("role"),
+            F.lit("").alias("contents"),
+            F.lit(0).alias("x1"), F.lit(0).alias("y1"),
+            F.lit(0).alias("x2"), F.lit(0).alias("y2"),
+            F.coalesce("key_cells", F.lit("")).alias("key_cells"),
+        )
+    )
+    if paragraphs is not None:
+        tall = tall.unionByName(
+            paragraphs.select(
+                "doc_id", F.lit("para").alias("kind"),
+                F.col("par_id").alias("cell_id"), F.lit("").alias("role"),
+                F.coalesce("contents", F.lit("")).alias("contents"),
+                "x1", "y1", "x2", "y2", F.lit("").alias("key_cells"),
+            )
+        )
+    if headers is not None:
+        tall = tall.unionByName(
+            headers.select(
+                "doc_id", F.lit("hdr").alias("kind"), "cell_id",
+                F.lit("").alias("role"), F.lit("").alias("contents"),
+                F.col("col").cast("int").alias("x1"),
+                F.col("hdr_pos").cast("int").alias("y1"),
+                F.lit(0).alias("x2"), F.lit(0).alias("y2"),
+                F.col("grid_id").alias("key_cells"),
+            )
+        )
+    if data is not None:
+        tall = tall.unionByName(
+            data.select(
+                "doc_id", F.lit("dat").alias("kind"), "cell_id",
+                F.lit("").alias("role"), F.lit("").alias("contents"),
+                F.col("row").cast("int").alias("x1"),
+                F.col("col").cast("int").alias("y1"),
+                F.lit(0).alias("x2"), F.lit(0).alias("y2"),
+                F.col("grid_id").alias("key_cells"),
+            )
+        )
+
+    field_order = [f.name for f in schema.fields]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc = int(pdf["doc_id"].iloc[0])
+        cells_d, kv, paras = {}, [], []
+        hdr_cells: dict = {}  # grid_id -> [(col, hdr_pos, cell_id)]
+        dat_cells: dict = {}  # grid_id -> [(row, col, cell_id)]
+        for r in pdf.itertuples():
+            if r.kind == "cell":
+                cells_d[r.cell_id] = {
+                    "id": r.cell_id, "role": r.role, "contents": r.contents,
+                    "box": [int(r.x1), int(r.y1), int(r.x2), int(r.y2)],
+                }
+            elif r.kind == "kv":
+                kv.append({"key": [k for k in r.key_cells.split("/") if k],
+                           "value": r.cell_id})
+            elif r.kind == "hdr":
+                hdr_cells.setdefault(r.key_cells, []).append(
+                    (int(r.x1), int(r.y1), r.cell_id))
+            elif r.kind == "dat":
+                dat_cells.setdefault(r.key_cells, []).append(
+                    (int(r.x1), int(r.y1), r.cell_id))
+            else:
+                paras.append({"id": r.cell_id, "contents": r.contents,
+                              "role": None,
+                              "box": [int(r.x1), int(r.y1), int(r.x2), int(r.y2)]})
+
+        grids = []
+        for gid in sorted(set(hdr_cells) | set(dat_cells)):
+            hs, ds = hdr_cells.get(gid, []), dat_cells.get(gid, [])
+            n_col = max([c for c, _, _ in hs] + [c for _, c, _ in ds],
+                        default=-1) + 1
+            col_headers: list = [[] for _ in range(n_col)]
+            for c, pos, cid in sorted(hs):
+                col_headers[c].append(cid)
+            rows_ix = sorted({r for r, _, _ in ds})
+            data_m = []
+            for ri in rows_ix:
+                row = [None] * n_col
+                for r2, c2, cid in ds:
+                    if r2 == ri:
+                        row[c2] = cid
+                data_m.append(row)
+            grids.append({"id": gid, "col_headers": col_headers,
+                          "data": data_m})
+
+        def vpos(item):
+            c = cells_d.get(item["value"])
+            return (c["box"][1], c["box"][0], item["value"]) if c else (0, 0, item["value"])
+
+        kv.sort(key=vpos)
+        paras.sort(key=lambda p: (p["box"][1], p["box"][0], p["id"]))
+        info = {
+            "tables": [{"id": f"t{doc}", "style": "border", "cells": cells_d,
+                        "kv_items": kv, "grids": grids}],
+            "paragraphs": paras, "words": [],
+        }
+        rich = run_extraction_doc(info, schema, client)
+        rows = []
+        for name in field_order:
+            entry = rich["fields"].get(name)
+            if entry is None:
+                continue
+            if entry["structure"] == "table":
+                for ri, record in enumerate(entry["records"]):
+                    for col, cv in record.items():
+                        if not isinstance(cv, dict):
+                            continue
+                        cids = cv.get("cell_ids", [])
+                        rows.append((doc, name, ri, col, cv.get("value", ""),
+                                     cv.get("raw_text", ""), "high",
+                                     entry.get("source", "grid"),
+                                     cids[0] if cids else None))
+            else:
+                cids = entry.get("cell_ids", [])
+                rows.append((doc, name, -1, "", entry.get("value", ""),
+                             entry.get("raw_text", ""),
+                             entry.get("confidence", "low"),
+                             entry.get("source", ""),
+                             cids[0] if cids else None))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "field", "record_idx", "col", "value",
+                           "raw_text", "confidence", "source", "cell_id"],
+        )
+
+    return tall.groupBy("doc_id").applyInPandas(run, LLM_EXTRACT_SCHEMA)
+
+
 def run_extraction_doc(
     info: dict,
     schema: LLMSchema,

@@ -2356,6 +2356,84 @@ FROM kvvals GROUP BY doc_id, key_str
 """
 
 
+def llm_extract_kv(spark, sf_dir):
+    """LLM-assisted extraction loop, end to end and DETERMINISTIC
+    (§2.9 / reference entry point 4, extractor/pipeline.py:139-198):
+    geometric KV parse → per-document cell-id-annotated prompt →
+    KeyMatchStubClient (a mock model that answers from the prompt text
+    alone by key matching) → JSON parse → resolver → schema normalizer
+    pass. Because the stub is a pure function of the prompt, the whole
+    composed pipeline has a closed form: the referee recomputes the KV
+    parse (kvall CTE), space-squashes the joined key contents, picks
+    each field's first match in the prompt's (y1, x1, value_cell)
+    order, and applies the numeric normalizer as a regexp."""
+    from yomitoku_spark.extractor_llm import LLMSchema, llm_extract
+    from yomitoku_spark.operators.kv_graph import parse_kv_items
+
+    # two consumers (KV parse + prompt assembly) — materialize once
+    cells = LY.form_cells(spark, sf_dir).localCheckpoint(eager=True)
+    schema = LLMSchema.from_dict(
+        {"fields": [
+            {"name": "supplier_name", "description": "hkey2"},
+            {"name": "balance_digits", "description": "hkey5",
+             "normalize": "numeric"},
+            {"name": "missing_field", "description": "nosuchkey"},
+        ]}
+    )
+    out = llm_extract(cells, parse_kv_items(cells), schema,
+                      paragraphs=LY.form_paragraphs(spark, sf_dir))
+    return out.select("doc_id", "field", "value", "raw_text",
+                      "confidence", "source", "cell_id")
+
+
+# The stub squashes Python-\s whitespace; key/value contents in the
+# form corpus are ASCII, so the ASCII regex classes below are exact.
+SQL_LLM_EXTRACT_KV = f"""
+WITH {_sql_kv_cte()},
+kjoin AS (
+  SELECT kp.doc_id, kp.value_cell,
+         string_agg(regexp_replace(coalesce(c.contents, ''), '[\\s　]+', '', 'g'),
+                    '' ORDER BY kp.ord) AS key_sq
+  FROM (SELECT doc_id, value_cell,
+               unnest(string_split(key_cells, '/')) AS p,
+               generate_subscripts(string_split(key_cells, '/'), 1) AS ord
+        FROM kvall WHERE key_cells <> '') kp
+  LEFT JOIN ng c ON c.doc_id = kp.doc_id AND c.cell_id = kp.p
+  GROUP BY kp.doc_id, kp.value_cell
+),
+kvv AS (
+  SELECT kj.doc_id, kj.key_sq, kj.value_cell,
+         replace(coalesce(c.contents, ''), chr(10), ' ') AS vtext,
+         c.y1, c.x1
+  FROM kjoin kj JOIN ng c
+    ON c.doc_id = kj.doc_id AND c.cell_id = kj.value_cell
+),
+fields AS (SELECT * FROM (VALUES
+    ('supplier_name', 'hkey2', NULL),
+    ('balance_digits', 'hkey5', 'numeric'),
+    ('missing_field', 'nosuchkey', NULL)
+  ) AS f(field, probe, norm)),
+docs AS (SELECT DISTINCT doc_id FROM fc_cells),
+hits AS (
+  SELECT k.doc_id, f.field, f.norm, k.vtext, k.value_cell,
+         ROW_NUMBER() OVER (PARTITION BY k.doc_id, f.field
+                            ORDER BY k.y1, k.x1, k.value_cell) AS rn
+  FROM kvv k JOIN fields f ON k.key_sq LIKE '%' || f.probe || '%'
+)
+SELECT d.doc_id, f.field,
+  COALESCE(CASE WHEN f.norm = 'numeric'
+                THEN regexp_replace(h.vtext, '[^0-9.+-]', '', 'g')
+                ELSE h.vtext END, '') AS value,
+  COALESCE(h.vtext, '') AS raw_text,
+  CASE WHEN h.vtext IS NULL THEN 'low' ELSE 'high' END AS confidence,
+  CASE WHEN h.vtext IS NULL THEN 'not_found' ELSE 'kv' END AS source,
+  h.value_cell AS cell_id
+FROM docs d CROSS JOIN fields f
+LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h
+  ON h.doc_id = d.doc_id AND h.field = f.field
+"""
+
+
 def ivf_flat_topk(spark, sf_dir):
     """IVF-flat ANN: deterministic coarse quantizer (lowest-id corpus
     vectors as centroids), argmax cell assignment, 2-probe search,
@@ -3374,15 +3452,18 @@ LEFT JOIN placed p
 # sf0.01) — rotation never leaves a row with only a by-convention
 # referee.
 #
-# r6 rotation: the new rows (cell-lookup + 2 clustered-ANN) are new (never checked) and go
+# r6 rotation: the new rows (LLM-extract loop + index-build +
+# cell-lookup + 2 clustered-ANN) are new (never checked) and go
 # first; the 3 r5-new rows keep a second consecutive window round; the
 # whole 17-row r5 tail returns (out exactly one round, per policy); 7
 # of the r2/r3+r5-green generic rows (jaccard … phone_format) stay for
 # variety while the other 7 rotate out; the 12 rows first driver-green
 # in r4 and green again in r5 (template_override … grid_row_dicts)
-# rotate to the tail.
+# rotate to the tail, joined by ivf_scaled_topk (driver-green r4+r5)
+# which llm_extract_kv displaced across the 50-row boundary.
 QUERIES = {
     # --- new this round: never driver-checked ---
+    "llm_extract_kv": llm_extract_kv,
     "corpus_index_build": corpus_index_build,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "search_cells_lookup": search_cells_lookup,
@@ -3521,6 +3602,7 @@ ORACLE = {
     "adjacency_rules": SQL_ADJ_RULES,
     "search_cells_adjacent": SQL_SEARCH_CELLS,
     "kv_dict_view": SQL_KV_DICT,
+    "llm_extract_kv": SQL_LLM_EXTRACT_KV,
     "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
     "extract_scalar_cascade": SQL_SCALAR_CASCADE,
