@@ -8,7 +8,11 @@ re-creates that seam against OUR operators (scalar adjacency twins for
 the cluster edge family, is_grid_cluster dispatch, geometric grid
 recovery, KV-graph parser).
 
-Pinned result: 9/10 fixtures match the goldens EXACTLY. Fixture 7
+Pinned result: in REFERENCE (dag) mode — operators/grid_dag.py, the
+reference's own adjacency-DAG unit expansion — **10/10 fixtures match
+the goldens exactly**. In the engine's default geometric mode, 9/10
+match and fixture 7 carries the pinned head-count delta below (the
+two modes differ only on degenerate duplicate-box input). Fixture 7
 matches on table count, cluster decomposition, grid/KV dispatch, and
 the two smaller grid shapes; its largest (noisiest) grid differs in
 shape — ours (26,8) vs the reference's (30,10). ROOT CAUSE (pinned by
@@ -39,6 +43,20 @@ REF = "/root/reference/tests/data/table_semantic_inputs"
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference fixtures not available"
 )
+
+
+def test_reference_golden_fixtures_dag_mode_all_ten():
+    """REFERENCE MODE (since r6): grid shapes from the adjacency-DAG
+    unit expansion + head count (operators/grid_dag.py — the
+    reference's own algorithm, grid_parser.py:442-608) match the
+    goldens on ALL TEN fixtures exactly, INCLUDING fixture 7's
+    duplicate-box head inflation. The goldens were produced by this
+    algorithm, so full parity is the acceptance bar."""
+    from tools.golden_parity import compare_fixture
+
+    results = [compare_fixture(i, mode="dag") for i in range(10)]
+    assert all(r["n_tables_match"] for r in results)
+    assert [r["fixture"] for r in results if r["full_match"]] == list(range(10))
 
 
 def test_reference_golden_fixtures():

@@ -1,0 +1,94 @@
+"""Reference-mode grid parser (operators/grid_dag.py ↔ the
+reference's grid_parser.py DAG unit expansion).
+
+The full-strength evidence is tests/test_golden_parity.py (10/10
+reference fixtures exact in dag mode); these are the mechanism-level
+cases: span splitting into ``__dup`` units, the duplicate-stacked-box
+head inflation that separates dag mode from the geometric engine
+mode, and distributed == scalar for the applyInPandas wrapper.
+"""
+
+from __future__ import annotations
+
+from yomitoku_spark.operators.grid_dag import (
+    grid_from_cluster,
+    parse_grid_dag,
+)
+
+
+def _c(cid, role, x1, y1, x2, y2):
+    return {"id": cid, "role": role, "box": (x1, y1, x2, y2), "contents": cid}
+
+
+def _grid_2x2(prefix=""):
+    # 2 columns x 2 rows of clean unit cells
+    return [
+        _c(f"{prefix}a", "cell", 0, 20, 50, 40),
+        _c(f"{prefix}b", "cell", 50, 20, 100, 40),
+        _c(f"{prefix}c", "cell", 0, 40, 50, 60),
+        _c(f"{prefix}d", "cell", 50, 40, 100, 60),
+    ]
+
+
+def test_clean_grid_no_expansion():
+    g = grid_from_cluster(_grid_2x2())
+    assert (g["n_row"], g["n_col"]) == (2, 2)
+    assert g["data"] == [["a", "b"], ["c", "d"]]
+
+
+def test_spanning_header_splits_into_units():
+    """A header spanning both columns gets __dup-split per unit column
+    (grid_parser.py:316-439) and reappears under BOTH columns of the
+    stripped matrix, exactly like the reference's data view."""
+    cells = [_c("H", "header", 0, 0, 100, 20)] + _grid_2x2()
+    g = grid_from_cluster(cells)
+    assert (g["n_row"], g["n_col"]) == (3, 2)
+    assert g["data"][0] == ["H", "H"]  # dup suffix stripped
+    assert g["data"][1:] == [["a", "b"], ["c", "d"]]
+    # both columns carry H as their header stack
+    assert g["col_headers"] == [["H"], ["H"]]
+
+
+def test_duplicate_stacked_boxes_inflate_heads():
+    """The fixture-7 mechanism in miniature: a DUPLICATE box (same
+    coordinates, second role) is its own DAG node with in-degree 0 in
+    neither direction... but a duplicate that no in-edge reaches mints
+    an extra head, so the dag-mode shape exceeds the physical line
+    count — while the geometric engine mode folds duplicates into one
+    unit."""
+    cells = _grid_2x2()
+    # duplicate of "a": same box, different id/role — mutually NON
+    # right/bottom-adjacent with "a" at distance 0? A perfectly
+    # stacked duplicate IS adjacent to the same neighbors as "a", and
+    # sits in the same R-component; with identical geometry neither
+    # duplicate is right-adjacent to the other (x1 equal → both fail
+    # the strict ordering), so BOTH are in-degree-0 line heads.
+    cells.append(_c("a2", "empty", 0, 20, 50, 40))
+    g = grid_from_cluster(cells)
+    assert g["n_row"] == 3  # 2 physical rows + 1 duplicate-minted head
+    from yomitoku_spark.operators.grid import recover_grid_numpy
+    import numpy as np
+
+    phys = recover_grid_numpy(np.asarray([c["box"] for c in cells],
+                                         dtype=np.int64))
+    assert int((phys[:, 0] + phys[:, 2]).max()) == 2  # geometric: 2 rows
+
+
+def test_parse_grid_dag_distributed_equals_scalar(spark):
+    docs = {0: _grid_2x2(), 1: [_c("H", "header", 0, 0, 100, 20)] + _grid_2x2("x")}
+    rows = [(d, c["id"], c["role"], *c["box"], c["contents"])
+            for d, cs in docs.items() for c in cs]
+    cells = spark.createDataFrame(
+        rows, "doc_id long, cell_id string, role string, x1 int, y1 int, "
+              "x2 int, y2 int, contents string")
+    out = parse_grid_dag(cells, lambda recs: [recs]).collect()
+    for d, cs in docs.items():
+        want = grid_from_cluster(cs)
+        got = [r for r in out if r.doc_id == d]
+        assert {(r.n_row, r.n_col) for r in got} == {
+            (want["n_row"], want["n_col"])}
+        mat = {(r.row, r.col): r.cell_id for r in got}
+        for ri, row in enumerate(want["data"]):
+            for ci, cid in enumerate(row):
+                if cid is not None:
+                    assert mat[(ri, ci)] == cid

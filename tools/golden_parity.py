@@ -167,7 +167,18 @@ def grid_shape(cluster: dict) -> tuple[int, int]:
     return n_row, n_col
 
 
-def table_metrics(table: dict) -> dict:
+def grid_shape_dag(cluster: dict) -> tuple[int, int]:
+    """The REFERENCE's shape for a grid cluster: adjacency-DAG unit
+    expansion + head count (operators/grid_dag.py ↔ grid_parser.py
+    :442-608) — counts duplicate stacked boxes as extra heads, where
+    the geometric mode counts physical lines."""
+    from yomitoku_spark.operators.grid_dag import grid_from_cluster
+
+    g = grid_from_cluster(cluster["cell"] + cluster["empty"] + cluster["header"])
+    return g["n_row"], g["n_col"]
+
+
+def table_metrics(table: dict, mode: str = "geometric") -> dict:
     cells = [
         {
             "id": c["id"],
@@ -182,10 +193,11 @@ def table_metrics(table: dict) -> dict:
     n_grids = 0
     shapes: Counter = Counter()
     n_kv = 0
+    shape_fn = grid_shape if mode == "geometric" else grid_shape_dag
     for cl in clusters:
         if is_grid_cluster(cl):
             n_grids += 1
-            shapes[grid_shape(cl)] += 1
+            shapes[shape_fn(cl)] += 1
         else:
             members = cl["header"] + cl["cell"] + cl["empty"] + nodes["group"]
             n_kv += len(parse_kv_doc(members))
@@ -217,12 +229,12 @@ def _norm(tables: list[dict]):
     return sorted((key(t) for t in tables))
 
 
-def compare_fixture(i: int) -> dict:
+def compare_fixture(i: int, mode: str = "geometric") -> dict:
     with open(f"{REF_IN}/debug_table_raw_{i}.json") as f:
         tables = json.load(f)
     with open(f"{REF_OUT}/debug_table_raw_{i}.golden.json") as f:
         golden = json.load(f)
-    got = _norm([table_metrics(t) for t in tables])
+    got = _norm([table_metrics(t, mode=mode) for t in tables])
     exp = _norm(golden_metrics(golden))
     return {
         "fixture": i,
@@ -237,15 +249,17 @@ def main():
     if not os.path.isdir(REF_IN):
         print("reference fixtures not available")
         return
-    full = 0
-    for i in range(10):
-        r = compare_fixture(i)
-        ok = "✓" if r["full_match"] else "✗"
-        print(f"{ok} fixture {i}: got={r['got']}")
-        if not r["full_match"]:
-            print(f"  exp={r['exp']}")
-        full += r["full_match"]
-    print(f"\n{full}/10 fixtures fully match the reference goldens")
+    for mode in ("geometric", "dag"):
+        full = 0
+        for i in range(10):
+            r = compare_fixture(i, mode=mode)
+            ok = "✓" if r["full_match"] else "✗"
+            print(f"{ok} [{mode}] fixture {i}: got={r['got']}")
+            if not r["full_match"]:
+                print(f"  exp={r['exp']}")
+            full += r["full_match"]
+        print(f"\n{full}/10 fixtures fully match the reference goldens "
+              f"({mode} mode)\n")
 
 
 if __name__ == "__main__":
