@@ -59,6 +59,19 @@ def test_reference_golden_fixtures_dag_mode_all_ten():
     assert [r["fixture"] for r in results if r["full_match"]] == list(range(10))
 
 
+def test_reference_golden_grid_data_cell_exact():
+    """Beyond shapes: every golden grid's FULL unit data matrix and
+    per-column header stacks match the dag-mode parse cell for cell
+    (keyed by (box, contents) — the goldens renumber ids). 9 golden
+    grids exist across the 10 fixtures; all 9 must match on both."""
+    from tools.golden_parity import grid_data_parity
+
+    gp = grid_data_parity()
+    assert gp["total"] == 9
+    assert gp["data_ok"] == 9, gp
+    assert gp["headers_ok"] == 9, gp
+
+
 def test_reference_golden_fixtures():
     from tools.golden_parity import compare_fixture
 

@@ -245,6 +245,66 @@ def compare_fixture(i: int, mode: str = "geometric") -> dict:
     }
 
 
+def grid_data_parity() -> dict:
+    """Deepest parity layer (since r6): compare every golden grid's
+    FULL data matrix and per-column header stacks against the dag-mode
+    parse, cell for cell. The goldens renumber cell ids per table
+    (c0, c1, … in reading order), so cells are keyed by (box,
+    contents) — an exact structural bijection, not a count. Returns
+    {"total", "data_ok", "headers_ok"}."""
+    from yomitoku_spark.operators.grid_dag import grid_from_cluster
+
+    total = data_ok = headers_ok = 0
+    for i in range(10):
+        with open(f"{REF_IN}/debug_table_raw_{i}.json") as f:
+            tables = json.load(f)
+        with open(f"{REF_OUT}/debug_table_raw_{i}.golden.json") as f:
+            golden = json.load(f)
+        gold_grids = [(g, t["cells"]) for t in golden["tables"]
+                      for g in (t.get("grids") or [])]
+        ours = []
+        for t in tables:
+            cells = [
+                {"id": c["id"], "role": c["role"],
+                 "box": tuple(int(v) for v in c["box"]),
+                 "contents": c.get("contents") or ""}
+                for c in t["cells"]
+            ]
+            cmap = {c["id"]: c for c in cells}
+            for cl in cluster_table(_split_roles(cells)):
+                if is_grid_cluster(cl):
+                    g = grid_from_cluster(cl["cell"] + cl["empty"] + cl["header"])
+                    ours.append((g, cmap))
+
+        def k_ours(cid, cmap):
+            c = cmap[cid]
+            return (tuple(c["box"]), c["contents"])
+
+        def k_gold(cid, gmap):
+            c = gmap[cid]
+            return (tuple(int(v) for v in c["box"]), c.get("contents") or "")
+
+        for gg, gmap in gold_grids:
+            total += 1
+            shape = (gg["n_row"], gg["n_col"])
+            cand = [o for o in ours
+                    if (o[0]["n_row"], o[0]["n_col"]) == shape]
+            if not cand:
+                continue
+            g, cmap = cand[0]
+            od = [[k_ours(c, cmap) if c else None for c in row]
+                  for row in g["data"]]
+            gd = [[k_gold(c, gmap) if c else None for c in row]
+                  for row in gg["data"]]
+            oh = [sorted(k_ours(h, cmap) for h in col)
+                  for col in g["col_headers"]]
+            gh = [sorted(k_gold(h, gmap) for h in col)
+                  for col in gg["col_headers"]]
+            data_ok += od == gd
+            headers_ok += oh == gh
+    return {"total": total, "data_ok": data_ok, "headers_ok": headers_ok}
+
+
 def main():
     if not os.path.isdir(REF_IN):
         print("reference fixtures not available")
@@ -260,6 +320,9 @@ def main():
             full += r["full_match"]
         print(f"\n{full}/10 fixtures fully match the reference goldens "
               f"({mode} mode)\n")
+    gp = grid_data_parity()
+    print(f"dag-mode cell-level parity: data {gp['data_ok']}/{gp['total']}, "
+          f"col_headers {gp['headers_ok']}/{gp['total']}")
 
 
 if __name__ == "__main__":
