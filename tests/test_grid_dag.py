@@ -47,6 +47,12 @@ def test_spanning_header_splits_into_units():
     assert g["data"][1:] == [["a", "b"], ["c", "d"]]
     # both columns carry H as their header stack
     assert g["col_headers"] == [["H"], ["H"]]
+    # span assignment (grid_parser.py:527-563): H anchors at (0,0)
+    # spanning both unit columns; plain cells are 1x1
+    assert g["positions"]["H"] == {"row": 0, "col": 0, "row_span": 1,
+                                   "col_span": 2}
+    assert g["positions"]["d"] == {"row": 2, "col": 1, "row_span": 1,
+                                   "col_span": 1}
 
 
 def test_duplicate_stacked_boxes_inflate_heads():

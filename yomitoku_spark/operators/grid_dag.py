@@ -334,11 +334,30 @@ def grid_from_cluster(cells: list[dict]) -> dict:
         hs = {stripped[ri][ci] for ri in range(len(stripped))
               if is_header_row[ri] and stripped[ri][ci] is not None}
         col_headers.append(sorted(hs, key=lambda h: by_id[h]["box"][1]))
+    # anchor + span per cell from the unit matrix
+    # (_calc_spans_and_indices_from_raw_grid, grid_parser.py:527-563)
+    pos: dict = {}
+    for ri, row in enumerate(stripped):
+        for ci, cid in enumerate(row):
+            if cid is None:
+                continue
+            if cid not in pos:
+                pos[cid] = [ri, ri, ci, ci]
+            else:
+                p = pos[cid]
+                p[0], p[1] = min(p[0], ri), max(p[1], ri)
+                p[2], p[3] = min(p[2], ci), max(p[3], ci)
+    positions = {
+        cid: {"row": r0, "col": c0, "row_span": r1 - r0 + 1,
+              "col_span": c1 - c0 + 1}
+        for cid, (r0, r1, c0, c1) in pos.items()
+    }
     return {
         "n_row": len(data),
         "n_col": len(data[0]) if data else 0,
         "data": stripped,
         "col_headers": col_headers,
+        "positions": positions,
     }
 
 
