@@ -305,6 +305,65 @@ def grid_data_parity() -> dict:
     return {"total": total, "data_ok": data_ok, "headers_ok": headers_ok}
 
 
+def kv_count_parity() -> dict:
+    """Per-TABLE kv_items count parity vs the goldens (tables matched
+    by their cell-box multiset — the goldens reorder tables in two
+    fixtures). Returns {"total", "ok"}.
+
+    Why counts and not structures: the goldens' kv key CHAINS are
+    STALE relative to the current reference code. Evidence (fixture
+    9): the golden item key [c47, c31] (the 93,622,137,880 tall header
+    chained to the 137,622,304,760 row header) requires a
+    header→header edge, which kv_parser.py:124-160 only adds when both
+    headers share a group (or one is pseudo) — but the current group
+    matching (:44-57, argmax overlap/group-area among containers)
+    assigns c47→c56 and c31→c50, so that edge cannot exist. The
+    reference's own golden harness compares ONLY n_kv_items counts
+    (tests/test_table_semantic_from_json.py:55-104 extract_metrics),
+    which the current code still satisfies — so count parity is the
+    reference's own acceptance bar, and our parser (which mirrors the
+    CURRENT kv_parser) meets it on every table."""
+    from yomitoku_spark.operators.kv_graph import parse_kv_doc
+
+    total = ok = 0
+    for i in range(10):
+        with open(f"{REF_IN}/debug_table_raw_{i}.json") as f:
+            tables = json.load(f)
+        with open(f"{REF_OUT}/debug_table_raw_{i}.golden.json") as f:
+            golden = json.load(f)
+
+        def sig_in(t):
+            return tuple(sorted(tuple(int(v) for v in c["box"])
+                                for c in t["cells"]))
+
+        def sig_gold(t):
+            return tuple(sorted(tuple(int(v) for v in c["box"])
+                                for c in t["cells"].values()))
+
+        gmatch = {sig_gold(gt): gt for gt in golden["tables"]}
+        for t in tables:
+            gt = gmatch.get(sig_in(t))
+            if gt is None:
+                total += 1
+                continue
+            cells = [
+                {"id": c["id"], "role": c["role"],
+                 "box": tuple(int(v) for v in c["box"]),
+                 "contents": c.get("contents") or ""}
+                for c in t["cells"]
+            ]
+            nodes = _split_roles(cells)
+            n_ours = 0
+            for cl in cluster_table(nodes):
+                if not is_grid_cluster(cl):
+                    members = (cl["header"] + cl["cell"] + cl["empty"]
+                               + nodes["group"])
+                    n_ours += len(parse_kv_doc(members))
+            total += 1
+            ok += n_ours == len(gt.get("kv_items") or [])
+    return {"total": total, "ok": ok}
+
+
 def main():
     if not os.path.isdir(REF_IN):
         print("reference fixtures not available")
@@ -323,6 +382,10 @@ def main():
     gp = grid_data_parity()
     print(f"dag-mode cell-level parity: data {gp['data_ok']}/{gp['total']}, "
           f"col_headers {gp['headers_ok']}/{gp['total']}")
+    kp = kv_count_parity()
+    print(f"per-table kv count parity: {kp['ok']}/{kp['total']} "
+          f"(golden kv STRUCTURES are stale vs current reference code — "
+          f"see kv_count_parity docstring)")
 
 
 if __name__ == "__main__":
