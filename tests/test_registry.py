@@ -42,17 +42,20 @@ def test_driver_window_boundary_matches_rotation_comment():
                  "training_set_selection", "export_formats"):
         assert must in window, must
     # the dict comment documents the boundary: last in-window row and
-    # first tail row (r6 rotation; llm_extract_kv pushed ivf_scaled_topk
-    # — driver-green r4+r5, oracle-backed — into the hard-gated tail)
-    assert window[-1] == "ivf_flat_topk", window[-1]
-    assert tail[0] == "ivf_scaled_topk", tail[0]
+    # first tail row (r6 rotation; llm_extract_kv + grid_dag_units
+    # pushed ivf_flat/ivf_scaled — driver-green r4+r5, oracle-backed —
+    # into the hard-gated tail)
+    assert window[-1] == "multimodal_plan", window[-1]
+    assert tail[0] == "ivf_flat_topk", tail[0]
+    assert tail[1] == "ivf_scaled_topk", tail[1]
     # r6 additions lead the window
     assert window[0] == "llm_extract_kv"
-    assert window[1] == "corpus_index_build"
-    assert window[2] == "ann_ivf_pq_topk"
-    assert window[3] == "search_cells_lookup"
-    assert window[4] == "ann_ivf_clustered_topk"
-    assert window[5] == "embedding_clustered_topk"
+    assert window[1] == "grid_dag_units"
+    assert window[2] == "corpus_index_build"
+    assert window[3] == "ann_ivf_pq_topk"
+    assert window[4] == "search_cells_lookup"
+    assert window[5] == "ann_ivf_clustered_topk"
+    assert window[6] == "embedding_clustered_topk"
     # the r5 tail returned to the window in full (no row sits out of
     # the driver window more than one consecutive round)
     for returned in ("ivf_lloyd_topk", "argmax_join", "content_concat",

@@ -2434,6 +2434,39 @@ LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h
 """
 
 
+def grid_dag_units(spark, sf_dir):
+    """Reference-mode (adjacency-DAG) grid recovery, distributed
+    (§2.3; reference grid_parser.py:442-608 via operators/grid_dag.py
+    — the algorithm whose dag-mode output matches the reference's own
+    goldens 10/10, tests/test_golden_parity.py). The form-table corpus
+    has FIXED geometry across documents, so the unit expansion has a
+    closed form the referee pins: T0 splits across its two child
+    columns, T1 keeps its own head column because its data rows sit
+    28px below (> the 20px soft-adjacency threshold, so no D-edge
+    forms and no split happens — the reference's distance rule, not a
+    bug), giving every document the same (4, 5) matrix."""
+    from yomitoku_spark.operators.grid_dag import parse_grid_dag
+
+    cells = LY.form_table_cells(spark, sf_dir)
+    return parse_grid_dag(cells, lambda recs: [recs]).select(
+        "doc_id", "grid_id", "n_row", "n_col", "row", "col", "cell_id"
+    )
+
+
+SQL_GRID_DAG_UNITS = f"""
+WITH {{form_base}},{{table_corpus}},
+expected(cell_id, row, col) AS (VALUES
+  ('T0', 0, 0), ('T0', 0, 1), ('T1', 0, 2),
+  ('Ha', 1, 0), ('Hb', 1, 1),
+  ('D20', 2, 0), ('D21', 2, 1), ('D22', 2, 3), ('D23', 2, 4),
+  ('S', 3, 0), ('D31', 3, 1), ('D32', 3, 3), ('D33', 3, 4))
+SELECT d.doc_id, CAST(0 AS INT) AS grid_id, CAST(4 AS INT) AS n_row,
+       CAST(5 AS INT) AS n_col, CAST(e.row AS INT) AS row,
+       CAST(e.col AS INT) AS col, e.cell_id
+FROM (SELECT DISTINCT doc_id FROM ft_cells) d CROSS JOIN expected e
+""".format(form_base=LY.SQL_FORM_BASE, table_corpus=LY.SQL_TABLE_CORPUS.lstrip())
+
+
 def ivf_flat_topk(spark, sf_dir):
     """IVF-flat ANN: deterministic coarse quantizer (lowest-id corpus
     vectors as centroids), argmax cell assignment, 2-probe search,
@@ -3459,11 +3492,13 @@ LEFT JOIN placed p
 # of the r2/r3+r5-green generic rows (jaccard … phone_format) stay for
 # variety while the other 7 rotate out; the 12 rows first driver-green
 # in r4 and green again in r5 (template_override … grid_row_dicts)
-# rotate to the tail, joined by ivf_scaled_topk (driver-green r4+r5)
-# which llm_extract_kv displaced across the 50-row boundary.
+# rotate to the tail, joined by ivf_flat_topk + ivf_scaled_topk
+# (driver-green r4+r5) which llm_extract_kv and grid_dag_units
+# displaced across the 50-row boundary.
 QUERIES = {
     # --- new this round: never driver-checked ---
     "llm_extract_kv": llm_extract_kv,
+    "grid_dag_units": grid_dag_units,
     "corpus_index_build": corpus_index_build,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "search_cells_lookup": search_cells_lookup,
@@ -3603,6 +3638,7 @@ ORACLE = {
     "search_cells_adjacent": SQL_SEARCH_CELLS,
     "kv_dict_view": SQL_KV_DICT,
     "llm_extract_kv": SQL_LLM_EXTRACT_KV,
+    "grid_dag_units": SQL_GRID_DAG_UNITS,
     "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
     "extract_scalar_cascade": SQL_SCALAR_CASCADE,
