@@ -80,6 +80,43 @@ def test_duplicate_stacked_boxes_inflate_heads():
     assert int((phys[:, 0] + phys[:, 2]).max()) == 2  # geometric: 2 rows
 
 
+def test_dag_headers_and_data_bridge(spark):
+    """dag_headers_and_data emits derive_grid_headers-shaped frames:
+    col_headers stacks equal the scalar parse's, and the data frame
+    carries the full unit matrix, so semantic.grids_to_dict runs
+    unchanged on DAG-mode grids."""
+    from yomitoku_spark.operators.grid_dag import dag_headers_and_data
+    from yomitoku_spark.semantic import grids_to_dict
+
+    cs = [_c("H", "header", 0, 0, 100, 20)] + _grid_2x2()
+    cells = spark.createDataFrame(
+        [(3, c["id"], c["role"], *c["box"], c["id"]) for c in cs],
+        "doc_id long, cell_id string, role string, x1 int, y1 int, "
+        "x2 int, y2 int, contents string")
+    headers, data = dag_headers_and_data(cells, lambda recs: [recs])
+    want = grid_from_cluster(cs)
+    got_stacks: dict = {}
+    for r in headers.collect():
+        assert r.grid_id == "g0"
+        got_stacks.setdefault(r.col, []).append((r.hdr_pos, r.cell_id))
+    stacks = [
+        [cid for _, cid in sorted(got_stacks.get(ci, []))]
+        for ci in range(want["n_col"])
+    ]
+    assert stacks == want["col_headers"]
+    mat = {(r.row, r.col): r.cell_id for r in data.collect()}
+    for ri, row in enumerate(want["data"]):
+        for ci, cid in enumerate(row):
+            if cid is not None:
+                assert mat[(ri, ci)] == cid
+    # the semantic consumer runs unchanged: one dict row per data
+    # position under the H-stack keys
+    rows = grids_to_dict(cells, headers, data).collect()
+    # both columns share key "H" → make_unique occurrence suffixes
+    assert {(r.row, r.key, r.value) for r in rows} == {
+        (1, "H_0", "a"), (1, "H_1", "b"), (2, "H_0", "c"), (2, "H_1", "d")}
+
+
 def test_parse_grid_dag_distributed_equals_scalar(spark):
     docs = {0: _grid_2x2(), 1: [_c("H", "header", 0, 0, 100, 20)] + _grid_2x2("x")}
     rows = [(d, c["id"], c["role"], *c["box"], c["contents"])

@@ -367,6 +367,62 @@ GRID_DAG_SCHEMA = (
 )
 
 
+def dag_headers_and_data(cells, cluster_fn, doc_col: str = "doc_id"):
+    """Reference-mode grids as the semantic layer's (headers, data)
+    frame pair — the same shapes :func:`operators.grid_headers.
+    derive_grid_headers` emits, so every downstream consumer
+    (semantic.grids_to_dict / grids_to_json / grids_to_csv /
+    extract_table_field) runs unchanged on DAG-mode grids:
+
+    * headers(doc_id, grid_id, col, hdr_pos, cell_id) — the per-column
+      header stacks (y1-ordered, like the reference's col_headers);
+    * data(doc_id, grid_id, row, col, cell_id) — the unit matrix
+      INCLUDING header rows (derive_grid_headers' contract; consumers
+      skip all-header rows themselves).
+
+    grid_id here is the cluster index as a string ("g0", …) to match
+    the semantic layer's string grid ids."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    long = parse_grid_dag(cells, cluster_fn, doc_col=doc_col)
+    data = long.select(
+        doc_col, F.concat(F.lit("g"), F.col("grid_id")).alias("grid_id"),
+        "row", "col", "cell_id",
+    )
+    # headers: explode each grid's col_headers — recomputed from the
+    # long form (a column's header stack = its cells in all-header
+    # rows, ordered by row index, which IS the y order in a unit grid)
+    roles = cells.select(doc_col, "cell_id", "role")
+    hdr_rows = (
+        long.join(roles, [doc_col, "cell_id"])
+        .withColumn(
+            "is_hdr", F.col("role").isin("header", "empty"))
+        .groupBy(doc_col, "grid_id", "row")
+        .agg(F.min(F.col("is_hdr").cast("int")).alias("all_hdr"))
+        .filter(F.col("all_hdr") == 1)
+        .select(doc_col, "grid_id", "row")
+    )
+    headers = (
+        long.join(roles, [doc_col, "cell_id"])
+        .join(hdr_rows, [doc_col, "grid_id", "row"])
+        .filter(F.col("role") == "header")
+        .groupBy(doc_col, "grid_id", "col", "cell_id")
+        .agg(F.min("row").alias("first_row"))
+        .withColumn(
+            "hdr_pos",
+            (F.row_number().over(
+                W.partitionBy(doc_col, "grid_id", "col")
+                .orderBy("first_row", "cell_id")) - 1).cast("int"),
+        )
+        .select(
+            doc_col, F.concat(F.lit("g"), F.col("grid_id")).alias("grid_id"),
+            "col", "hdr_pos", "cell_id",
+        )
+    )
+    return headers, data
+
+
 def parse_grid_dag(cells, cluster_fn, doc_col: str = "doc_id"):
     """Distributed reference-mode grid parse: one document per
     ``applyInPandas`` group (documents independent, cluster sizes
