@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "extract_scalar_cascade",
     "grid_header_derivation",
     "llm_extract_kv",
+    "grid_dag_units",
     # split_words_across_cells is deliberately NOT benched: its ~15
     # AQE query stages cost ~0.4 s codegen/scheduling EACH on the tiny
     # corpus (pure fixed overhead, amortized at real scale) — the row
