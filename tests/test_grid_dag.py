@@ -80,6 +80,46 @@ def test_duplicate_stacked_boxes_inflate_heads():
     assert int((phys[:, 0] + phys[:, 2]).max()) == 2  # geometric: 2 rows
 
 
+def test_grid_dag_fuzz_invariants():
+    """Robustness on arbitrary geometry (hypothesis): the parse must
+    terminate (the sweep budget guards degenerate mutual adjacency),
+    never emit ids outside the input, and keep positions consistent
+    with the matrix. Stacked duplicates may legitimately shadow each
+    other in the matrix (set-intersection pick), so ids are checked as
+    a subset, not equality."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    coord = st.integers(min_value=0, max_value=120)
+
+    @st.composite
+    def boxes(draw):
+        n = draw(st.integers(min_value=1, max_value=7))
+        out = []
+        for i in range(n):
+            x1, y1 = draw(coord), draw(coord)
+            w = draw(st.integers(min_value=1, max_value=60))
+            h = draw(st.integers(min_value=1, max_value=40))
+            role = draw(st.sampled_from(["cell", "header", "empty"]))
+            out.append(_c(f"n{i}", role, x1, y1, x1 + w, y1 + h))
+        return out
+
+    @settings(max_examples=80, deadline=None)
+    @given(boxes())
+    def run(cells):
+        g = grid_from_cluster(cells)
+        ids = {c["id"] for c in cells}
+        got = {c for row in g["data"] for c in row if c is not None}
+        assert got <= ids
+        assert g["n_row"] >= 1 and g["n_col"] >= 1
+        assert len(g["data"]) == g["n_row"]
+        assert all(len(r) == g["n_col"] for r in g["data"])
+        for cid, p in g["positions"].items():
+            assert g["data"][p["row"]][p["col"]] == cid
+
+    run()
+
+
 def test_dag_headers_and_data_bridge(spark):
     """dag_headers_and_data emits derive_grid_headers-shaped frames:
     col_headers stacks equal the scalar parse's, and the data frame
