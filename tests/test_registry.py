@@ -42,12 +42,14 @@ def test_driver_window_boundary_matches_rotation_comment():
                  "training_set_selection", "export_formats"):
         assert must in window, must
     # the dict comment documents the boundary: last in-window row and
-    # first tail row (r6 rotation; llm_extract_kv + grid_dag_units
-    # pushed ivf_flat/ivf_scaled — driver-green r4+r5, oracle-backed —
-    # into the hard-gated tail)
+    # first tail rows (r6 rotation; the curation quartet displaced the
+    # 4 r2/r3+r5-green generics — all oracle-backed — into the
+    # hard-gated tail, ahead of ivf_flat/ivf_scaled)
     assert window[-1] == "multimodal_plan", window[-1]
     assert tail[0] == "ivf_flat_topk", tail[0]
     assert tail[1] == "ivf_scaled_topk", tail[1]
+    assert tail[2] == "jaccard_near_pairs", tail[2]
+    assert tail[5] == "sessionize", tail[5]
     # r6 additions lead the window
     assert window[0] == "llm_extract_kv"
     assert window[1] == "grid_dag_units"
@@ -56,6 +58,10 @@ def test_driver_window_boundary_matches_rotation_comment():
     assert window[4] == "search_cells_lookup"
     assert window[5] == "ann_ivf_clustered_topk"
     assert window[6] == "embedding_clustered_topk"
+    assert window[7] == "doc_repetition_quality"
+    assert window[8] == "exact_substring_spans"
+    assert window[9] == "corpus_mixture_sample"
+    assert window[10] == "pack_chunks"
     # the r5 tail returned to the window in full (no row sits out of
     # the driver window more than one consecutive round)
     for returned in ("ivf_lloyd_topk", "argmax_join", "content_concat",

@@ -1,0 +1,285 @@
+"""Corpus-curation operators: repetition quality, exact-substring
+duplicate spans, deterministic mixture sampling, and sequence packing.
+
+These are the training-data curation stages a 100 TB pipeline runs
+AFTER extraction (the reference stops at per-document export;
+quality gating at corpus scale is the natural extension of its
+is_noise / boilerplate filters, reference document_analyzer.py:69-113).
+Published lineage, public:
+
+* repetition filters — the Gopher / MassiveText quality rules
+  (Rae et al. 2021, appendix A1.1): fraction of a document covered by
+  its most-frequent word n-gram, and fraction covered by duplicated
+  n-grams;
+* exact-substring duplicate spans — Lee et al. 2022 ("Deduplicating
+  Training Data Makes Language Models Better"): maximal spans repeated
+  across documents, here at word-k-gram granularity so the whole
+  computation is one hash aggregation + one semi join instead of a
+  suffix array;
+* deterministic mixture sampling — hash-bucket stratified sampling
+  (the standard way to hit per-source mixture weights reproducibly on
+  an arbitrarily large corpus: no RNG state, any subset of the data
+  decides membership locally);
+* sequence packing — concat-then-chunk with per-document lineage
+  (each doc's (chunk, offset) span in the packed token stream), the
+  layout LM training jobs consume.
+
+All four are pure DataFrame plans (no Python in the hot path) and are
+expressed integer-exact so DuckDB referees can hash-match them.
+
+Shuffle accounting at scale:
+
+* repetition: one explode + one hash aggregation per n-gram family,
+  all keyed by (doc_id, gram) — partial aggregation applies, and no
+  join ever leaves the doc_id grain;
+* substring spans: the only corpus-wide exchange is the gram hash
+  aggregation; the duplicated-gram set is orders of magnitude smaller
+  than the corpus, so the join back is a bucketed semi join (Spark
+  picks broadcast when it fits);
+* mixture sampling: embarrassingly parallel (a filter);
+* packing: one range exchange per packing stream (window cumsum over
+  an ordered partition — Spark's two-pass prefix sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from yomitoku_spark.functions.textstats import hash64, token_count, tokens
+
+
+def _grams(t: Column, n: int) -> Column:
+    """Sliding word n-grams of the token array (1-based positions;
+    empty when the doc has fewer than n tokens). The size guard
+    matters: Spark's sequence(1, 0) DESCENDS ([1, 0]), so an unguarded
+    short doc would call slice(start=0) and fail at runtime."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition scores, integer permille per document:
+
+    * ``top2_permille`` / ``top3_permille`` — tokens covered by the
+      most frequent word 2-/3-gram (count x n / n_tokens, capped at
+      1000; ties -> lexicographically smallest gram);
+    * ``dup5_cover_permille`` — distinct token positions covered by
+      any word 5-gram that occurs at least twice WITHIN the document.
+
+    One plan per n-gram family: explode -> hash agg keyed by
+    (doc, gram) -> per-doc fold; partial aggregation applies and
+    nothing leaves the document grain, so the shuffles stay narrow at
+    any corpus size.
+    """
+    t = tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("n_tokens"), t.alias("t")
+    )
+
+    def top_perm(n: int, out: str) -> DataFrame:
+        g = base.select(
+            id_col, "n_tokens", F.explode(_grams(F.col("t"), n)).alias("gram")
+        )
+        cnt = g.groupBy(id_col, "n_tokens", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+        return (
+            cnt.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("gram"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                id_col,
+                F.least(
+                    F.lit(1000),
+                    F.floor(F.lit(1000 * n) * F.col("cnt") / F.col("n_tokens")),
+                )
+                .cast("bigint")
+                .alias(out),
+            )
+        )
+
+    # duplicated-5-gram coverage: occurrences of within-doc repeated
+    # 5-grams cover token positions [i, i+4]; count distinct covered.
+    g5 = base.select(
+        id_col, "n_tokens", F.posexplode(_grams(F.col("t"), 5)).alias("i0", "gram")
+    )
+    dup_cnt = W.partitionBy(id_col, "gram")
+    covered = (
+        g5.withColumn("cnt", F.count(F.lit(1)).over(dup_cnt))
+        .filter(F.col("cnt") >= 2)
+        .select(
+            id_col,
+            "n_tokens",
+            F.explode(F.sequence(F.col("i0") + 1, F.col("i0") + 5)).alias("pos"),
+        )
+        .groupBy(id_col, "n_tokens")
+        .agg(F.countDistinct("pos").alias("n_cov"))
+        .select(
+            id_col,
+            F.floor(F.lit(1000) * F.col("n_cov") / F.col("n_tokens"))
+            .cast("bigint")
+            .alias("dup5_cover_permille"),
+        )
+    )
+
+    out = (
+        base.select(id_col, "n_tokens")
+        .join(top_perm(2, "top2_permille"), id_col, "left")
+        .join(top_perm(3, "top3_permille"), id_col, "left")
+        .join(covered, id_col, "left")
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.coalesce("top2_permille", F.lit(0)).alias("top2_permille"),
+        F.coalesce("top3_permille", F.lit(0)).alias("top3_permille"),
+        F.coalesce("dup5_cover_permille", F.lit(0)).alias("dup5_cover_permille"),
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Maximal duplicated substring spans at word-k-gram granularity
+    (Lee et al. 2022 exact-substring dedup, Spark-first).
+
+    A k-gram is "duplicated" when it occurs in >= 2 DISTINCT documents.
+    Each duplicated occurrence at 1-based token position ``i`` covers
+    tokens [i, i+k-1]; per document, contiguous-or-overlapping covered
+    ranges merge into maximal spans (gaps-and-islands over a running
+    max). Output: (doc_id, span_start, span_end, span_tokens).
+
+    Scale shape: grams travel as 60-bit md5 hashes (narrow shuffle
+    rows); the corpus-wide exchange is ONE hash aggregation keyed by
+    gram hash, and the surviving duplicated-gram set — tiny relative
+    to the corpus — semi-joins back (broadcast when it fits). The span
+    merge is a per-document window, no further exchange past the
+    doc_id repartition.
+    """
+    t = tokens(F.lower(F.col(text_col)))
+    occ = df.select(F.col(id_col), t.alias("t")).select(
+        id_col, F.posexplode(_grams(F.col("t"), k)).alias("i0", "gram")
+    )
+    occ = occ.select(id_col, (F.col("i0") + 1).alias("pos"), hash64(F.col("gram")).alias("gh"))
+    dup = (
+        occ.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = occ.join(dup, "gh", "left_semi").select(id_col, "pos")
+
+    by_pos = W.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + (k - 1)).over(
+        by_pos.rowsBetween(W.unboundedPreceding, -1)
+    )
+    spans = (
+        hits.withColumn(
+            "new_island",
+            F.when(
+                prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(by_pos.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max(F.col("pos") + (k - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_end").cast("bigint").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("bigint")
+            .alias("span_tokens"),
+        )
+    )
+    return spans
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates_permille: dict[str, int],
+    default_permille: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic hash-bucket stratified sampling: a document is
+    selected iff md5-bucket(doc_id) mod 1000 < its group's permille
+    rate. No RNG state — membership is decided locally from the row
+    alone, so the SAME subset is selected on any cluster size, any
+    partitioning, and any re-run (the property that makes mixture
+    weights reproducible on 100 TB). Output keeps the bucket and the
+    applied rate so downstream can inverse-probability reweight.
+    """
+    rate = F.lit(default_permille)
+    for g, r in sorted(rates_permille.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(r)).otherwise(rate)
+    bucket = (hash64(F.col(id_col).cast("string")) % 1000).alias("bucket_permille")
+    out = df.select(
+        F.col(id_col), F.col(group_col), bucket, rate.cast("bigint").alias("rate_permille")
+    )
+    return out.filter(F.col("bucket_permille") < F.col("rate_permille"))
+
+
+def pack_chunks(
+    df: DataFrame,
+    chunk_tokens: int,
+    text_col: str = "text",
+    stream_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing with per-document lineage.
+
+    Documents are concatenated per packing stream (``stream_col``) in
+    ``id_col`` order and the token stream is cut into fixed
+    ``chunk_tokens`` windows; each document reports its 0-based global
+    token offset and the [first_chunk, last_chunk] range it lands in
+    (a doc can straddle chunks — exactly what a training dataloader
+    needs to reassemble attention boundaries).
+
+    The prefix sum is a window over the stream partition ordered by
+    doc id — Spark executes it as ONE range exchange + per-partition
+    scan (two-pass prefix sum). Streams are independent, so skew is
+    bounded by the largest stream; at 100 TB you shard a hot stream by
+    a salt column and re-base offsets with the per-shard totals (the
+    same two-pass trick, one level up).
+    """
+    ntok = token_count(F.col(text_col))
+    by_id = W.partitionBy(stream_col).orderBy(id_col)
+    d = (
+        df.select(F.col(id_col), F.col(stream_col), ntok.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "cum",
+            F.sum("n_tokens").over(by_id.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    return d.select(
+        id_col,
+        stream_col,
+        "n_tokens",
+        (F.col("cum") - F.col("n_tokens")).cast("bigint").alias("start_offset"),
+        F.floor((F.col("cum") - F.col("n_tokens")) / chunk_tokens)
+        .cast("bigint")
+        .alias("first_chunk"),
+        F.floor((F.col("cum") - 1) / chunk_tokens).cast("bigint").alias("last_chunk"),
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from yomitoku_spark.functions import textstats as TS
+from yomitoku_spark.operators import curation as CUR
 from yomitoku_spark.operators import dedup as DD
 from yomitoku_spark.operators import similarity as SIM
 from yomitoku_spark.operators import spatial as SP
@@ -535,6 +536,136 @@ def doc_fingerprint(spark, sf_dir):
 SQL_FINGERPRINT = f"""
 SELECT doc_id, md5(array_to_string(({_TOKS})[1:8], ' ')) AS fp
 FROM documents
+"""
+
+
+def doc_repetition_quality(spark, sf_dir):
+    """Gopher/MassiveText repetition filters (Rae et al. 2021 A1.1):
+    permille of tokens covered by the most-frequent word 2-/3-gram and
+    by within-doc duplicated 5-grams. Extends the reference's
+    per-element noise filters (document_analyzer.py:69-113) to the
+    corpus-quality grain a 100 TB pipeline gates on."""
+    return CUR.repetition_quality(t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS t, len({_TOKS}) AS n_tokens FROM documents),
+g2 AS (SELECT doc_id, n_tokens, array_to_string(t[i:i+1], ' ') AS gram
+       FROM base, unnest(range(1, greatest(len(t)-1, 0)+1)) AS u(i)),
+c2 AS (SELECT doc_id, n_tokens, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2, 3),
+t2 AS (SELECT doc_id,
+              LEAST(1000, CAST(FLOOR(2000.0*cnt/n_tokens) AS BIGINT)) AS top2_permille
+       FROM c2
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) = 1),
+g3 AS (SELECT doc_id, n_tokens, array_to_string(t[i:i+2], ' ') AS gram
+       FROM base, unnest(range(1, greatest(len(t)-2, 0)+1)) AS u(i)),
+c3 AS (SELECT doc_id, n_tokens, gram, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2, 3),
+t3 AS (SELECT doc_id,
+              LEAST(1000, CAST(FLOOR(3000.0*cnt/n_tokens) AS BIGINT)) AS top3_permille
+       FROM c3
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) = 1),
+g5 AS (SELECT doc_id, n_tokens, i, array_to_string(t[i:i+4], ' ') AS gram
+       FROM base, unnest(range(1, greatest(len(t)-4, 0)+1)) AS u(i)),
+d5 AS (SELECT doc_id, n_tokens, i FROM
+         (SELECT doc_id, n_tokens, i,
+                 COUNT(*) OVER (PARTITION BY doc_id, gram) AS cnt FROM g5)
+       WHERE cnt >= 2),
+cov AS (SELECT doc_id,
+               CAST(FLOOR(1000.0*COUNT(DISTINCT pos)/n_tokens) AS BIGINT)
+                 AS dup5_cover_permille
+        FROM (SELECT doc_id, n_tokens, i + o AS pos
+              FROM d5, unnest(range(0, 5)) AS w(o))
+        GROUP BY doc_id, n_tokens)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       COALESCE(t2.top2_permille, 0) AS top2_permille,
+       COALESCE(t3.top3_permille, 0) AS top3_permille,
+       COALESCE(cov.dup5_cover_permille, 0) AS dup5_cover_permille
+FROM base b
+LEFT JOIN t2 USING (doc_id)
+LEFT JOIN t3 USING (doc_id)
+LEFT JOIN cov USING (doc_id)
+"""
+
+
+def exact_substring_spans(spark, sf_dir):
+    """Cross-document duplicated substring spans at word-8-gram
+    granularity (Lee et al. 2022 exact-substring dedup re-expressed as
+    one gram-hash aggregation + semi join + per-doc island merge —
+    no suffix array, every stage distributed)."""
+    return CUR.exact_substring_spans(t(spark, sf_dir, "documents"), k=8)
+
+
+SQL_SUBSTRING_SPANS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+occ AS (SELECT doc_id, i AS pos,
+               ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT AS gh
+        FROM toks, unnest(range(1, greatest(len(t)-7, 0)+1)) AS u(i)),
+dup AS (SELECT gh FROM occ GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (gh)),
+flag AS (SELECT doc_id, pos,
+                CASE WHEN MAX(pos + 7) OVER w IS NULL
+                       OR pos > MAX(pos + 7) OVER w + 1
+                     THEN 1 ELSE 0 END AS new_island
+         FROM hits
+         WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+isl AS (SELECT doc_id, pos,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flag)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos + 7) AS BIGINT) AS span_end,
+       CAST(MAX(pos + 7) - MIN(pos) + 1 AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+
+def corpus_mixture_sample(spark, sf_dir):
+    """Deterministic hash-bucket mixture sampling: per-language
+    permille rates applied via md5-bucket(doc_id) — reproducible on
+    any cluster size / partitioning (membership is decided locally
+    from the row alone; no RNG state)."""
+    return CUR.mixture_sample(
+        t(spark, sf_dir, "documents"),
+        {"en": 500, "zh": 1000, "es": 800, "de": 250},
+        default_permille=125,
+    )
+
+
+SQL_MIXTURE_SAMPLE = """
+SELECT * FROM (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+      AS bucket_permille,
+    CAST(CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 1000
+                   WHEN 'es' THEN 800 WHEN 'de' THEN 250
+                   ELSE 125 END AS BIGINT) AS rate_permille
+  FROM documents)
+WHERE bucket_permille < rate_permille
+"""
+
+
+def pack_chunks(spark, sf_dir):
+    """Concat-then-chunk sequence packing with per-document lineage:
+    per-language token-stream offsets and the [first_chunk, last_chunk]
+    range each doc occupies at a 256-token context window (one range
+    exchange per stream — Spark's two-pass prefix sum)."""
+    return CUR.pack_chunks(t(spark, sf_dir, "documents"), chunk_tokens=256)
+
+
+SQL_PACK_CHUNKS = f"""
+WITH d AS (SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d WHERE n_tokens > 0)
+SELECT doc_id, lang, n_tokens,
+  CAST(cum - n_tokens AS BIGINT) AS start_offset,
+  CAST(FLOOR((cum - n_tokens)/256.0) AS BIGINT) AS first_chunk,
+  CAST(FLOOR((cum - 1)/256.0) AS BIGINT) AS last_chunk
+FROM c
 """
 
 
@@ -3486,15 +3617,17 @@ LEFT JOIN placed p
 # referee.
 #
 # r6 rotation: the new rows (LLM-extract loop + index-build +
-# cell-lookup + 2 clustered-ANN) are new (never checked) and go
-# first; the 3 r5-new rows keep a second consecutive window round; the
-# whole 17-row r5 tail returns (out exactly one round, per policy); 7
-# of the r2/r3+r5-green generic rows (jaccard … phone_format) stay for
-# variety while the other 7 rotate out; the 12 rows first driver-green
-# in r4 and green again in r5 (template_override … grid_row_dicts)
-# rotate to the tail, joined by ivf_flat_topk + ivf_scaled_topk
-# (driver-green r4+r5) which llm_extract_kv and grid_dag_units
-# displaced across the 50-row boundary.
+# cell-lookup + 2 clustered-ANN, then the curation quartet added later
+# in r6: repetition quality / substring spans / mixture sample /
+# packing) are new (never checked) and go first; the 3 r5-new rows
+# keep a second consecutive window round; the whole 17-row r5 tail
+# returns (out exactly one round, per policy); the 4 r2/r3+r5-green
+# generics (jaccard … sessionize) rotate out to make room for the
+# curation rows — they lead the hard-gated tail; the 12 rows first
+# driver-green in r4 and green again in r5 (template_override …
+# grid_row_dicts) stay in the tail, as do ivf_flat_topk +
+# ivf_scaled_topk (driver-green r4+r5) which llm_extract_kv and
+# grid_dag_units displaced across the 50-row boundary.
 QUERIES = {
     # --- new this round: never driver-checked ---
     "llm_extract_kv": llm_extract_kv,
@@ -3504,6 +3637,10 @@ QUERIES = {
     "search_cells_lookup": search_cells_lookup,
     "ann_ivf_clustered_topk": ann_ivf_clustered_topk,
     "embedding_clustered_topk": embedding_clustered_topk,
+    "doc_repetition_quality": doc_repetition_quality,
+    "exact_substring_spans": exact_substring_spans,
+    "corpus_mixture_sample": corpus_mixture_sample,
+    "pack_chunks": pack_chunks,
     # --- first driver row was r5: keep a second consecutive row ---
     "corpus_build_full": corpus_build_full,
     "ann_multiprobe_topk": ann_multiprobe_topk,
@@ -3526,11 +3663,6 @@ QUERIES = {
     "asof_join": asof_join,
     "rollup_revenue": rollup_revenue,
     "connected_components_labels": connected_components_labels,
-    # --- r2/r3+r5-green generics kept in-window this round ---
-    "jaccard_near_pairs": jaccard_near_pairs,
-    "gap_detection": gap_detection,
-    "doc_exact_dedup": doc_exact_dedup,
-    "sessionize": sessionize,
     # --- flagship + composed + LLM-pipeline rows: always in-window ---
     "extract_transcripts": extract_transcripts,
     "extract_transcripts_staged": extract_transcripts_staged,
@@ -3555,6 +3687,10 @@ QUERIES = {
     "ivf_scaled_topk": ivf_scaled_topk,
     # --- rotated out of the 50-row driver window (all driver-green at
     # least twice; hard-gated by tests/test_oracle_tail.py every run) ---
+    "jaccard_near_pairs": jaccard_near_pairs,
+    "gap_detection": gap_detection,
+    "doc_exact_dedup": doc_exact_dedup,
+    "sessionize": sessionize,
     "q1_pricing_summary": q1_pricing_summary,
     "markdown_escape": markdown_escape,
     "normalize_dates": normalize_dates,
@@ -3639,6 +3775,10 @@ ORACLE = {
     "kv_dict_view": SQL_KV_DICT,
     "llm_extract_kv": SQL_LLM_EXTRACT_KV,
     "grid_dag_units": SQL_GRID_DAG_UNITS,
+    "doc_repetition_quality": SQL_REPETITION,
+    "exact_substring_spans": SQL_SUBSTRING_SPANS,
+    "corpus_mixture_sample": SQL_MIXTURE_SAMPLE,
+    "pack_chunks": SQL_PACK_CHUNKS,
     "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
     "extract_scalar_cascade": SQL_SCALAR_CASCADE,
@@ -3656,6 +3796,7 @@ ORACLE = {
     # rows-only (deliberately no SQL referee):
     # - extract_transcripts_mix: layout reading-order is graph-valued
     #   (DAG toposort) — byte-equality vs the pure-Python oracle is
-    #   enforced in pytest + the scaling checksum instead;
-    # - multimodal_features: binary-codec stub boundary.
+    #   enforced in pytest + the scaling checksum instead.
+    # (multimodal_features graduated in r6: the stdlib BMP/WAV decode
+    # carries the closed-form SQL_MULTIMODAL_FEATURES referee above.)
 }
