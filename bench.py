@@ -116,6 +116,10 @@ BENCH_QUERIES = [
     "grid_header_derivation",
     "llm_extract_kv",
     "grid_dag_units",
+    "doc_repetition_quality",
+    "exact_substring_spans",
+    "corpus_mixture_sample",
+    "pack_chunks",
     # split_words_across_cells is deliberately NOT benched: its ~15
     # AQE query stages cost ~0.4 s codegen/scheduling EACH on the tiny
     # corpus (pure fixed overhead, amortized at real scale) — the row
