@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     "exact_substring_spans",
     "corpus_mixture_sample",
     "pack_chunks",
+    "decontaminate_ngram",
+    "pii_redaction",
+    "doc_importance_weights",
     # split_words_across_cells is deliberately NOT benched: its ~15
     # AQE query stages cost ~0.4 s codegen/scheduling EACH on the tiny
     # corpus (pure fixed overhead, amortized at real scale) — the row

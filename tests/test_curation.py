@@ -204,3 +204,179 @@ def test_pack_chunks_straddles_and_zero_docs(spark):
     assert 3 not in rows  # zero-token docs drop
     assert (rows[1]["first_chunk"], rows[1]["last_chunk"]) == (0, 1)  # 7 toks: 0..6
     assert (rows[2]["first_chunk"], rows[2]["last_chunk"]) == (1, 2)  # 7..11
+
+
+# ------------------------------------------------------------ decontamination
+
+
+def _b1000(doc_id):
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 1000
+
+
+def _scalar_decontaminate(docs, k, eval_permille):
+    toks = {i: _toks(t) for i, t, _ in docs}
+    is_eval = {i: _b1000(i) < eval_permille for i in toks}
+    eval_grams = set()
+    for i, t in toks.items():
+        if is_eval[i]:
+            for p in range(len(t) - k + 1):
+                eval_grams.add(" ".join(t[p : p + k]))
+    out = {}
+    for i, t in toks.items():
+        if is_eval[i]:
+            continue
+        hit_pos = [
+            p + 1
+            for p in range(len(t) - k + 1)
+            if " ".join(t[p : p + k]) in eval_grams
+        ]
+        cov = set()
+        for p in hit_pos:
+            cov.update(range(p, p + k))
+        n = len(t)
+        out[i] = {
+            "n_tokens": n,
+            "eval_gram_hits": len(hit_pos),
+            "contam_cover_permille": (1000 * len(cov)) // n if n else 0,
+            "contaminated": 1 if hit_pos else 0,
+        }
+    return out
+
+
+@pytest.mark.parametrize("k,perm", [(2, 500), (3, 500), (8, 500)])
+def test_decontaminate_matches_scalar_referee(spark, k, perm):
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in CUR.decontaminate(_df(spark), k=k, eval_permille=perm).collect()
+    }
+    want = _scalar_decontaminate(DOCS, k, perm)
+    assert set(got) == set(want)
+    for i, w in want.items():
+        for col, v in w.items():
+            assert got[i][col] == v, (i, col, got[i][col], v)
+
+
+def test_decontaminate_flags_known_overlap(spark):
+    # doc 10 is eval at permille 1000 minus nothing — force the split
+    # by choosing ids whose md5 bucket lands on the right side of 500
+    docs = [(i, t, "en") for i, t, _ in DOCS]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    rows = {r["doc_id"]: r for r in CUR.decontaminate(df, k=3, eval_permille=500).collect()}
+    want = _scalar_decontaminate(docs, 3, 500)
+    # docs 0 and 2 are case-fold identical: whichever side of the split
+    # each lands on, a cross-membership means contamination
+    ev = {i for i, *_ in docs if _b1000(i) < 500}
+    if 0 in ev and 2 not in ev:
+        assert rows[2]["contaminated"] == 1
+    if 2 in ev and 0 not in ev:
+        assert rows[0]["contaminated"] == 1
+    # and the referee agrees on every value regardless
+    assert {i: r.asDict() for i, r in rows.items()} == {
+        i: {"doc_id": i, **w} for i, w in want.items()
+    }
+
+
+# ---------------------------------------------------------------- PII redact
+
+
+PII_DOCS = [
+    (0, "mail me at alice.smith+work@corp.example.org or bob@x.io today"),
+    (1, "server 192.168.0.1 and 10.255.255.254 but not 1234.5.6.7"),
+    (2, "call 03-1234-5678 or 090-12-345, office 0120-444-444"),
+    (3, "mixed: eve@a.bc 172.16.0.9 06-6123-4567 end"),
+    (4, "no pii here at all"),
+    (5, "edge 999.999.999.999 still matches the shape filter"),
+    (6, "a@b.c too-short tld does not match"),
+]
+
+
+def test_pii_redact_counts_and_placeholders(spark):
+    df = spark.createDataFrame(PII_DOCS, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in CUR.pii_redact(df).collect()}
+    assert rows[0]["n_emails"] == 2 and rows[0]["n_ipv4"] == 0
+    assert "<EMAIL>" in rows[0]["redacted"] and "alice" not in rows[0]["redacted"]
+    assert rows[1]["n_ipv4"] == 2  # 1234.5.6.7 fails the \b\d{1,3} shape
+    assert "1234.5.6.7" in rows[1]["redacted"]
+    assert rows[2]["n_phones"] == 3  # 090-12-345 fits the 2-4/2-4/3-4 shape
+    assert rows[3].asDict() | {} == {
+        "doc_id": 3,
+        "n_emails": 1,
+        "n_ipv4": 1,
+        "n_phones": 1,
+        "redacted": "mixed: <EMAIL> <IP> <PHONE> end",
+    }
+    assert rows[4]["redacted"] == "no pii here at all"
+    assert rows[5]["n_ipv4"] == 1  # shape filter, not octet-range validation
+    assert rows[6]["n_emails"] == 0  # single-letter TLD rejected
+
+
+def test_pii_redact_placeholders_not_rematched(spark):
+    # the sequential stages must not re-match earlier placeholders
+    df = spark.createDataFrame(
+        [(1, "x 1.2.3.4-5.6.7.8 y u@v.wx 12-34-567 and 1-23-456")],
+        "doc_id long, text string",
+    )
+    r = CUR.pii_redact(df).collect()[0]
+    # the dash between the two IPs must not produce a phone hit after
+    # IP redaction (<IP>-<IP> has no digits left)
+    assert r["n_ipv4"] == 2 and r["n_phones"] == 1
+    # 1-23-456 fails the 2-digit-minimum first group and survives
+    assert r["redacted"] == "x <IP>-<IP> y <EMAIL> <PHONE> and 1-23-456"
+
+
+# ------------------------------------------------------- importance weights
+
+
+def _scalar_importance(docs, target_permille, n_buckets, scale=1_000_000):
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    feats = {}
+    for i, t, _ in docs:
+        tk = _toks(t)
+        grams = tk + [" ".join(tk[p : p + 2]) for p in range(len(tk) - 1)]
+        feats[i] = [h(g) % n_buckets for g in grams]
+    is_t = {i: _b1000(i) < target_permille for i in feats}
+    tcnt, bcnt = Counter(), Counter()
+    for i, bs in feats.items():
+        (tcnt if is_t[i] else bcnt).update(bs)
+    T, B = sum(tcnt.values()), sum(bcnt.values())
+    out = {}
+    for i, bs in feats.items():
+        w = sum(
+            scale * (tcnt[b] + 1) // (T + n_buckets)
+            - scale * (bcnt[b] + 1) // (B + n_buckets)
+            for b in bs
+        )
+        out[i] = {
+            "is_target": int(is_t[i]),
+            "n_feats": len(bs),
+            "weight": w,
+        }
+    return out
+
+
+@pytest.mark.parametrize("perm,nb", [(500, 64), (250, 1024)])
+def test_importance_weights_match_scalar_referee(spark, perm, nb):
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in CUR.importance_weights(
+            _df(spark), target_permille=perm, n_buckets=nb
+        ).collect()
+    }
+    want = _scalar_importance(DOCS, perm, nb)
+    assert set(got) == set(want)
+    for i, w in want.items():
+        for col, v in w.items():
+            assert got[i][col] == v, (i, col, got[i][col], v)
+
+
+def test_importance_weights_empty_doc_scores_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "common words here", ""), (2, "", ""), (3, "   ", "")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: r for r in CUR.importance_weights(df, 500, 64).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2]["n_feats"] == 0 and got[2]["weight"] == 0
+    assert got[3]["n_feats"] == 0 and got[3]["weight"] == 0

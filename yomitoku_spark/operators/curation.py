@@ -283,3 +283,201 @@ def pack_chunks(
         .alias("first_chunk"),
         F.floor((F.col("cum") - 1) / chunk_tokens).cast("bigint").alias("last_chunk"),
     )
+
+def decontaminate(
+    df: DataFrame,
+    k: int = 8,
+    eval_permille: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-``k``-gram with a held-out evaluation split (the GPT-3 /
+    PaLM-style n-gram overlap scrub, Brown et al. 2020 appendix C).
+
+    The evaluation split is derived deterministically — a document is
+    "eval" iff md5-bucket(doc_id) mod 1000 < ``eval_permille`` — the
+    same hash-bucket rule as :func:`mixture_sample`, so the split is
+    reproducible on any cluster size with no side-channel eval table.
+    Per TRAINING document the output reports:
+
+    * ``eval_gram_hits`` — occurrences of k-grams that also appear in
+      the eval split;
+    * ``contam_cover_permille`` — permille of token positions covered
+      by those occurrences (each hit at 1-based position i covers
+      [i, i+k-1], distinct-counted — the substring-span coverage rule);
+    * ``contaminated`` — 1 iff any hit.
+
+    Scale shape: grams travel as 60-bit hashes; the eval gram set is
+    ~``eval_permille``/1000 of the corpus and semi-joins back against
+    training occurrences (Spark broadcasts it when it fits). The only
+    corpus-wide exchanges are the gram aggregation and the final
+    doc-grain fold — both partial-agg friendly.
+    """
+    t = tokens(F.lower(F.col(text_col)))
+    is_eval = (hash64(F.col(id_col).cast("string")) % 1000) < eval_permille
+    base = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        t.alias("t"),
+        is_eval.alias("is_eval"),
+    )
+    occ = base.select(
+        id_col, "is_eval", F.posexplode(_grams(F.col("t"), k)).alias("i0", "gram")
+    ).select(
+        id_col,
+        "is_eval",
+        (F.col("i0") + 1).alias("pos"),
+        hash64(F.col("gram")).alias("gh"),
+    )
+    eval_grams = occ.filter(F.col("is_eval")).select("gh").distinct()
+    hits = (
+        occ.filter(~F.col("is_eval"))
+        .join(eval_grams, "gh", "left_semi")
+        .select(
+            id_col,
+            "pos",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("cov"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("pos").alias("eval_gram_hits"),
+            F.countDistinct("cov").alias("n_cov"),
+        )
+    )
+    return (
+        base.filter(~F.col("is_eval"))
+        .select(id_col, "n_tokens")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("eval_gram_hits", F.lit(0)).cast("bigint").alias("eval_gram_hits"),
+            F.coalesce(
+                F.floor(F.lit(1000) * F.col("n_cov") / F.col("n_tokens")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("contam_cover_permille"),
+            F.when(F.col("eval_gram_hits").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("contaminated"),
+        )
+    )
+
+
+# PII patterns: deliberately restricted to constructs whose matched
+# language AND leftmost-first semantics are identical in Java regex
+# (Spark) and RE2 (DuckDB): literal classes, bounded repeats, \b, \d
+# (ASCII in both). Redaction is SEQUENTIAL — email, then IPv4, then
+# phone — and each category is counted on ITS stage input, so a count
+# is exactly the number of replacements that stage performed.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{2,4}-\d{2,4}-\d{3,4}\b"
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrub for training corpora: replace emails / IPv4 addresses
+    / dashed phone numbers with typed placeholders and report the
+    per-category replacement counts (the pre-training redaction stage;
+    the reference's normalizer family — functions/normalize.py twins —
+    recognizes the same phone/postal shapes per-field, this applies
+    the corpus-wide analogue in one pass).
+
+    Pure codegen: three regexp_replace + three regexp_count, no
+    shuffle at all — the operator is embarrassingly parallel and its
+    plan is a single Project over the scan.
+    """
+    src = F.col(text_col)
+    s1 = F.regexp_replace(src, PII_EMAIL, "<EMAIL>")
+    s2 = F.regexp_replace(s1, PII_IPV4, "<IP>")
+    s3 = F.regexp_replace(s2, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(src, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(s1, F.lit(PII_IPV4)).cast("bigint").alias("n_ipv4"),
+        F.regexp_count(s2, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
+        s3.alias("redacted"),
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    target_permille: int = 100,
+    n_buckets: int = 1024,
+    scale: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"),
+    integer-exact so a SQL referee can hash-match it.
+
+    Features are unigrams + bigrams hashed into ``n_buckets`` buckets.
+    A deterministic hash split (md5-bucket(doc_id) mod 1000 <
+    ``target_permille``) plays the target distribution; the rest is
+    background. Each bucket scores
+
+        s_b = scale*(tcnt_b+1) DIV (T+n_buckets)
+            - scale*(bcnt_b+1) DIV (Bg+n_buckets)
+
+    (Laplace-smoothed probability difference in fixed-point — the
+    log-ratio of the published method is swapped for a difference to
+    stay integer-exact; the induced ranking is what selection uses)
+    and a document's weight is the sum of its feature occurrences'
+    bucket scores. With scale=1e6 the product stays < 2^63 up to
+    ~1e12 feature occurrences — the 10^12-turn design point.
+
+    Scale shape: ONE corpus-wide feature aggregation keyed by bucket;
+    the per-bucket score table is bounded by ``n_buckets`` rows and is
+    explicitly broadcast, so scoring never shuffles the corpus again —
+    the doc-grain fold is the only other exchange.
+    """
+    t = tokens(F.lower(F.col(text_col)))
+    is_target = (hash64(F.col(id_col).cast("string")) % 1000) < target_permille
+    base = df.select(F.col(id_col), t.alias("t"), is_target.alias("is_target"))
+    occ = base.select(
+        id_col,
+        "is_target",
+        F.explode(F.concat(_grams(F.col("t"), 1), _grams(F.col("t"), 2))).alias("gram"),
+    ).select(
+        id_col, "is_target", (hash64(F.col("gram")) % n_buckets).alias("b")
+    )
+    cnts = occ.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("tcnt"),
+        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("bcnt"),
+    )
+    totals = cnts.agg(
+        F.sum("tcnt").alias("tot_t"), F.sum("bcnt").alias("tot_b")
+    )
+    score = (
+        cnts.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.expr(
+                f"CAST({scale} AS BIGINT) * (tcnt + 1) DIV (tot_t + {n_buckets}) "
+                f"- CAST({scale} AS BIGINT) * (bcnt + 1) DIV (tot_b + {n_buckets})"
+            ).alias("s"),
+        )
+    )
+    per_doc = (
+        occ.join(F.broadcast(score), "b")
+        .groupBy(id_col, "is_target")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("s").alias("weight"),
+        )
+    )
+    return (
+        base.select(id_col, "is_target")
+        .join(per_doc.select(id_col, "n_feats", "weight"), id_col, "left")
+        .select(
+            id_col,
+            F.col("is_target").cast("int").alias("is_target"),
+            F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+            F.coalesce("weight", F.lit(0)).cast("bigint").alias("weight"),
+        )
+    )

@@ -669,6 +669,122 @@ FROM c
 """
 
 
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/PaLM n-gram overlap scrub):
+    training docs sharing any word-8-gram with a deterministic 2%
+    hash-bucket eval split are flagged with hit counts and permille
+    token coverage. The eval-gram set semi-joins back against training
+    occurrences (broadcast when it fits)."""
+    return CUR.decontaminate(t(spark, sf_dir, "documents"), k=8, eval_permille=20)
+
+
+SQL_DECONTAMINATE = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS t, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000) < 20
+         AS is_eval
+      FROM documents),
+occ AS (SELECT doc_id, is_eval, i AS pos,
+               ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT AS gh
+        FROM base, unnest(range(1, greatest(len(t)-7, 0)+1)) AS u(i)),
+eg AS (SELECT DISTINCT gh FROM occ WHERE is_eval),
+hits AS (SELECT o.doc_id, o.pos FROM occ o JOIN eg USING (gh) WHERE NOT o.is_eval),
+cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS eval_gram_hits,
+               COUNT(DISTINCT pos + off) AS n_cov
+        FROM hits, unnest(range(0, 8)) AS w(off) GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+  CAST(COALESCE(c.eval_gram_hits, 0) AS BIGINT) AS eval_gram_hits,
+  CAST(COALESCE(FLOOR(1000*c.n_cov/b.n_tokens), 0) AS BIGINT)
+    AS contam_cover_permille,
+  CAST(CASE WHEN c.eval_gram_hits IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+    AS contaminated
+FROM base b LEFT JOIN cov c USING (doc_id) WHERE NOT b.is_eval
+"""
+
+
+def pii_redaction(spark, sf_dir):
+    """PII scrub with typed placeholders: the documents text gets a
+    deterministic synthesized contact line (email + IPv4 + dashed
+    phone derived from doc_id) so the row exercises every pattern,
+    then email -> IPv4 -> phone are redacted sequentially with
+    per-stage replacement counts. Zero-shuffle plan (one Project)."""
+    d = t(spark, sf_dir, "documents")
+    src = F.concat(
+        F.substring("text", 1, 80),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com ip 10.0.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" tel 03-1234-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    return CUR.pii_redact(d.select("doc_id", src.alias("text")))
+
+
+SQL_PII_REDACT = f"""
+WITH src AS (SELECT doc_id,
+    substr(text, 1, 80) || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@mail.example.com ip 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+      || ' tel 03-1234-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS s0
+  FROM documents),
+st AS (SELECT doc_id, s0,
+    regexp_replace(s0, '{CUR.PII_EMAIL}', '<EMAIL>', 'g') AS s1
+  FROM src),
+st2 AS (SELECT doc_id, s0, s1,
+    regexp_replace(s1, '{CUR.PII_IPV4}', '<IP>', 'g') AS s2
+  FROM st)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(s0, '{CUR.PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(s1, '{CUR.PII_IPV4}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(s2, '{CUR.PII_PHONE}')) AS BIGINT) AS n_phones,
+  regexp_replace(s2, '{CUR.PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM st2
+"""
+
+
+def doc_importance_weights(spark, sf_dir):
+    """DSIR-style hashed-ngram importance weights (Xie et al. 2023),
+    integer fixed-point: unigram+bigram features hashed to 1024
+    buckets, a 10% hash split as the target distribution, per-bucket
+    Laplace-smoothed probability differences summed per document. The
+    bucket score table (<=1024 rows) is explicitly broadcast — the
+    corpus shuffles once for the feature agg and once for the
+    doc-grain fold, never for scoring."""
+    return CUR.importance_weights(
+        t(spark, sf_dir, "documents"), target_permille=100, n_buckets=1024
+    )
+
+
+SQL_IMPORTANCE_WEIGHTS = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS t,
+       (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000) < 100
+         AS is_target
+      FROM documents),
+occ AS (SELECT doc_id, is_target,
+               ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b
+        FROM (SELECT doc_id, is_target, t[i] AS g
+              FROM base, unnest(range(1, len(t)+1)) AS u(i)
+              UNION ALL
+              SELECT doc_id, is_target, array_to_string(t[i:i+1], ' ') AS g
+              FROM base, unnest(range(1, greatest(len(t)-1, 0)+1)) AS u(i))),
+cnts AS (SELECT b,
+                CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS tcnt,
+                CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS bcnt
+         FROM occ GROUP BY b),
+tot AS (SELECT CAST(SUM(tcnt) AS BIGINT) AS tot_t,
+               CAST(SUM(bcnt) AS BIGINT) AS tot_b FROM cnts),
+score AS (SELECT b,
+                 (1000000*(tcnt+1)) // (tot_t+1024)
+                   - (1000000*(bcnt+1)) // (tot_b+1024) AS s
+          FROM cnts, tot),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(s) AS weight
+            FROM occ JOIN score USING (b) GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.is_target AS INT) AS is_target,
+  CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
+  CAST(COALESCE(p.weight, 0) AS BIGINT) AS weight
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def markdown_escape(spark, sf_dir):
     """Markdown escaping (§2.7; reference export_markdown.py:7-9)."""
     d = t(spark, sf_dir, "documents")
@@ -3619,17 +3735,24 @@ LEFT JOIN placed p
 # r6 rotation: the new rows (LLM-extract loop + index-build +
 # cell-lookup + 2 clustered-ANN, then the curation quartet added later
 # in r6: repetition quality / substring spans / mixture sample /
-# packing) are new (never checked) and go first; the 3 r5-new rows
-# keep a second consecutive window round; the whole 17-row r5 tail
-# returns (out exactly one round, per policy); the 4 r2/r3+r5-green
-# generics (jaccard … sessionize) rotate out to make room for the
-# curation rows — they lead the hard-gated tail; the 12 rows first
-# driver-green in r4 and green again in r5 (template_override …
-# grid_row_dicts) stay in the tail, as do ivf_flat_topk +
-# ivf_scaled_topk (driver-green r4+r5) which llm_extract_kv and
-# grid_dag_units displaced across the 50-row boundary.
+# packing, then the second curation wave: decontamination / PII
+# redaction / DSIR importance weights) are new (never checked) and go
+# first; the 3 r5-new rows keep a second consecutive window round; the
+# whole 17-row r5 tail returns (out exactly one round, per policy);
+# the 4 r2/r3+r5-green generics (jaccard … sessionize) rotate out to
+# make room for the curation rows — they lead the hard-gated tail —
+# and the second wave displaces doc_token_stats / doc_quality /
+# doc_fingerprint (driver-green every round r1–r5, oracle-backed)
+# right behind them; the 12 rows first driver-green in r4 and green
+# again in r5 (template_override … grid_row_dicts) stay in the tail,
+# as do ivf_flat_topk + ivf_scaled_topk (driver-green r4+r5) which
+# llm_extract_kv and grid_dag_units displaced across the 50-row
+# boundary.
 QUERIES = {
     # --- new this round: never driver-checked ---
+    "decontaminate_ngram": decontaminate_ngram,
+    "pii_redaction": pii_redaction,
+    "doc_importance_weights": doc_importance_weights,
     "llm_extract_kv": llm_extract_kv,
     "grid_dag_units": grid_dag_units,
     "corpus_index_build": corpus_index_build,
@@ -3673,10 +3796,7 @@ QUERIES = {
     "doc_near_dup_clusters": doc_near_dup_clusters,
     "training_set_selection": training_set_selection,
     "corpus_build": corpus_build,
-    "doc_token_stats": doc_token_stats,
-    "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
-    "doc_fingerprint": doc_fingerprint,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "embedding_topk": embedding_topk,
     "simhash_pairs": simhash_pairs,
@@ -3687,6 +3807,9 @@ QUERIES = {
     "ivf_scaled_topk": ivf_scaled_topk,
     # --- rotated out of the 50-row driver window (all driver-green at
     # least twice; hard-gated by tests/test_oracle_tail.py every run) ---
+    "doc_token_stats": doc_token_stats,
+    "doc_quality": doc_quality,
+    "doc_fingerprint": doc_fingerprint,
     "jaccard_near_pairs": jaccard_near_pairs,
     "gap_detection": gap_detection,
     "doc_exact_dedup": doc_exact_dedup,
@@ -3779,6 +3902,9 @@ ORACLE = {
     "exact_substring_spans": SQL_SUBSTRING_SPANS,
     "corpus_mixture_sample": SQL_MIXTURE_SAMPLE,
     "pack_chunks": SQL_PACK_CHUNKS,
+    "decontaminate_ngram": SQL_DECONTAMINATE,
+    "pii_redaction": SQL_PII_REDACT,
+    "doc_importance_weights": SQL_IMPORTANCE_WEIGHTS,
     "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
     "extract_scalar_cascade": SQL_SCALAR_CASCADE,
