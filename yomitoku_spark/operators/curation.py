@@ -450,6 +450,12 @@ def importance_weights(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("tcnt"),
         F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("bcnt"),
     )
+    # cnts is <= n_buckets rows but its lineage holds the corpus-wide
+    # feature scan; without a checkpoint Spark re-evaluates that scan
+    # for BOTH the totals fold and the score build (plus once more for
+    # per_doc) — 3 corpus passes. Materializing the tiny table pins the
+    # operator at the 2-pass minimum (one for cnts, one for scoring).
+    cnts = cnts.localCheckpoint(eager=True)
     totals = cnts.agg(
         F.sum("tcnt").alias("tot_t"), F.sum("bcnt").alias("tot_b")
     )
