@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "decontaminate_ngram",
     "pii_redaction",
     "doc_importance_weights",
+    "doc_lm_perplexity",
     # split_words_across_cells is deliberately NOT benched: its ~15
     # AQE query stages cost ~0.4 s codegen/scheduling EACH on the tiny
     # corpus (pure fixed overhead, amortized at real scale) — the row
@@ -162,7 +163,25 @@ def main():
         except Exception:
             return 0
 
+    def _release_blocks() -> None:
+        """Drop cached DataFrames and pinned RDD blocks left by the
+        previous query (every localCheckpoint(eager=True) pins its
+        partitions in executor storage until the Python object is
+        GC'd). Without this, block-manager pressure from ~25 earlier
+        queries leaks into later rows' walls: kv_items_geometric /
+        extract_scalar_cascade measured 2.3x/2.7x slower at suite
+        position ~26 than isolated in a fresh JVM at the SAME commit
+        (r6 NOTES). Safe between queries: no registry entry memoizes
+        DataFrames across calls, so nothing references the blocks."""
+        try:
+            spark.catalog.clearCache()
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist(False)
+        except Exception:
+            pass
+
     def bench(name, plan_fn):
+        _release_blocks()
         t0 = time.perf_counter()
         run_plan(plan_fn())  # untimed warmup: codegen + JIT + cache warm
         warm = time.perf_counter() - t0
