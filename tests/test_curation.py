@@ -380,3 +380,89 @@ def test_importance_weights_empty_doc_scores_zero(spark):
     assert set(got) == {1, 2, 3}
     assert got[2]["n_feats"] == 0 and got[2]["weight"] == 0
     assert got[3]["n_feats"] == 0 and got[3]["weight"] == 0
+
+
+# ---------------------------------------------------------- lm perplexity
+
+
+def _scalar_lm_perplexity(docs, train_permille, n_buckets, max_bits_milli=9000):
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def flog2(x):
+        return max(x, 1).bit_length() - 1
+
+    bigrams = {}
+    for i, t, _ in docs:
+        tk = _toks(t)
+        bigrams[i] = [
+            (h(tk[p]) % n_buckets, h(" ".join(tk[p : p + 2])) % n_buckets)
+            for p in range(len(tk) - 1)
+        ]
+    is_train = {
+        i: h(str(i) + ":lm") % 1000 < train_permille for i in bigrams
+    }
+    c_ctx, c_bg = Counter(), Counter()
+    for i, bs in bigrams.items():
+        if is_train[i]:
+            for bc, bg in bs:
+                c_ctx[bc] += 1
+                c_bg[bg] += 1
+    out = {}
+    for i, bs in bigrams.items():
+        total = sum(
+            max(flog2((c_ctx[bc] + n_buckets) * 1024 // (c_bg[bg] + 1)) - 10, 0)
+            for bc, bg in bs
+        )
+        milli = 1000 * total // max(len(bs), 1)
+        out[i] = {
+            "is_train": int(is_train[i]),
+            "n_bigrams": len(bs),
+            "total_bits": total,
+            "bits_milli": milli,
+            "keep": int(milli <= max_bits_milli),
+        }
+    return out
+
+
+@pytest.mark.parametrize("perm,nb", [(500, 64), (300, 4096)])
+def test_lm_perplexity_matches_scalar_referee(spark, perm, nb):
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in CUR.lm_perplexity(
+            _df(spark), train_permille=perm, n_buckets=nb
+        ).collect()
+    }
+    want = _scalar_lm_perplexity(DOCS, perm, nb)
+    assert set(got) == set(want)
+    for i, w in want.items():
+        for col, v in w.items():
+            assert got[i][col] == v, (i, col, got[i][col], v)
+
+
+def test_lm_perplexity_repeated_text_scores_lower(spark):
+    # a document made of bigrams the training split saw many times must
+    # cost fewer bits per token than one of unseen-vocabulary bigrams
+    docs = [(i, "the cat sat on the mat", "en") for i in range(20)] + [
+        (100, "zyx wvu tsr qpo nml kji", "en")
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: r for r in CUR.lm_perplexity(df, 1000, 4096).collect()
+    }
+    common = got[0]["bits_milli"]
+    rare = got[100]["bits_milli"]
+    assert common < rare, (common, rare)
+    assert got[0]["n_bigrams"] == 5 and got[100]["n_bigrams"] == 5
+
+
+def test_lm_perplexity_short_docs_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "", ""), (2, "single", ""), (3, "two tokens", "")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: r for r in CUR.lm_perplexity(df, 1000, 64).collect()}
+    assert got[1]["n_bigrams"] == 0 and got[1]["total_bits"] == 0
+    assert got[2]["n_bigrams"] == 0 and got[2]["bits_milli"] == 0
+    assert got[3]["n_bigrams"] == 1
+    assert got[1]["keep"] == 1  # empty docs pass the threshold trivially

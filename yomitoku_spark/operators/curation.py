@@ -487,3 +487,115 @@ def importance_weights(
             F.coalesce("weight", F.lit(0)).cast("bigint").alias("weight"),
         )
     )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    train_permille: int = 500,
+    n_buckets: int = 4096,
+    max_bits_milli: int = 9000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): train a
+    hash-bucketed add-one-smoothed bigram LM on a deterministic hash
+    split of the corpus, then score EVERY document's per-token
+    cross-entropy against it; low-perplexity documents are the CCNet
+    "head" a pre-training pipeline keeps. Integer-exact so a DuckDB
+    referee hash-matches it:
+
+    * contexts (w1) and bigrams (w1 w2) hash into ``n_buckets``
+      buckets (count-min-flavored LM — the model is bounded by the
+      bucket count, not the vocabulary, so it broadcasts at any
+      corpus size);
+    * a bigram occurrence costs
+      ``bits = max(floor_log2(((c_ctx + V) * 1024) DIV (c_bg + 1)) - 10, 0)``
+      with ``V = n_buckets`` — the floor of log2 of the smoothed
+      inverse probability ``(c_ctx+V)/(c_bg+1)``, computed exactly on
+      both engines as ``length(bin(q)) - 1`` (string-based, no
+      floating point anywhere); the ``*1024 … -10`` shift keeps the
+      ratio's integer floor from collapsing to 0 when collisions make
+      a bigram bucket hotter than its context bucket;
+    * a document's score is ``bits_milli = 1000 * total_bits DIV
+      n_bigrams`` (milli-bits per bigram ≈ 1000·log2(perplexity));
+      ``keep`` flags documents at or under ``max_bits_milli``.
+
+    Scale shape: ONE corpus pass builds the bucket count table (train
+    split only, melted so context+bigram counts share a single hash
+    aggregation; the ≤ 2·n_buckets-row result is localCheckpoint-ed so
+    its corpus-wide lineage is never re-evaluated) — the table is
+    explicitly broadcast twice, so scoring shuffles the corpus only at
+    the final doc-grain fold. Two corpus passes total, no corpus-grain
+    join anywhere.
+    """
+    t = tokens(F.lower(F.col(text_col)))
+    # salt the split hash so the train split decorrelates from the
+    # DSIR target split (both hash doc_id)
+    is_train = (
+        hash64(F.concat(F.col(id_col).cast("string"), F.lit(":lm"))) % 1000
+    ) < train_permille
+    base = df.select(F.col(id_col), t.alias("t"), is_train.alias("is_train"))
+    pairs = F.when(
+        F.size("t") >= 2,
+        F.zip_with(
+            F.slice(F.col("t"), 1, F.size("t") - 1),
+            F.slice(F.col("t"), 2, F.size("t") - 1),
+            lambda a, b: F.struct(
+                (hash64(a) % n_buckets).alias("bc"),
+                (hash64(F.concat_ws(" ", a, b)) % n_buckets).alias("bg"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<bc:bigint,bg:bigint>>"))
+    occ = base.select(id_col, "is_train", F.explode(pairs).alias("o")).select(
+        id_col, "is_train", "o.bc", "o.bg"
+    )
+    melted = occ.filter(F.col("is_train")).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("kind"), F.col("bc").alias("b")),
+                F.struct(F.lit(1).alias("kind"), F.col("bg").alias("b")),
+            )
+        ).alias("kb")
+    )
+    cnts = melted.groupBy("kb.kind", "kb.b").agg(F.count(F.lit(1)).alias("c"))
+    # <= 2*n_buckets rows whose lineage holds the train-split corpus
+    # scan; checkpoint pins the operator at the two-pass minimum (same
+    # rationale as importance_weights above)
+    cnts = cnts.localCheckpoint(eager=True)
+    ctx_c = cnts.filter(F.col("kind") == 0).select(
+        F.col("b").alias("bc"), F.col("c").alias("c_ctx")
+    )
+    bg_c = cnts.filter(F.col("kind") == 1).select(
+        F.col("b").alias("bg"), F.col("c").alias("c_bg")
+    )
+    q = F.expr(
+        f"(COALESCE(c_ctx, 0) + {n_buckets}) * 1024 DIV (COALESCE(c_bg, 0) + 1)"
+    )
+    bits = F.greatest(
+        F.length(F.bin(F.greatest(q, F.lit(1)))) - F.lit(11), F.lit(0)
+    ).cast("bigint")
+    per_doc = (
+        occ.join(F.broadcast(ctx_c), "bc", "left")
+        .join(F.broadcast(bg_c), "bg", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(bits).alias("total_bits"),
+        )
+    )
+    bits_milli = F.expr(
+        "1000 * COALESCE(total_bits, CAST(0 AS BIGINT)) "
+        "DIV GREATEST(COALESCE(n_bigrams, CAST(0 AS BIGINT)), CAST(1 AS BIGINT))"
+    )
+    return (
+        base.select(id_col, "is_train")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.col("is_train").cast("int").alias("is_train"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("total_bits", F.lit(0)).cast("bigint").alias("total_bits"),
+            bits_milli.cast("bigint").alias("bits_milli"),
+            (bits_milli <= max_bits_milli).cast("int").alias("keep"),
+        )
+    )

@@ -785,6 +785,50 @@ FROM base b LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def doc_lm_perplexity(spark, sf_dir):
+    """CCNet-style hash-bucketed bigram-LM quality scoring (Wenzek et
+    al. 2020): a 50% hash split trains an add-one-smoothed bucket LM,
+    every document is scored in integer milli-bits-per-bigram
+    (floor-log2 via length(bin(q))-1 — string-exact on both engines),
+    and `keep` flags the low-perplexity head. One corpus pass trains
+    (melted context+bigram counts in a single hash agg), the ≤8192-row
+    model broadcasts, one doc-grain fold scores — the corpus is never
+    joined at its own grain."""
+    return CUR.lm_perplexity(
+        t(spark, sf_dir, "documents"),
+        train_permille=500, n_buckets=4096, max_bits_milli=9000,
+    )
+
+
+SQL_LM_PERPLEXITY = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS t,
+       (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lm'), 1, 15))::BIGINT
+          % 1000) < 500 AS is_train
+      FROM documents),
+occ AS (SELECT doc_id, is_train,
+          ('0x' || substr(md5(t[i]), 1, 15))::BIGINT % 4096 AS bc,
+          ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))::BIGINT % 4096 AS bg
+        FROM base, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+ctx AS (SELECT bc AS b, COUNT(*) AS c_ctx FROM occ WHERE is_train GROUP BY bc),
+bgc AS (SELECT bg AS b, COUNT(*) AS c_bg FROM occ WHERE is_train GROUP BY bg),
+scored AS (SELECT doc_id,
+    GREATEST(length(bin(GREATEST(
+      (COALESCE(c.c_ctx, 0) + 4096) * 1024 // (COALESCE(g.c_bg, 0) + 1),
+      1))) - 11, 0) AS bits
+  FROM occ LEFT JOIN ctx c ON c.b = occ.bc LEFT JOIN bgc g ON g.b = occ.bg),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(bits) AS total_bits
+            FROM scored GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.is_train AS INT) AS is_train,
+  CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(p.total_bits, 0) AS BIGINT) AS total_bits,
+  CAST(1000 * COALESCE(p.total_bits, 0)
+       // GREATEST(COALESCE(p.n_bigrams, 0), 1) AS BIGINT) AS bits_milli,
+  CAST(1000 * COALESCE(p.total_bits, 0)
+       // GREATEST(COALESCE(p.n_bigrams, 0), 1) <= 9000 AS INT) AS keep
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def markdown_escape(spark, sf_dir):
     """Markdown escaping (§2.7; reference export_markdown.py:7-9)."""
     d = t(spark, sf_dir, "documents")
@@ -3736,7 +3780,8 @@ LEFT JOIN placed p
 # cell-lookup + 2 clustered-ANN, then the curation quartet added later
 # in r6: repetition quality / substring spans / mixture sample /
 # packing, then the second curation wave: decontamination / PII
-# redaction / DSIR importance weights) are new (never checked) and go
+# redaction / DSIR importance weights / CCNet LM perplexity) are new
+# (never checked) and go
 # first; the 3 r5-new rows keep a second consecutive window round; the
 # whole 17-row r5 tail returns (out exactly one round, per policy);
 # the 4 r2/r3+r5-green generics (jaccard … sessionize) rotate out to
@@ -3747,12 +3792,14 @@ LEFT JOIN placed p
 # again in r5 (template_override … grid_row_dicts) stay in the tail,
 # as do ivf_flat_topk + ivf_scaled_topk (driver-green r4+r5) which
 # llm_extract_kv and grid_dag_units displaced across the 50-row
-# boundary.
+# boundary; doc_lm_perplexity (late r6) pushes multimodal_plan
+# (driver-green r4+r5) across it too.
 QUERIES = {
     # --- new this round: never driver-checked ---
     "decontaminate_ngram": decontaminate_ngram,
     "pii_redaction": pii_redaction,
     "doc_importance_weights": doc_importance_weights,
+    "doc_lm_perplexity": doc_lm_perplexity,
     "llm_extract_kv": llm_extract_kv,
     "grid_dag_units": grid_dag_units,
     "corpus_index_build": corpus_index_build,
@@ -3905,6 +3952,7 @@ ORACLE = {
     "decontaminate_ngram": SQL_DECONTAMINATE,
     "pii_redaction": SQL_PII_REDACT,
     "doc_importance_weights": SQL_IMPORTANCE_WEIGHTS,
+    "doc_lm_perplexity": SQL_LM_PERPLEXITY,
     "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
     "extract_scalar_cascade": SQL_SCALAR_CASCADE,
