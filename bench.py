@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "pii_redaction",
     "doc_importance_weights",
     "doc_lm_perplexity",
+    "semdedup_embeddings",
     # split_words_across_cells is deliberately NOT benched: its ~15
     # AQE query stages cost ~0.4 s codegen/scheduling EACH on the tiny
     # corpus (pure fixed overhead, amortized at real scale) — the row

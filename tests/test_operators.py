@@ -620,3 +620,41 @@ def test_lsh_hot_bucket_star_capping(spark):
     # uncapped baseline really is quadratic in the hot bucket
     uncapped = DD.lsh_candidate_pairs(df, "id", "text", 8, 4, 3).collect()
     assert len({(r.id_a, r.id_b) for r in uncapped if r.id_a < 100}) == 435
+
+
+def test_semdedup_keepers_invariants(spark, emb):
+    """SemDeDup (Abbas et al. 2023) over the clustered table: (1) every
+    vector gets exactly one row with its trained cell; (2) a dropped
+    vector has a lower-id SAME-CELL neighbor above the threshold and a
+    kept one has none (the cluster-local minimal-id keeper rule,
+    verified against an exact numpy replay of the intra-cell pairs);
+    (3) the threshold prunes semantic dups, not whole cells — every
+    cell retains at least one keeper."""
+    import numpy as np
+
+    c = SIM.clustered_embeddings(emb.limit(200), n_clusters=50, weight=0.25)
+    out = {
+        r.id: (r.cell, r.keep)
+        for r in SIM.semdedup_keepers(
+            c, "vec_id", "cvec", n_cells=8, lloyd_iters=2, tau_q=4_200_000
+        ).collect()
+    }
+    rows = c.collect()
+    assert set(out) == {r.vec_id for r in rows}
+
+    q = {
+        r.vec_id: SIM._q_away(np.asarray(r.cvec, dtype=np.float64) * 1000)
+        for r in rows
+    }
+    by_cell: dict = {}
+    for vid, (cell, _) in out.items():
+        by_cell.setdefault(cell, []).append(vid)
+    for cell, ids in by_cell.items():
+        assert any(out[i][1] == 1 for i in ids), f"cell {cell} fully pruned"
+        for i in ids:
+            has_dup = any(
+                j < i and int(q[j] @ q[i]) >= 4_200_000 for j in ids
+            )
+            assert out[i][1] == (0 if has_dup else 1), (i, cell)
+    n_dropped = sum(1 for _, k in out.values() if k == 0)
+    assert 0 < n_dropped < len(out)

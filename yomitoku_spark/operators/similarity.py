@@ -788,3 +788,58 @@ def ivf_pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def semdedup_keepers(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    lloyd_iters: int = 2,
+    scale: int = 1000,
+    tau_q: int = 4_200_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means cluster the
+    embedding space, then compare vectors PAIRWISE ONLY WITHIN each
+    cluster and drop every vector that has a lower-id neighbor above
+    the similarity threshold — semantic near-duplicate pruning whose
+    cost is sum(cluster_size^2) instead of n^2.
+
+    Returns (id, cell, keep): the trained cell assignment and an int
+    keep flag (1 = cluster-local keeper, 0 = semantic duplicate of a
+    lower-id vector in the same cell).
+
+    All arithmetic is the quantized integer dot (deterministic Lloyd
+    training via :func:`ivf_assign_probes`), so a DuckDB referee
+    reproduces the whole pipeline bit-for-bit.
+
+    Scale shape: centroids broadcast; assignment is one Arrow matmul
+    pass; the intra-cell pairwise is a cell-keyed equi-join (ONE
+    shuffle on the cell key — never a corpus cross join), and at 100 TB
+    ``n_cells`` grows ~n/target_list_size so per-cell quadratic work
+    stays bounded (AQE skew-join splits oversized cells). This is the
+    embedding-space twin of the star-capped LSH text dedup."""
+    ap = ivf_assign_probes(
+        corpus, id_col, vec_col, n_cells, 1, scale, lloyd_iters
+    )
+    assign = ap.select("id", "cell")
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    wv = assign.join(vecs, "id")
+    a = wv.select("cell", F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    b = wv.select("cell", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    dq = dot_quantized_arrow(scale)(F.col("va"), F.col("vb"))
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(F.col("id_b").alias("id"), dq.alias("dot_q"))
+        .filter(F.col("dot_q") >= tau_q)
+        .select("id")
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return assign.join(dup, "id", "left").select(
+        "id",
+        "cell",
+        (F.coalesce("is_dup", F.lit(0)) == 0).cast("int").alias("keep"),
+    )

@@ -3040,6 +3040,55 @@ SELECT query_id, corpus_id, dot_q, CAST(rk AS INT) AS rank FROM (
 """
 
 
+def semdedup_embeddings(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the derived clustered
+    embedding table: 8-cell k-means (2 integer-exact Lloyd sweeps),
+    pairwise quantized dot ONLY within each trained cell, and a keep
+    flag that drops every vector with a lower-id same-cell neighbor at
+    dot_q >= 4.2e6 (same-Rademacher-cluster pairs sit near 4e6·(1+r)
+    with residual dot r, cross-cluster near 0 — the threshold prunes
+    semantic near-dups, not whole clusters). Cost is
+    sum(cell_size^2), not n^2; the DuckDB referee replays Lloyd
+    training + intra-cell pairing bit-for-bit."""
+    c = _clustered_vecs(spark, sf_dir)
+    return SIM.semdedup_keepers(
+        c, "vec_id", "cvec", n_cells=8, lloyd_iters=2, tau_q=4_200_000
+    ).withColumnRenamed("id", "vec_id")
+
+
+SQL_SEMDEDUP = f"""
+WITH {_SQL_CL_QV},
+seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, vec_id
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+c0 AS (SELECT s.cell, q.i, q.q AS c FROM seeds s JOIN qv q ON q.vec_id = s.vec_id),
+{_sql_lloyd_iter('c0', '1')},
+{_sql_lloyd_iter('c1', '2')},
+sd AS (
+  SELECT v.vec_id, c.cell, SUM(v.q * c.c) AS d
+  FROM qv v JOIN c2 c ON c.i = v.i
+  GROUP BY v.vec_id, c.cell
+),
+assign AS (
+  SELECT vec_id, cell FROM sd
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) = 1
+),
+pairdot AS (
+  SELECT qb.vec_id AS id_b, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot_q
+  FROM assign a1
+  JOIN assign a2 ON a2.cell = a1.cell AND a2.vec_id > a1.vec_id
+  JOIN qv qa ON qa.vec_id = a1.vec_id
+  JOIN qv qb ON qb.vec_id = a2.vec_id AND qb.i = qa.i
+  GROUP BY a1.vec_id, qb.vec_id
+),
+dup AS (SELECT DISTINCT id_b AS vec_id FROM pairdot WHERE dot_q >= 4200000)
+SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+FROM assign a LEFT JOIN dup d USING (vec_id)
+"""
+
+
 def corpus_index_build(spark, sf_dir):
     """The full training-data LOOP closed in one plan: run the composed
     selection pipeline (lang ID + quality + exact keeper + star-capped
@@ -3800,6 +3849,7 @@ QUERIES = {
     "pii_redaction": pii_redaction,
     "doc_importance_weights": doc_importance_weights,
     "doc_lm_perplexity": doc_lm_perplexity,
+    "semdedup_embeddings": semdedup_embeddings,
     "llm_extract_kv": llm_extract_kv,
     "grid_dag_units": grid_dag_units,
     "corpus_index_build": corpus_index_build,
@@ -3953,6 +4003,7 @@ ORACLE = {
     "pii_redaction": SQL_PII_REDACT,
     "doc_importance_weights": SQL_IMPORTANCE_WEIGHTS,
     "doc_lm_perplexity": SQL_LM_PERPLEXITY,
+    "semdedup_embeddings": SQL_SEMDEDUP,
     "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
     "extract_scalar_cascade": SQL_SCALAR_CASCADE,
