@@ -46,30 +46,37 @@ def test_driver_window_boundary_matches_rotation_comment():
     # 4 r2/r3+r5-green generics — all oracle-backed — into the
     # hard-gated tail ahead of ivf_flat/ivf_scaled, and the second
     # curation wave displaced doc_token_stats/doc_quality/
-    # doc_fingerprint — driver-green every round r1–r5 — behind them)
+    # doc_fingerprint — driver-green every round r1–r5 — behind them;
+    # the late-r6 rows doc_lm_perplexity + semdedup_embeddings took the
+    # slots of embedding_topk + ann_lsh_topk, driver-green r4+r5, which
+    # now lead the tail so multimodal_features/_plan stay in-window)
     assert window[-1] == "multimodal_plan", window[-1]
-    assert tail[0] == "ivf_flat_topk", tail[0]
-    assert tail[1] == "ivf_scaled_topk", tail[1]
-    assert tail[2] == "doc_token_stats", tail[2]
-    assert tail[3] == "doc_quality", tail[3]
-    assert tail[4] == "doc_fingerprint", tail[4]
-    assert tail[5] == "jaccard_near_pairs", tail[5]
-    assert tail[8] == "sessionize", tail[8]
+    assert tail[0] == "embedding_topk", tail[0]
+    assert tail[1] == "ann_lsh_topk", tail[1]
+    assert tail[2] == "ivf_flat_topk", tail[2]
+    assert tail[3] == "ivf_scaled_topk", tail[3]
+    assert tail[4] == "doc_token_stats", tail[4]
+    assert tail[5] == "doc_quality", tail[5]
+    assert tail[6] == "doc_fingerprint", tail[6]
+    assert tail[7] == "jaccard_near_pairs", tail[7]
+    assert tail[10] == "sessionize", tail[10]
     # r6 additions lead the window
     assert window[0] == "decontaminate_ngram"
     assert window[1] == "pii_redaction"
     assert window[2] == "doc_importance_weights"
-    assert window[3] == "llm_extract_kv"
-    assert window[4] == "grid_dag_units"
-    assert window[5] == "corpus_index_build"
-    assert window[6] == "ann_ivf_pq_topk"
-    assert window[7] == "search_cells_lookup"
-    assert window[8] == "ann_ivf_clustered_topk"
-    assert window[9] == "embedding_clustered_topk"
-    assert window[10] == "doc_repetition_quality"
-    assert window[11] == "exact_substring_spans"
-    assert window[12] == "corpus_mixture_sample"
-    assert window[13] == "pack_chunks"
+    assert window[3] == "doc_lm_perplexity"
+    assert window[4] == "semdedup_embeddings"
+    assert window[5] == "llm_extract_kv"
+    assert window[6] == "grid_dag_units"
+    assert window[7] == "corpus_index_build"
+    assert window[8] == "ann_ivf_pq_topk"
+    assert window[9] == "search_cells_lookup"
+    assert window[10] == "ann_ivf_clustered_topk"
+    assert window[11] == "embedding_clustered_topk"
+    assert window[12] == "doc_repetition_quality"
+    assert window[13] == "exact_substring_spans"
+    assert window[14] == "corpus_mixture_sample"
+    assert window[15] == "pack_chunks"
     # the r5 tail returned to the window in full (no row sits out of
     # the driver window more than one consecutive round)
     for returned in ("ivf_lloyd_topk", "argmax_join", "content_concat",
