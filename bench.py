@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "doc_importance_weights",
     "doc_lm_perplexity",
     "semdedup_embeddings",
+    "bm25_retrieval_topk",
+    "doc_sliding_chunks",
     # split_words_across_cells is deliberately NOT benched: its ~15
     # AQE query stages cost ~0.4 s codegen/scheduling EACH on the tiny
     # corpus (pure fixed overhead, amortized at real scale) — the row

@@ -599,3 +599,56 @@ def lm_perplexity(
             (bits_milli <= max_bits_milli).cast("int").alias("keep"),
         )
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    chunk_size: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-style sliding-window chunking: each document's token stream
+    is cut into windows of ``chunk_size`` tokens advancing by
+    ``stride = chunk_size - overlap``, the unit a retrieval pipeline
+    embeds and indexes (each chunk overlaps its predecessor by
+    ``overlap`` tokens so no answer span is split across a boundary).
+
+    Window rule (integer-exact): a document of n > 0 tokens yields
+    ``1 + ceil(max(n - chunk_size, 0) / stride)`` chunks; chunk i
+    starts at token offset ``i*stride`` (0-based) and carries
+    ``min(chunk_size, n - i*stride)`` tokens — every token is covered,
+    only the last chunk may be short, and a doc with n <= chunk_size
+    yields exactly one chunk. Empty documents yield no rows.
+
+    Scale shape: a per-row explode + project — ZERO shuffles; output
+    size is bounded by ``n/stride + 1`` rows per document. This is the
+    query-side sibling of ``pack_chunks`` (which packs the training
+    stream); both keep (doc_id, offset) lineage.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    t = tokens(F.col(text_col))
+    d = df.select(F.col(id_col), t.alias("t")).withColumn(
+        "n", F.size("t").cast("bigint")
+    )
+    n_chunks = F.expr(
+        f"1 + (GREATEST(n - {chunk_size}, CAST(0 AS BIGINT)) + {stride - 1}) "
+        f"DIV {stride}"
+    )
+    d = d.filter(F.col("n") > 0).withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1))
+    )
+    start = (F.col("chunk_idx") * stride).cast("bigint")
+    return d.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        start.alias("start_token"),
+        F.least(F.lit(chunk_size).cast("bigint"), F.col("n") - start).alias(
+            "chunk_tokens"
+        ),
+        F.array_join(
+            F.slice(F.col("t"), (start + 1).cast("int"), chunk_size), " "
+        ).alias("chunk_text"),
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from yomitoku_spark.functions import textstats as TS
 from yomitoku_spark.operators import curation as CUR
 from yomitoku_spark.operators import dedup as DD
+from yomitoku_spark.operators import retrieval as RET
 from yomitoku_spark.operators import similarity as SIM
 from yomitoku_spark.operators import spatial as SP
 
@@ -826,6 +827,85 @@ SELECT b.doc_id, CAST(b.is_train AS INT) AS is_train,
   CAST(1000 * COALESCE(p.total_bits, 0)
        // GREATEST(COALESCE(p.n_bigrams, 0), 1) <= 9000 AS INT) AS keep
 FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def bm25_retrieval_topk(spark, sf_dir):
+    """BM25 top-k lexical retrieval (operators/retrieval.py): every
+    50th document's first 5 tokens play the query set; scores are
+    integer fixed point (piecewise-linear milli-log2 idf + milli tf
+    saturation) so DuckDB hash-matches the ranking bit for bit. The
+    corpus-scale sibling of the reference's per-document
+    search_cells_by_query (table_semantic_parser.py:276-287)."""
+    d = t(spark, sf_dir, "documents")
+    toks = TS.tokens(F.lower(F.col("text")))
+    queries = d.filter(F.col("doc_id") % 50 == 7).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("query_text"),
+    )
+    return RET.bm25_topk(d, queries, k=5, k1_milli=1200, b_milli=750)
+
+
+_SQL_PLOG2_RATIO = RET.plog2_frag("ratio_micro", "duckdb")
+
+SQL_BM25_TOPK = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+d AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM base),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+  GREATEST(1000 * CAST(COALESCE(SUM(dl),0) AS BIGINT)
+           // GREATEST(CAST(COUNT(*) AS BIGINT), 1), 1) AS avgdl_milli FROM d),
+postings AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, t[i] AS term
+        FROM d, unnest(range(1, len(t)+1)) AS u(i))
+  GROUP BY doc_id, dl, term),
+q AS (SELECT doc_id AS query_id, t[1:5] AS qt FROM base WHERE doc_id % 50 = 7),
+qterms AS (SELECT DISTINCT query_id, qt[i] AS term
+           FROM q, unnest(range(1, len(qt)+1)) AS u(i)),
+matched AS (SELECT p.* FROM postings p
+            JOIN (SELECT DISTINCT term FROM qterms) ts USING (term)),
+dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM matched GROUP BY term),
+s0 AS (SELECT qq.query_id, m.doc_id, m.tf, m.dl, f.df, s.n_docs, s.avgdl_milli,
+   CAST(1000000 AS BIGINT) * (2*s.n_docs - 2*f.df + 1) // (2*f.df + 1)
+     + 1000000 AS ratio_micro
+  FROM matched m JOIN qterms qq USING (term) JOIN dft f USING (term)
+  CROSS JOIN stats s),
+scored AS (SELECT query_id, doc_id,
+   SUM( ({_SQL_PLOG2_RATIO} - {RET.PLOG2_1M})
+      * (CAST(1000000 AS BIGINT) * tf * (1000 + 1200)
+         // ((1000*tf + (1200 * (1000 - 750
+              + (750 * (1000000 * dl // avgdl_milli)) // 1000)) // 1000)
+            * 1000)) ) AS score_micro
+  FROM s0 GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score_micro,
+   ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score_micro DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(score_micro AS BIGINT) AS score_micro
+FROM ranked WHERE rank <= 5
+"""
+
+
+def doc_sliding_chunks(spark, sf_dir):
+    """RAG-style sliding-window chunking (operators/curation.py):
+    16-token windows, 4-token overlap (stride 12), per-chunk (offset,
+    token count, text) lineage — a zero-shuffle explode+project."""
+    return CUR.sliding_chunks(
+        t(spark, sf_dir, "documents"), chunk_size=16, overlap=4
+    )
+
+
+SQL_SLIDING_CHUNKS = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+dd AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM base
+       WHERE len(t) > 0),
+c AS (SELECT doc_id, t, n, i AS chunk_idx
+      FROM dd, unnest(range(0, 1 + (GREATEST(n - 16, 0) + 11) // 12)) AS u(i))
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  CAST(chunk_idx*12 AS BIGINT) AS start_token,
+  CAST(LEAST(16, n - chunk_idx*12) AS BIGINT) AS chunk_tokens,
+  array_to_string(t[chunk_idx*12 + 1 : chunk_idx*12 + 16], ' ') AS chunk_text
+FROM c
 """
 
 
@@ -3845,6 +3925,8 @@ LEFT JOIN placed p
 # (driver-green r4+r5) across it too.
 QUERIES = {
     # --- new this round: never driver-checked ---
+    "bm25_retrieval_topk": bm25_retrieval_topk,
+    "doc_sliding_chunks": doc_sliding_chunks,
     "decontaminate_ngram": decontaminate_ngram,
     "pii_redaction": pii_redaction,
     "doc_importance_weights": doc_importance_weights,
@@ -3894,8 +3976,6 @@ QUERIES = {
     "training_set_selection": training_set_selection,
     "corpus_build": corpus_build,
     "doc_lang_id": doc_lang_id,
-    "minhash_lsh_pairs": minhash_lsh_pairs,
-    "simhash_pairs": simhash_pairs,
     "multimodal_features": multimodal_features,
     "multimodal_plan": multimodal_plan,
     # embedding_topk + ann_lsh_topk (driver-green r4+r5) yield their
@@ -3908,6 +3988,10 @@ QUERIES = {
     "ivf_scaled_topk": ivf_scaled_topk,
     # --- rotated out of the 50-row driver window (all driver-green at
     # least twice; hard-gated by tests/test_oracle_tail.py every run) ---
+    # minhash_lsh_pairs + simhash_pairs (driver-green r1-r5) yield
+    # their slots to the two late-r6 retrieval/chunking rows
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_pairs": simhash_pairs,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
     "doc_fingerprint": doc_fingerprint,
@@ -4007,6 +4091,8 @@ ORACLE = {
     "pii_redaction": SQL_PII_REDACT,
     "doc_importance_weights": SQL_IMPORTANCE_WEIGHTS,
     "doc_lm_perplexity": SQL_LM_PERPLEXITY,
+    "bm25_retrieval_topk": SQL_BM25_TOPK,
+    "doc_sliding_chunks": SQL_SLIDING_CHUNKS,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
