@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "semdedup_embeddings",
     "bm25_retrieval_topk",
     "doc_sliding_chunks",
+    "hll_distinct_tokens",
     # split_words_across_cells is deliberately NOT benched: its ~15
     # AQE query stages cost ~0.4 s codegen/scheduling EACH on the tiny
     # corpus (pure fixed overhead, amortized at real scale) — the row

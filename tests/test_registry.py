@@ -55,35 +55,37 @@ def test_driver_window_boundary_matches_rotation_comment():
     assert tail[1] == "ann_lsh_topk", tail[1]
     assert tail[2] == "ivf_flat_topk", tail[2]
     assert tail[3] == "ivf_scaled_topk", tail[3]
-    # the bm25_retrieval_topk + doc_sliding_chunks pair (late r6) took
-    # the slots of minhash_lsh_pairs + simhash_pairs (driver-green
+    # the bm25/chunking/sketch trio (late r6) took the slots of
+    # minhash_lsh_pairs + simhash_pairs + doc_lang_id (driver-green
     # r1-r5), which join the tail right behind the ivf pair
     assert tail[4] == "minhash_lsh_pairs", tail[4]
     assert tail[5] == "simhash_pairs", tail[5]
-    assert tail[6] == "doc_token_stats", tail[6]
-    assert tail[7] == "doc_quality", tail[7]
-    assert tail[8] == "doc_fingerprint", tail[8]
-    assert tail[9] == "jaccard_near_pairs", tail[9]
-    assert tail[12] == "sessionize", tail[12]
+    assert tail[6] == "doc_lang_id", tail[6]
+    assert tail[7] == "doc_token_stats", tail[7]
+    assert tail[8] == "doc_quality", tail[8]
+    assert tail[9] == "doc_fingerprint", tail[9]
+    assert tail[10] == "jaccard_near_pairs", tail[10]
+    assert tail[13] == "sessionize", tail[13]
     # r6 additions lead the window
     assert window[0] == "bm25_retrieval_topk"
     assert window[1] == "doc_sliding_chunks"
-    assert window[2] == "decontaminate_ngram"
-    assert window[3] == "pii_redaction"
-    assert window[4] == "doc_importance_weights"
-    assert window[5] == "doc_lm_perplexity"
-    assert window[6] == "semdedup_embeddings"
-    assert window[7] == "llm_extract_kv"
-    assert window[8] == "grid_dag_units"
-    assert window[9] == "corpus_index_build"
-    assert window[10] == "ann_ivf_pq_topk"
-    assert window[11] == "search_cells_lookup"
-    assert window[12] == "ann_ivf_clustered_topk"
-    assert window[13] == "embedding_clustered_topk"
-    assert window[14] == "doc_repetition_quality"
-    assert window[15] == "exact_substring_spans"
-    assert window[16] == "corpus_mixture_sample"
-    assert window[17] == "pack_chunks"
+    assert window[2] == "hll_distinct_tokens"
+    assert window[3] == "decontaminate_ngram"
+    assert window[4] == "pii_redaction"
+    assert window[5] == "doc_importance_weights"
+    assert window[6] == "doc_lm_perplexity"
+    assert window[7] == "semdedup_embeddings"
+    assert window[8] == "llm_extract_kv"
+    assert window[9] == "grid_dag_units"
+    assert window[10] == "corpus_index_build"
+    assert window[11] == "ann_ivf_pq_topk"
+    assert window[12] == "search_cells_lookup"
+    assert window[13] == "ann_ivf_clustered_topk"
+    assert window[14] == "embedding_clustered_topk"
+    assert window[15] == "doc_repetition_quality"
+    assert window[16] == "exact_substring_spans"
+    assert window[17] == "corpus_mixture_sample"
+    assert window[18] == "pack_chunks"
     # the r5 tail returned to the window in full (no row sits out of
     # the driver window more than one consecutive round)
     for returned in ("ivf_lloyd_topk", "argmax_join", "content_concat",

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from yomitoku_spark.functions import sketch as SK
 from yomitoku_spark.functions import textstats as TS
 from yomitoku_spark.operators import curation as CUR
 from yomitoku_spark.operators import dedup as DD
@@ -906,6 +907,38 @@ SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
   CAST(LEAST(16, n - chunk_idx*12) AS BIGINT) AS chunk_tokens,
   array_to_string(t[chunk_idx*12 + 1 : chunk_idx*12 + 16], ' ') AS chunk_text
 FROM c
+"""
+
+
+def hll_distinct_tokens(spark, sf_dir):
+    """Portable mergeable HyperLogLog (functions/sketch.py): per-source
+    distinct-token estimate from a 256-register sketch (one
+    (group, bucket)-keyed exchange with map-side MAX combine — the
+    mergeable artifact Spark's approx_count_distinct can't persist),
+    integer fixed point end to end, with the exact distinct count
+    alongside so the estimate's error is visible in the row itself."""
+    d = t(spark, sf_dir, "documents")
+    occ = d.select(
+        "source", F.explode(TS.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    est = SK.hll_estimate(
+        SK.hll_registers(occ, F.col("tok"), ["source"]), ["source"]
+    )
+    exact = occ.groupBy("source").agg(
+        F.countDistinct("tok").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "source")
+
+
+SQL_HLL_DISTINCT = f"""
+WITH base AS (SELECT source, {_TOKS} AS t FROM documents),
+occ AS (SELECT source, t[i] AS tok
+        FROM base, unnest(range(1, len(t)+1)) AS u(i)),
+{SK.sql_hll_estimate('occ', 'source', 'tok')},
+ex AS (SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+       FROM occ GROUP BY source)
+SELECT h.source, h.n_nonzero, h.sum_rho, h.est_milli, ex.exact_distinct
+FROM hest h JOIN ex USING (source)
 """
 
 
@@ -3927,6 +3960,7 @@ QUERIES = {
     # --- new this round: never driver-checked ---
     "bm25_retrieval_topk": bm25_retrieval_topk,
     "doc_sliding_chunks": doc_sliding_chunks,
+    "hll_distinct_tokens": hll_distinct_tokens,
     "decontaminate_ngram": decontaminate_ngram,
     "pii_redaction": pii_redaction,
     "doc_importance_weights": doc_importance_weights,
@@ -3975,7 +4009,6 @@ QUERIES = {
     "doc_near_dup_clusters": doc_near_dup_clusters,
     "training_set_selection": training_set_selection,
     "corpus_build": corpus_build,
-    "doc_lang_id": doc_lang_id,
     "multimodal_features": multimodal_features,
     "multimodal_plan": multimodal_plan,
     # embedding_topk + ann_lsh_topk (driver-green r4+r5) yield their
@@ -3988,10 +4021,12 @@ QUERIES = {
     "ivf_scaled_topk": ivf_scaled_topk,
     # --- rotated out of the 50-row driver window (all driver-green at
     # least twice; hard-gated by tests/test_oracle_tail.py every run) ---
-    # minhash_lsh_pairs + simhash_pairs (driver-green r1-r5) yield
-    # their slots to the two late-r6 retrieval/chunking rows
+    # minhash_lsh_pairs + simhash_pairs + doc_lang_id (driver-green
+    # r1-r5) yield their slots to the three late-r6 retrieval/
+    # chunking/sketch rows
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_pairs": simhash_pairs,
+    "doc_lang_id": doc_lang_id,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
     "doc_fingerprint": doc_fingerprint,
@@ -4093,6 +4128,7 @@ ORACLE = {
     "doc_lm_perplexity": SQL_LM_PERPLEXITY,
     "bm25_retrieval_topk": SQL_BM25_TOPK,
     "doc_sliding_chunks": SQL_SLIDING_CHUNKS,
+    "hll_distinct_tokens": SQL_HLL_DISTINCT,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
