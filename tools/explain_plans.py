@@ -66,6 +66,22 @@ def main():
                          "vectors join once for the re-rank)",
                          plan_of(QUERIES[name](spark, SF))))
 
+    # BM25: query terms / df / corpus stats all broadcast — the only
+    # corpus-grain exchange is the postings aggregation
+    p = plan_of(QUERIES["bm25_retrieval_topk"](spark, SF))
+    assert p.count("BroadcastExchange") >= 3, "bm25 must broadcast the query side"
+    sections.append(("query: bm25_retrieval_topk (broadcast query terms/df/stats; "
+                     "one corpus-grain exchange at the postings agg)", p))
+
+    # sliding chunks: pure explode+project, zero shuffles
+    p = plan_of(QUERIES["doc_sliding_chunks"](spark, SF))
+    assert "Exchange" not in p, "sliding chunks must be shuffle-free"
+    sections.append(("query: doc_sliding_chunks (zero Exchange)", p))
+
+    sections.append(("query: hll_distinct_tokens (register agg with map-side "
+                     "MAX combine; register table <= 2^p rows/group)",
+                     plan_of(QUERIES["hll_distinct_tokens"](spark, SF))))
+
     for name in ["kv_items_geometric", "extract_scalar_cascade",
                  "extract_table_field", "jaccard_near_pairs",
                  "connected_components_labels", "grid_header_derivation",
