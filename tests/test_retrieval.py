@@ -51,8 +51,10 @@ def test_plog2_constant():
 @settings(max_examples=300, deadline=None)
 def test_plog2_bounds_and_monotone(x):
     v = _scalar_plog2(x)
-    # exact at powers of two; within 87 milli-bits of true log2 between
-    assert abs(v - 1000 * math.log2(x)) <= 87
+    # exact at powers of two; within ~86 milli-bits of true log2
+    # between them, plus up to 1 milli of floor quantization at each of
+    # the two integer divisions
+    assert abs(v - 1000 * math.log2(x)) <= 88
     if x > 1:
         assert _scalar_plog2(x - 1) <= v
 

@@ -321,3 +321,79 @@ def test_render_pdf_refuses_orphan_pages(spark, tmp_path):
     layer = SPDF.text_layer(containers, words)
     with _pytest.raises(ValueError, match="absent from"):
         SPDF.render_pdf(layer, {0: (800, 1000)}, str(tmp_path / "x.pdf"))
+
+
+def test_stream_hll_registers_equals_batch_sketch(spark, tmp_path):
+    """Streaming HLL register upgrades, max-folded over everything
+    emitted across a checkpointed restart, == the batch register table
+    over the full ingested set — so the streamed sketch's estimate is
+    bit-identical to the batch estimate."""
+    from pyspark.sql import functions as F
+
+    from yomitoku_spark.functions import sketch as SK
+
+    in_dir = str(tmp_path / "hll_in")
+    out_dir = str(tmp_path / "hll_out")
+    cp_dir = str(tmp_path / "hll_cp")
+
+    schema = "source string, tok string"
+    wave1 = spark.createDataFrame(
+        [("a", f"tok{i}") for i in range(60)] + [("b", "only")], schema
+    )
+    # wave 2: overlap (re-ingested tokens must not emit again) + growth
+    wave2 = spark.createDataFrame(
+        [("a", f"tok{i}") for i in range(40, 120)] + [("b", "only"), ("b", "two")],
+        schema,
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            ST.stream_hll_registers(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    wave1.coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    wave2.coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+
+    emitted = spark.read.parquet(out_dir)
+    streamed = {
+        (r.source, r.bucket): r.rho
+        for r in SK.hll_merge(emitted, ["source"]).collect()
+    }
+    batch = {
+        (r.source, r.bucket): r.rho
+        for r in SK.hll_registers(
+            wave1.unionByName(wave2), F.col("tok"), ["source"]
+        ).collect()
+    }
+    assert streamed == batch
+    # and the folded estimates agree bit for bit
+    se = {
+        tuple(r)
+        for r in SK.hll_estimate(
+            SK.hll_merge(emitted, ["source"]), ["source"]
+        ).collect()
+    }
+    be = {
+        tuple(r)
+        for r in SK.hll_estimate(
+            SK.hll_registers(
+                wave1.unionByName(wave2), F.col("tok"), ["source"]
+            ),
+            ["source"],
+        ).collect()
+    }
+    assert se == be

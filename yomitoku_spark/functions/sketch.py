@@ -50,15 +50,15 @@ ALPHA_MICRO = {8: 718273}
 LN2_MICRO = 693147  # ln(2) in micro units
 
 
-def hll_registers(
+def hll_bucket_rho(
     df: DataFrame,
     value: Column,
     group_cols: list[str],
     p: int = 8,
 ) -> DataFrame:
-    """Register table (group_cols..., bucket, rho) for the distinct
-    values of ``value`` within each group. Mergeable: union register
-    tables from any shards and pass through :func:`hll_merge`."""
+    """Stateless per-element (group_cols..., bucket, rho) rows — the
+    shared front half of the batch register build and the streaming
+    register state (`streaming.stream.stream_hll_registers`)."""
     m = 1 << p
     wbits = 60 - p
     # h DIV m must be integer division: h is up to 2^60 and a double
@@ -71,8 +71,20 @@ def hll_registers(
     rho = F.when(F.col("w") == 0, F.lit(wbits + 1)).otherwise(
         F.lit(wbits + 1) - F.length(F.bin(F.col("w")))
     )
+    return d.select(*group_cols, "bucket", rho.cast("bigint").alias("rho"))
+
+
+def hll_registers(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str],
+    p: int = 8,
+) -> DataFrame:
+    """Register table (group_cols..., bucket, rho) for the distinct
+    values of ``value`` within each group. Mergeable: union register
+    tables from any shards and pass through :func:`hll_merge`."""
     return (
-        d.select(*group_cols, "bucket", rho.cast("bigint").alias("rho"))
+        hll_bucket_rho(df, value, group_cols, p=p)
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("rho"))
     )

@@ -258,3 +258,51 @@ def stream_sessionize(events_stream: DataFrame, gap_sec: int = 3600) -> DataFram
     return events_stream.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_hll_registers(
+    values_stream: DataFrame,
+    value_col: str = "tok",
+    group_col: str = "source",
+    p: int = 8,
+) -> DataFrame:
+    """Streaming distinct-count sketch: per-(group, bucket) HLL
+    register state via ``applyInPandasWithState``, pinned to the batch
+    register rule (`functions.sketch.hll_registers`).
+
+    The stateless hash→(bucket, rho) front half is the SAME column
+    plan as the batch build (`sketch.hll_bucket_rho`); the stateful
+    half keeps one int (the register's running MAX rho) per occupied
+    (group, bucket) and emits a row only when a register RISES — so
+    max-folding everything emitted so far (`sketch.hll_merge`) equals
+    the batch register table over everything ingested so far, at any
+    point in the stream and across checkpointed restarts. State is
+    bounded by 2^p rows per group no matter how many values arrive —
+    the streaming analog of the map-side-combined register exchange.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from yomitoku_spark.functions.sketch import hll_bucket_rho
+
+    d = hll_bucket_rho(values_stream, F.col(value_col), [group_col], p=p)
+    out_schema = f"{group_col} string, bucket bigint, rho bigint"
+    state_schema = "rho bigint"
+
+    def fn(key, pdfs, state):
+        mx = -1
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, int(pdf["rho"].max()))
+        if mx < 0:
+            return
+        cur = int(state.get[0]) if state.exists else -1
+        if mx > cur:
+            state.update((mx,))
+            yield pd.DataFrame(
+                {group_col: [key[0]], "bucket": [int(key[1])], "rho": [mx]}
+            )
+
+    return d.groupBy(group_col, "bucket").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
