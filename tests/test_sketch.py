@@ -136,3 +136,74 @@ def test_register_table_is_bounded(spark):
         _values_df(spark, {"g": vals}), F.col("val"), ["grp"], p=P
     )
     assert regs.count() <= M
+
+
+# ---------------------------------------------------------------- count-min
+
+CM_D, CM_W = 4, 64  # narrow width so collisions actually occur in tests
+
+
+def _scalar_cm(values, probes, depth=CM_D, width=CM_W):
+    cells = {}
+    for v in values:
+        for j in range(depth):
+            b = _h60(f"{j}:{v}") % width
+            cells[(j, b)] = cells.get((j, b), 0) + 1
+    out = {}
+    for q in probes:
+        out[q] = min(
+            cells.get((j, _h60(f"{j}:{q}") % width), 0) for j in range(depth)
+        )
+    return out
+
+
+def test_cm_matches_scalar_and_overestimates(spark):
+    vals = [f"tok{i % 37}" for i in range(500)] + ["rare"]
+    probes = sorted({f"tok{i}" for i in range(37)} | {"rare", "absent"})
+    d = spark.createDataFrame([(v,) for v in vals], "tok string")
+    sk = SK.cm_build(d, F.col("tok"), [], depth=CM_D, width=CM_W)
+    p = spark.createDataFrame([(q,) for q in probes], "probe string")
+    got = {
+        r.probe: r.est
+        for r in SK.cm_query(sk, p, [], "probe", depth=CM_D, width=CM_W).collect()
+    }
+    assert got == _scalar_cm(vals, probes)
+    from collections import Counter
+
+    exact = Counter(vals)
+    assert all(got[q] >= exact.get(q, 0) for q in probes)  # never undercounts
+    assert got["absent"] >= 0
+
+
+def test_cm_merge_is_sum_over_shards(spark):
+    vals = [f"v{i % 50}" for i in range(400)]
+    whole = SK.cm_build(
+        spark.createDataFrame([(v,) for v in vals], "tok string"),
+        F.col("tok"),
+        [],
+        depth=CM_D,
+        width=CM_W,
+    )
+    s1 = SK.cm_build(
+        spark.createDataFrame([(v,) for v in vals[:150]], "tok string"),
+        F.col("tok"), [], depth=CM_D, width=CM_W,
+    )
+    s2 = SK.cm_build(
+        spark.createDataFrame([(v,) for v in vals[150:]], "tok string"),
+        F.col("tok"), [], depth=CM_D, width=CM_W,
+    )
+    merged = SK.cm_merge(s1.unionByName(s2), [])
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in whole.collect()
+    )
+
+
+def test_cm_exact_when_collision_free(spark):
+    """With a wide sketch and few values, every probe's 4 cells are
+    collision-free and the estimate equals the true count."""
+    vals = ["a"] * 5 + ["b"] * 3 + ["c"]
+    d = spark.createDataFrame([(v,) for v in vals], "tok string")
+    sk = SK.cm_build(d, F.col("tok"), [])
+    p = spark.createDataFrame([("a",), ("b",), ("c",)], "probe string")
+    got = {r.probe: r.est for r in SK.cm_query(sk, p, [], "probe").collect()}
+    assert got == {"a": 5, "b": 3, "c": 1}

@@ -1,4 +1,5 @@
-"""Portable mergeable HyperLogLog distinct-count sketch.
+"""Portable mergeable sketches: HyperLogLog distinct counting and a
+count-min frequency sketch (the latter at the end of the module).
 
 Spark ships ``approx_count_distinct``, but its register state is
 engine-internal: you cannot persist it, merge sketches built by
@@ -182,3 +183,103 @@ hest AS (SELECT {group_col}, n_nonzero, sum_rho,
   CAST(CASE WHEN n_nonzero < {m} AND ({raw}) <= {2500 * m}
        THEN ({lc}) ELSE ({raw}) END AS BIGINT) AS est_milli
   FROM hagg)"""
+
+
+# ------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan 2005): mergeable frequency
+# sketch — d salted hash rows × w buckets of BIGINT counters. Same
+# design goals as the HLL above: the table is the artifact (d·w rows
+# per group, merges by SUM across shards/streams), every number is a
+# BIGINT, and the DuckDB referee replays build→query bit for bit.
+# Point estimates are upper bounds: est >= true count always, with
+# overestimate ~ 2·N/w at confidence 1 - (1/2)^d.
+# ------------------------------------------------------------------
+
+
+def cm_build(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str],
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min table (group_cols..., row, bucket, cnt) over the
+    occurrences of ``value``. ONE exchange keyed (group, row, bucket)
+    with map-side partial SUM; the depth-fold explode happens before
+    the combine, so the shuffle still moves ≤ depth·width rows per
+    group per task."""
+    d = df.select(*group_cols, value.alias("v")).withColumn(
+        "row", F.explode(F.array(*[F.lit(j) for j in range(depth)]))
+    )
+    bucket = (
+        hash64(F.concat_ws(":", F.col("row").cast("string"), F.col("v"))) % width
+    )
+    return (
+        d.select(*group_cols, "row", bucket.cast("bigint").alias("bucket"))
+        .groupBy(*group_cols, "row", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cm_merge(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge count-min tables from shards/streams: per-cell SUM —
+    associative and commutative (NOT idempotent: shards must
+    partition the data, unlike the HLL MAX)."""
+    return sketch.groupBy(*group_cols, "row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cm_query(
+    sketch: DataFrame,
+    probes: DataFrame,
+    group_cols: list[str],
+    probe_col: str = "probe",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate the count of each probe value: min over the d
+    rows of the probe's bucket counter (absent cell → 0). The sketch
+    (≤ depth·width rows per group by construction) is broadcast to the
+    probe side, so neither input re-shuffles for the lookup. (A right
+    outer join with a broadcast probe build side is unsupported —
+    Spark silently drops that hint and falls back to a shuffle.)"""
+    p = probes.select(*group_cols, F.col(probe_col)).withColumn(
+        "row", F.explode(F.array(*[F.lit(j) for j in range(depth)]))
+    )
+    bucket = (
+        hash64(F.concat_ws(":", F.col("row").cast("string"), F.col(probe_col)))
+        % width
+    )
+    p = p.select(*group_cols, probe_col, "row", bucket.cast("bigint").alias("bucket"))
+    joined = p.join(F.broadcast(sketch), [*group_cols, "row", "bucket"], "left")
+    return joined.groupBy(*group_cols, probe_col).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est")
+    )
+
+
+def sql_cm_estimate(
+    occ: str,
+    probe_src: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> str:
+    """DuckDB twin of cm_build + cm_query (no group column): ``occ``
+    must expose a ``tok`` column (one row per occurrence), ``probe_src``
+    a distinct ``probe`` column. Yields CTE ``cmest(probe, est)``."""
+    rows = "[" + ",".join(str(j) for j in range(depth)) + "]"
+
+    def h(row: str, v: str) -> str:
+        return (
+            f"('0x' || substr(md5(CAST({row} AS VARCHAR) || ':' || {v}), "
+            f"1, 15))::BIGINT"
+        )
+
+    return f"""
+cmcells AS (SELECT j AS row_, tok FROM {occ}, unnest({rows}) AS r(j)),
+cmsk AS (SELECT row_, {h('row_', 'tok')} % {width} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt FROM cmcells GROUP BY 1, 2),
+cmpc AS (SELECT probe, j AS row_, {h('j', 'probe')} % {width} AS bucket
+         FROM {probe_src}, unnest({rows}) AS r(j)),
+cmest AS (SELECT probe, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est
+          FROM cmpc LEFT JOIN cmsk USING (row_, bucket) GROUP BY probe)"""

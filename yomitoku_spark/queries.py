@@ -942,6 +942,44 @@ FROM hest h JOIN ex USING (source)
 """
 
 
+def cmsketch_token_counts(spark, sf_dir):
+    """Count-min frequency sketch (functions/sketch.py, Cormode &
+    Muthukrishnan 2005): 4×1024 BIGINT counters built in one map-side-
+    combined exchange, probed for every 101st document's distinct
+    tokens, with the exact occurrence count alongside (est >= exact is
+    the sketch's guarantee; equality when the probe's 4 cells are
+    collision-free). The sketch table merges across shards by SUM —
+    pytest pins the merge law."""
+    d = t(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", F.explode(TS.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    sk = SK.cm_build(occ, F.col("tok"), [])
+    probes = (
+        occ.filter(F.col("doc_id") % 101 == 7)
+        .select(F.col("tok").alias("probe"))
+        .distinct()
+    )
+    est = SK.cm_query(sk, probes, [], "probe")
+    exact = occ.groupBy(F.col("tok").alias("probe")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    return est.join(exact, "probe")
+
+
+SQL_CM_TOKEN_COUNTS = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+occ AS (SELECT doc_id, t[i] AS tok
+        FROM base, unnest(range(1, len(t)+1)) AS u(i)),
+probes AS (SELECT DISTINCT tok AS probe FROM occ WHERE doc_id % 101 = 7),
+{SK.sql_cm_estimate('occ', 'probes')},
+ex AS (SELECT tok AS probe, CAST(COUNT(*) AS BIGINT) AS exact_count
+       FROM occ GROUP BY tok)
+SELECT e.probe, e.est, x.exact_count
+FROM cmest e JOIN ex x USING (probe)
+"""
+
+
 def markdown_escape(spark, sf_dir):
     """Markdown escaping (§2.7; reference export_markdown.py:7-9)."""
     d = t(spark, sf_dir, "documents")
@@ -4056,6 +4094,10 @@ QUERIES = {
     "search_cells_adjacent": search_cells_adjacent,
     "kv_dict_view": kv_dict_view,
     "grid_row_dicts": grid_row_dicts,
+    # cmsketch (latest r6 addition) starts in the hard-gated tail —
+    # the window was already full of never-driver-checked rows; it
+    # rotates into the driver window in r7
+    "cmsketch_token_counts": cmsketch_token_counts,
 }
 
 ORACLE = {
@@ -4129,6 +4171,7 @@ ORACLE = {
     "bm25_retrieval_topk": SQL_BM25_TOPK,
     "doc_sliding_chunks": SQL_SLIDING_CHUNKS,
     "hll_distinct_tokens": SQL_HLL_DISTINCT,
+    "cmsketch_token_counts": SQL_CM_TOKEN_COUNTS,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
