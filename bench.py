@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "doc_sliding_chunks",
     "hll_distinct_tokens",
     "cmsketch_token_counts",
+    "bloom_token_membership",
     # split_words_across_cells is deliberately NOT benched: its ~15
     # AQE query stages cost ~0.4 s codegen/scheduling EACH on the tiny
     # corpus (pure fixed overhead, amortized at real scale) — the row

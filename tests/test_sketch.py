@@ -207,3 +207,103 @@ def test_cm_exact_when_collision_free(spark):
     p = spark.createDataFrame([("a",), ("b",), ("c",)], "probe string")
     got = {r.probe: r.est for r in SK.cm_query(sk, p, [], "probe").collect()}
     assert got == {"a": 5, "b": 3, "c": 1}
+
+
+# ---------------------------------------------------------------- bloom
+
+BL_M, BL_K = 256, 3  # narrow filter so false positives actually occur
+
+
+def _scalar_bloom(members, probes, m_bits=BL_M, k=BL_K):
+    bits = set()
+    for v in members:
+        for j in range(k):
+            bits.add(_h60(f"{j}:{v}") % m_bits)
+    return {
+        q: int(all(_h60(f"{j}:{q}") % m_bits in bits for j in range(k)))
+        for q in probes
+    }
+
+
+def test_bloom_matches_scalar_and_never_false_negative(spark):
+    members = [f"m{i}" for i in range(60)]
+    probes = members[:10] + [f"x{i}" for i in range(40)]
+    md = spark.createDataFrame([(v,) for v in members], "tok string")
+    sk = SK.bloom_build(md, F.col("tok"), [], m_bits=BL_M, k=BL_K)
+    p = spark.createDataFrame([(q,) for q in sorted(set(probes))], "probe string")
+    got = {
+        r.probe: r.contains
+        for r in SK.bloom_contains(sk, p, [], "probe", m_bits=BL_M, k=BL_K).collect()
+    }
+    assert got == _scalar_bloom(members, sorted(set(probes)))
+    assert all(got[m] == 1 for m in members[:10])  # no false negatives
+    # with 60*3 hashes into 256 bits some x-probe should be a true
+    # negative AND the scalar referee already pins any false positives
+    assert any(got[f"x{i}"] == 0 for i in range(40))
+
+
+def test_bloom_merge_is_idempotent_union(spark):
+    members = [f"v{i}" for i in range(50)]
+    whole = SK.bloom_build(
+        spark.createDataFrame([(v,) for v in members], "tok string"),
+        F.col("tok"), [], m_bits=BL_M, k=BL_K,
+    )
+    # overlapping shards: idempotence means overlap is harmless
+    s1 = SK.bloom_build(
+        spark.createDataFrame([(v,) for v in members[:35]], "tok string"),
+        F.col("tok"), [], m_bits=BL_M, k=BL_K,
+    )
+    s2 = SK.bloom_build(
+        spark.createDataFrame([(v,) for v in members[20:]], "tok string"),
+        F.col("tok"), [], m_bits=BL_M, k=BL_K,
+    )
+    merged = SK.bloom_merge(s1.unionByName(s2), [])
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in whole.collect()
+    )
+
+
+def test_bloom_table_is_bounded(spark):
+    vals = [f"t{i}" for i in range(5000)]
+    sk = SK.bloom_build(
+        spark.createDataFrame([(v,) for v in vals], "tok string"),
+        F.col("tok"), [], m_bits=BL_M, k=BL_K,
+    )
+    assert sk.count() <= BL_M // 32
+
+
+def test_bloom_pack_test_equals_build_contains(spark):
+    members = [f"m{i}" for i in range(60)]
+    md = spark.createDataFrame([(v,) for v in members], "tok string")
+    sk = SK.bloom_build(md, F.col("tok"), [], m_bits=BL_M, k=BL_K)
+    probes = spark.createDataFrame(
+        [(f"m{i}",) for i in range(10)] + [(f"x{i}",) for i in range(40)],
+        "probe string",
+    )
+    via_join = {
+        r.probe: r.contains
+        for r in SK.bloom_contains(
+            sk, probes, [], "probe", m_bits=BL_M, k=BL_K
+        ).collect()
+    }
+    packed = SK.bloom_pack(sk)
+    via_expr = {
+        r.probe: r.hit
+        for r in probes.crossJoin(F.broadcast(packed))
+        .withColumn("hit", SK.bloom_test(F.col("probe"), m_bits=BL_M, k=BL_K))
+        .collect()
+    }
+    assert via_expr == via_join
+    # empty filter: the packed map is empty, every probe misses
+    empty = SK.bloom_pack(
+        SK.bloom_build(
+            md.filter(F.lit(False)), F.col("tok"), [], m_bits=BL_M, k=BL_K
+        )
+    )
+    misses = (
+        probes.crossJoin(F.broadcast(empty))
+        .withColumn("hit", SK.bloom_test(F.col("probe"), m_bits=BL_M, k=BL_K))
+        .agg(F.sum("hit"))
+        .first()[0]
+    )
+    assert misses == 0

@@ -82,6 +82,17 @@ def main():
                      "MAX combine; register table <= 2^p rows/group)",
                      plan_of(QUERIES["hll_distinct_tokens"](spark, SF))))
 
+    # count-min / bloom: the sketch table (bounded by construction)
+    # must be BROADCAST for the probe lookup — the probe/corpus side
+    # never shuffles to meet it
+    for name, what in [
+        ("cmsketch_token_counts", "4x1024 counter table broadcast"),
+        ("bloom_token_membership", "256-word packed-bit filter broadcast"),
+    ]:
+        p = plan_of(QUERIES[name](spark, SF))
+        assert "BroadcastExchange" in p, f"{name}: sketch must broadcast"
+        sections.append((f"query: {name} ({what}; no lookup shuffle)", p))
+
     for name in ["kv_items_geometric", "extract_scalar_cascade",
                  "extract_table_field", "jaccard_near_pairs",
                  "connected_components_labels", "grid_header_derivation",

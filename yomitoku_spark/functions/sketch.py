@@ -283,3 +283,162 @@ cmpc AS (SELECT probe, j AS row_, {h('j', 'probe')} % {width} AS bucket
          FROM {probe_src}, unnest({rows}) AS r(j)),
 cmest AS (SELECT probe, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est
           FROM cmpc LEFT JOIN cmsk USING (row_, bucket) GROUP BY probe)"""
+
+
+# ------------------------------------------------------------------
+# Bloom membership filter (Bloom 1970): the broadcast-decontamination
+# primitive — build a packed bit table over a (small) reference set,
+# merge shards with bit_or, probe a (huge) corpus side with NO
+# corpus-grain join shuffle. k salted hashes set k of m bits; a probe
+# is "present" iff all k bits are set. No false negatives ever;
+# false-positive rate ~ (1 - e^{-kn/m})^k. Bits are packed 32 per
+# BIGINT word, so the artifact is <= m/32 rows per group — at the
+# default m = 8192 that is 256 rows, broadcastable to any corpus size.
+# ------------------------------------------------------------------
+
+_BLOOM_WPB = 32  # bits packed per word (BIGINT masks stay positive)
+
+
+def _bloom_cells(src: DataFrame, col: str, m_bits: int, k: int):
+    """(word, mask) cell coordinates for each value of ``col``."""
+    d = src.withColumn("j", F.explode(F.array(*[F.lit(j) for j in range(k)])))
+    bit = (
+        hash64(F.concat_ws(":", F.col("j").cast("string"), F.col(col)))
+        % m_bits
+    )
+    return d.withColumn("bit", bit.cast("bigint")).select(
+        *src.columns,
+        F.expr(f"bit DIV {_BLOOM_WPB}").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {_BLOOM_WPB} AS INT))"
+        ).alias("mask"),
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str],
+    m_bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Packed Bloom bit table (group_cols..., word, bits) over the
+    values of ``value``. ONE exchange keyed (group, word) with a
+    map-side partial bit_or, so the shuffle moves <= m_bits/32 rows
+    per group per task regardless of input size."""
+    src = df.select(*group_cols, value.alias("v"))
+    cells = _bloom_cells(src, "v", m_bits, k)
+    return (
+        cells.groupBy(*group_cols, "word")
+        .agg(F.bit_or("mask").cast("bigint").alias("bits"))
+    )
+
+
+def bloom_merge(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge Bloom tables from shards/streams: per-word bit_or —
+    associative, commutative AND idempotent (set union, like the HLL
+    MAX; shards may overlap freely, unlike the count-min SUM)."""
+    return sketch.groupBy(*group_cols, "word").agg(
+        F.bit_or("bits").cast("bigint").alias("bits")
+    )
+
+
+def bloom_contains(
+    sketch: DataFrame,
+    probes: DataFrame,
+    group_cols: list[str],
+    probe_col: str = "probe",
+    m_bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Probe membership: 1 iff all k of the probe's bits are set.
+    The sketch (<= m_bits/32 rows per group) is broadcast, so the
+    probe side — the 100 TB side in a decontamination pass — never
+    shuffles for the lookup."""
+    src = probes.select(*group_cols, F.col(probe_col))
+    cells = _bloom_cells(src, probe_col, m_bits, k)
+    joined = cells.join(F.broadcast(sketch), [*group_cols, "word"], "left")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+        == F.col("mask")
+    )
+    return joined.groupBy(*group_cols, probe_col).agg(
+        F.min(hit.cast("bigint")).alias("contains")
+    )
+
+
+def sql_bloom_contains(
+    member_src: str,
+    probe_src: str,
+    m_bits: int = 8192,
+    k: int = 3,
+) -> str:
+    """DuckDB twin of bloom_build + bloom_contains (no group column):
+    ``member_src`` must expose a ``tok`` column, ``probe_src`` a
+    distinct ``probe`` column. Yields CTE ``blest(probe, contains)``."""
+    js = "[" + ",".join(str(j) for j in range(k)) + "]"
+
+    def h(row: str, v: str) -> str:
+        return (
+            f"('0x' || substr(md5(CAST({row} AS VARCHAR) || ':' || {v}), "
+            f"1, 15))::BIGINT"
+        )
+
+    w = _BLOOM_WPB
+    return f"""
+blmb AS (SELECT {h('j', 'tok')} % {m_bits} AS bit
+         FROM {member_src}, unnest({js}) AS r(j)),
+blsk AS (SELECT bit // {w} AS word,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(bit % {w} AS INT)) AS BIGINT)
+           AS bits FROM blmb GROUP BY 1),
+blpc AS (SELECT probe, {h('j', 'probe')} % {m_bits} AS bit
+         FROM {probe_src}, unnest({js}) AS r(j)),
+blest AS (SELECT probe, CAST(MIN(CASE WHEN
+            (COALESCE(bits, 0) & (CAST(1 AS BIGINT) << CAST(bit % {w} AS INT)))
+            = (CAST(1 AS BIGINT) << CAST(bit % {w} AS INT))
+          THEN 1 ELSE 0 END) AS BIGINT) AS contains
+          FROM blpc LEFT JOIN blsk ON blsk.word = blpc.bit // {w}
+          GROUP BY probe)"""
+
+
+def bloom_pack(sketch: DataFrame) -> DataFrame:
+    """Fold a (word, bits) Bloom table (no group cols) into ONE row
+    holding ``bloom: map<bigint, bigint>``. crossJoin-broadcast this
+    single row against the probe side and test with
+    :func:`bloom_test` — a MAP-ONLY membership check: no per-probe
+    explode, no lookup join at cell grain, no aggregation. This is
+    the shape a 100 TB decontamination pass wants: the corpus scan
+    stays embarrassingly parallel and the filter rides along as one
+    broadcast row."""
+    return sketch.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("word", "bits")))
+        ).alias("bloom")
+    )
+
+
+def bloom_test(
+    value: Column,
+    m_bits: int = 8192,
+    k: int = 3,
+    map_col: str = "bloom",
+) -> Column:
+    """Pure column-expression Bloom membership test against a packed
+    ``map_col`` produced by :func:`bloom_pack` (crossJoined onto the
+    probe rows): 1 iff all ``k`` salted bits are set. Bit coordinates
+    are identical to :func:`_bloom_cells`, so pack+test equals
+    build+contains bit for bit."""
+    test = F.lit(True)
+    for j in range(k):
+        bit = (hash64(F.concat_ws(":", F.lit(str(j)), value)) % m_bits).cast(
+            "bigint"
+        )
+        word = F.floor(bit / _BLOOM_WPB).cast("bigint")  # bit < m_bits: exact
+        mask = F.call_function(  # F.shiftleft only takes a literal count
+            "shiftleft", F.lit(1).cast("bigint"), (bit % _BLOOM_WPB).cast("int")
+        )
+        looked = F.coalesce(
+            F.element_at(F.col(map_col), word), F.lit(0).cast("bigint")
+        )
+        test = test & (looked.bitwiseAND(mask) == mask)
+    return test.cast("bigint")

@@ -980,6 +980,53 @@ FROM cmest e JOIN ex x USING (probe)
 """
 
 
+def bloom_token_membership(spark, sf_dir):
+    """Bloom membership filter (functions/sketch.py, Bloom 1970): the
+    broadcast-decontamination primitive. Builds an 8192-bit packed
+    filter (256 BIGINT words, one map-side-combined bit_or exchange)
+    over the tokens of the "eval" docs (doc_id % 7 == 3), then probes
+    every distinct corpus token with the filter broadcast — the corpus
+    side never shuffles for the lookup, which is the whole point at
+    100 TB. Exact membership rides alongside: contains >= exact_member
+    always (no false negatives); pytest pins the merge-idempotence and
+    no-false-negative laws."""
+    d = t(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", F.explode(TS.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    members = occ.filter(F.col("doc_id") % 7 == 3)
+    sk = SK.bloom_build(members, F.col("tok"), [])
+    probes = occ.select(F.col("tok").alias("probe")).distinct()
+    got = SK.bloom_contains(sk, probes, [], "probe")
+    exact = (
+        members.select(F.col("tok").alias("probe"))
+        .distinct()
+        .withColumn("exact_member", F.lit(1).cast("bigint"))
+    )
+    return got.join(exact, "probe", "left").select(
+        "probe",
+        "contains",
+        F.coalesce("exact_member", F.lit(0)).cast("bigint").alias(
+            "exact_member"
+        ),
+    )
+
+
+SQL_BLOOM_MEMBERSHIP = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+occ AS (SELECT doc_id, t[i] AS tok
+        FROM base, unnest(range(1, len(t)+1)) AS u(i)),
+members AS (SELECT tok FROM occ WHERE doc_id % 7 = 3),
+probes AS (SELECT DISTINCT tok AS probe FROM occ),
+{{bloom_frag}},
+ex AS (SELECT DISTINCT tok AS probe FROM occ WHERE doc_id % 7 = 3)
+SELECT b.probe, b.contains,
+       CAST(CASE WHEN e.probe IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS exact_member
+FROM blest b LEFT JOIN ex e USING (probe)
+""".replace("{bloom_frag}", SK.sql_bloom_contains("members", "probes"))
+
+
 def markdown_escape(spark, sf_dir):
     """Markdown escaping (§2.7; reference export_markdown.py:7-9)."""
     d = t(spark, sf_dir, "documents")
@@ -4094,10 +4141,11 @@ QUERIES = {
     "search_cells_adjacent": search_cells_adjacent,
     "kv_dict_view": kv_dict_view,
     "grid_row_dicts": grid_row_dicts,
-    # cmsketch (latest r6 addition) starts in the hard-gated tail —
-    # the window was already full of never-driver-checked rows; it
-    # rotates into the driver window in r7
+    # cmsketch/bloom (latest r6 additions) start in the hard-gated
+    # tail — the window was already full of never-driver-checked rows;
+    # they rotate into the driver window in r7
     "cmsketch_token_counts": cmsketch_token_counts,
+    "bloom_token_membership": bloom_token_membership,
 }
 
 ORACLE = {
@@ -4172,6 +4220,7 @@ ORACLE = {
     "doc_sliding_chunks": SQL_SLIDING_CHUNKS,
     "hll_distinct_tokens": SQL_HLL_DISTINCT,
     "cmsketch_token_counts": SQL_CM_TOKEN_COUNTS,
+    "bloom_token_membership": SQL_BLOOM_MEMBERSHIP,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
