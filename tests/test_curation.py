@@ -466,3 +466,82 @@ def test_lm_perplexity_short_docs_zero(spark):
     assert got[2]["n_bigrams"] == 0 and got[2]["bits_milli"] == 0
     assert got[3]["n_bigrams"] == 1
     assert got[1]["keep"] == 1  # empty docs pass the threshold trivially
+
+
+# ------------------------------------------------------- bloom decontaminate
+
+
+def _scalar_decontaminate_bloom(docs, k, eval_permille, m_bits, n_hashes):
+    """Stdlib referee for CUR.decontaminate_bloom: replay the Bloom
+    bits with the portable 60-bit md5 hash and the exact counts."""
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = {i: _toks(t) for i, t, _ in docs}
+    grams = {
+        i: [" ".join(t[p : p + k]) for p in range(len(t) - k + 1)]
+        for i, t in toks.items()
+    }
+    is_eval = {i: _b1000(i) < eval_permille for i in toks}
+    mem = {g for i, gs in grams.items() if is_eval[i] for g in gs}
+    bits = {
+        h60(f"{j}:{g}") % m_bits for g in mem for j in range(n_hashes)
+    }
+    out = {}
+    for i, gs in grams.items():
+        if is_eval[i]:
+            continue
+        bloom = sum(
+            1
+            for g in gs
+            if all(h60(f"{j}:{g}") % m_bits in bits for j in range(n_hashes))
+        )
+        exact = sum(1 for g in gs if g in mem)
+        out[i] = {
+            "n_tokens": len(toks[i]),
+            "bloom_gram_hits": bloom,
+            "eval_gram_hits": exact,
+            "contaminated_bloom": 1 if bloom else 0,
+            "contaminated": 1 if exact else 0,
+        }
+    return out
+
+
+@pytest.mark.parametrize("m_bits,n_hashes", [(64, 2), (65536, 3)])
+def test_decontaminate_bloom_matches_scalar_referee(spark, m_bits, n_hashes):
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in CUR.decontaminate_bloom(
+            _df(spark), k=3, eval_permille=500, m_bits=m_bits, n_hashes=n_hashes
+        ).collect()
+    }
+    want = _scalar_decontaminate_bloom(DOCS, 3, 500, m_bits, n_hashes)
+    assert got == {i: {"doc_id": i, **w} for i, w in want.items()}
+    # Bloom law: never a false negative, at any width
+    for i in got:
+        assert got[i]["bloom_gram_hits"] >= got[i]["eval_gram_hits"]
+        assert got[i]["contaminated_bloom"] >= got[i]["contaminated"]
+
+
+def test_decontaminate_bloom_narrow_width_overflags(spark):
+    # 64 bits for ~25 eval 2-grams saturates the filter: false
+    # positives MUST appear (over-flagging, the conservative failure
+    # mode), while exact columns stay identical to the exact variant
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in CUR.decontaminate_bloom(
+            _df(spark), k=2, eval_permille=500, m_bits=64, n_hashes=2
+        ).collect()
+    }
+    exact = {
+        r["doc_id"]: r.asDict()
+        for r in CUR.decontaminate(_df(spark), k=2, eval_permille=500).collect()
+    }
+    assert set(rows) == set(exact)
+    for i in rows:
+        assert rows[i]["eval_gram_hits"] == exact[i]["eval_gram_hits"]
+        assert rows[i]["contaminated"] == exact[i]["contaminated"]
+    assert any(
+        rows[i]["bloom_gram_hits"] > rows[i]["eval_gram_hits"] for i in rows
+    ), "narrow filter should produce false positives"

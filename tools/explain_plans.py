@@ -93,6 +93,16 @@ def main():
         assert "BroadcastExchange" in p, f"{name}: sketch must broadcast"
         sections.append((f"query: {name} ({what}; no lookup shuffle)", p))
 
+    # bloom decontamination: the packed one-row filter rides a
+    # broadcast nested-loop cross join; the training probe is a pure
+    # column expression — no gram-grain sort-merge join anywhere
+    p = plan_of(QUERIES["decontaminate_bloom"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p, "packed filter must cross-broadcast"
+    assert "SortMergeJoin" not in p, "probe must not shuffle on gram"
+    sections.append(
+        ("query: decontaminate_bloom (one-row packed filter broadcast; "
+         "map-only probe)", p))
+
     for name in ["kv_items_geometric", "extract_scalar_cascade",
                  "extract_table_field", "jaccard_near_pairs",
                  "connected_components_labels", "grid_header_derivation",

@@ -366,6 +366,88 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    df: DataFrame,
+    k: int = 8,
+    eval_permille: int = 20,
+    m_bits: int = 65536,
+    n_hashes: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scale path of :func:`decontaminate`: the eval k-gram set is
+    compressed into a packed Bloom filter (functions/sketch.py) and
+    the TRAINING side probes it as a pure column expression against
+    one crossJoin-broadcast row — no gram-grain semi join, no
+    per-probe explode, no lookup aggregation. At 100 TB this is the
+    move that matters: the exact variant must either broadcast an
+    uncompressed distinct-gram table (eval grams × ~20 bytes) or
+    shuffle the corpus on gram hash, while the Bloom pass ships
+    ``m_bits/8`` bytes (8 KiB at the 65536-bit default) and the
+    corpus scan stays map-only until the final doc-grain fold.
+
+    The Bloom guarantee is exactly the conservative direction a
+    scrub wants: NO false negatives (every truly contaminated doc is
+    flagged), false positives ~ (1-e^{-kn/m})^k over-flag. The exact
+    hit count rides alongside so the superset law
+    ``bloom_gram_hits >= eval_gram_hits`` (and
+    ``contaminated_bloom >= contaminated``) is visible in-row.
+    """
+    from yomitoku_spark.functions import sketch as SK
+
+    t = tokens(F.lower(F.col(text_col)))
+    is_eval = (hash64(F.col(id_col).cast("string")) % 1000) < eval_permille
+    base = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        t.alias("t"),
+        is_eval.alias("is_eval"),
+    )
+    occ = base.select(
+        id_col, "is_eval", F.posexplode(_grams(F.col("t"), k)).alias("i0", "gram")
+    ).select(id_col, "is_eval", (F.col("i0") + 1).alias("pos"), "gram")
+    members = occ.filter(F.col("is_eval"))
+    packed = SK.bloom_pack(
+        SK.bloom_build(members, F.col("gram"), [], m_bits=m_bits, k=n_hashes)
+    )
+    train = occ.filter(~F.col("is_eval"))
+    probed = train.crossJoin(F.broadcast(packed)).withColumn(
+        "bloom_hit", SK.bloom_test(F.col("gram"), m_bits=m_bits, k=n_hashes)
+    )
+    eval_grams = members.select("gram").distinct()
+    exact = (
+        train.join(eval_grams, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("eval_gram_hits"))
+    )
+    bloom = (
+        probed.groupBy(id_col)
+        .agg(F.sum("bloom_hit").cast("bigint").alias("bloom_gram_hits"))
+    )
+    return (
+        base.filter(~F.col("is_eval"))
+        .select(id_col, "n_tokens")
+        .join(bloom, id_col, "left")
+        .join(exact, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("bloom_gram_hits", F.lit(0)).cast("bigint").alias(
+                "bloom_gram_hits"
+            ),
+            F.coalesce("eval_gram_hits", F.lit(0)).cast("bigint").alias(
+                "eval_gram_hits"
+            ),
+            (F.coalesce("bloom_gram_hits", F.lit(0)) > 0).cast("bigint").alias(
+                "contaminated_bloom"
+            ),
+            (F.coalesce("eval_gram_hits", F.lit(0)) > 0).cast("bigint").alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 # PII patterns: deliberately restricted to constructs whose matched
 # language AND leftmost-first semantics are identical in Java regex
 # (Spark) and RE2 (DuckDB): literal classes, bounded repeats, \b, \d

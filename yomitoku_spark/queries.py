@@ -703,6 +703,64 @@ FROM base b LEFT JOIN cov c USING (doc_id) WHERE NOT b.is_eval
 """
 
 
+def decontaminate_bloom(spark, sf_dir):
+    """Scale path of decontaminate_ngram (operators/curation.py): the
+    eval 8-gram set is packed into a 65536-bit Bloom filter (8 KiB,
+    one map-side-combined bit_or exchange) and the TRAINING side
+    probes it as a pure column expression against one
+    crossJoin-broadcast row — no gram-grain semi join, no per-probe
+    explode, no lookup aggregation; the corpus scan stays map-only
+    until the doc-grain fold. No false negatives (Bloom law), so
+    bloom_gram_hits >= eval_gram_hits and contaminated_bloom >=
+    contaminated — the exact counts ride alongside to make the
+    superset guarantee visible in-row; the referee replays the
+    filter's bits in DuckDB."""
+    return CUR.decontaminate_bloom(
+        t(spark, sf_dir, "documents"), k=8, eval_permille=20,
+        m_bits=65536, n_hashes=3,
+    )
+
+
+SQL_DECONTAM_BLOOM = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS t, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000) < 20
+         AS is_eval
+      FROM documents),
+occ AS (SELECT doc_id, is_eval, i AS pos, array_to_string(t[i:i+7], ' ') AS gram
+        FROM base, unnest(range(1, greatest(len(t)-7, 0)+1)) AS u(i)),
+mem AS (SELECT DISTINCT gram FROM occ WHERE is_eval),
+cells AS (SELECT ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || gram), 1, 15))::BIGINT
+                   % 65536 AS bit
+          FROM mem, unnest([0,1,2]) AS r(j)),
+words AS (SELECT bit // 32 AS word,
+          CAST(bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS BIGINT) AS bits
+          FROM cells GROUP BY 1),
+train AS (SELECT doc_id, pos, gram FROM occ WHERE NOT is_eval),
+pc AS (SELECT doc_id, pos, gram,
+              ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || gram), 1, 15))::BIGINT
+                % 65536 AS bit
+       FROM train, unnest([0,1,2]) AS r(j)),
+hit AS (SELECT doc_id, pos,
+        MIN(CASE WHEN (COALESCE(bits, 0) & (CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)))
+                      = (CAST(1 AS BIGINT) << CAST(bit % 32 AS INT))
+                 THEN 1 ELSE 0 END) AS h
+        FROM pc LEFT JOIN words ON words.word = pc.bit // 32
+        GROUP BY doc_id, pos),
+bh AS (SELECT doc_id, CAST(SUM(h) AS BIGINT) AS bloom_gram_hits FROM hit GROUP BY doc_id),
+eh AS (SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS eval_gram_hits
+       FROM train tr JOIN mem USING (gram) GROUP BY tr.doc_id)
+SELECT b.doc_id, b.n_tokens,
+  CAST(COALESCE(bh.bloom_gram_hits, 0) AS BIGINT) AS bloom_gram_hits,
+  CAST(COALESCE(eh.eval_gram_hits, 0) AS BIGINT) AS eval_gram_hits,
+  CAST(CASE WHEN COALESCE(bh.bloom_gram_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS contaminated_bloom,
+  CAST(CASE WHEN COALESCE(eh.eval_gram_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS contaminated
+FROM base b LEFT JOIN bh USING (doc_id) LEFT JOIN eh USING (doc_id)
+WHERE NOT b.is_eval
+"""
+
+
 def pii_redaction(spark, sf_dir):
     """PII scrub with typed placeholders: the documents text gets a
     deterministic synthesized contact line (email + IPv4 + dashed
@@ -4146,6 +4204,7 @@ QUERIES = {
     # they rotate into the driver window in r7
     "cmsketch_token_counts": cmsketch_token_counts,
     "bloom_token_membership": bloom_token_membership,
+    "decontaminate_bloom": decontaminate_bloom,
 }
 
 ORACLE = {
@@ -4221,6 +4280,7 @@ ORACLE = {
     "hll_distinct_tokens": SQL_HLL_DISTINCT,
     "cmsketch_token_counts": SQL_CM_TOKEN_COUNTS,
     "bloom_token_membership": SQL_BLOOM_MEMBERSHIP,
+    "decontaminate_bloom": SQL_DECONTAM_BLOOM,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
