@@ -307,3 +307,109 @@ def test_bloom_pack_test_equals_build_contains(spark):
         .first()[0]
     )
     assert misses == 0
+
+
+# ------------------------------------------------------- quantile sketch
+
+QS = 4  # narrow sub-bucket width so approximation is actually exercised
+
+
+def _q_bucket(v, s=QS):
+    v = max(v, 1)
+    sh = max(v.bit_length() - s - 1, 0)
+    return sh * (1 << s) + (v >> sh)
+
+
+def _q_mid(b, s=QS):
+    if b < (1 << (s + 1)):
+        return b
+    sh = b // (1 << s) - 1
+    m = b - sh * (1 << s)
+    return ((m << sh) + ((m + 1) << sh) - 1) // 2
+
+
+def _scalar_quantiles(vals, qms, s=QS):
+    from collections import Counter
+
+    c = Counter(_q_bucket(v, s) for v in vals)
+    n, out, items = len(vals), {}, sorted(c.items())
+    for q in qms:
+        r = q * (n - 1) // 1000 + 1
+        cum = 0
+        for b, k in items:
+            cum += k
+            if cum >= r:
+                out[q] = _q_mid(b, s)
+                break
+    return out
+
+
+QVALS = [1, 1, 2, 3, 63, 64, 65, 1000, 1001, 5000, 123456, 10**9, 2**45 + 7] + [
+    17 * i * i + 1 for i in range(300)
+]
+QMS = [0, 250, 500, 900, 990, 1000]
+
+
+def test_q_matches_scalar_referee(spark):
+    df = spark.createDataFrame([(v,) for v in QVALS], "v long")
+    sk = SK.q_build(df, F.col("v"), [], sub_bits=QS)
+    got = {
+        r.q_milli: r.est
+        for r in SK.q_quantiles(sk, [], QMS, sub_bits=QS).collect()
+    }
+    assert got == _scalar_quantiles(QVALS, QMS)
+
+
+def test_q_relative_error_law(spark):
+    df = spark.createDataFrame([(v,) for v in QVALS], "v long")
+    sk = SK.q_build(df, F.col("v"), [], sub_bits=QS)
+    got = {
+        r.q_milli: r.est
+        for r in SK.q_quantiles(sk, [], QMS, sub_bits=QS).collect()
+    }
+    sv, n = sorted(max(v, 1) for v in QVALS), len(QVALS)
+    for q in QMS:
+        exact = sv[q * (n - 1) // 1000]
+        assert abs(got[q] - exact) <= exact / (1 << (QS + 1)) + 1, (
+            q, got[q], exact,
+        )
+
+
+def test_q_linear_region_is_exact(spark):
+    # every value < 2^(s+1) maps to its own bucket: estimates == exact
+    vals = [1, 2, 3, 5, 8, 13, 21, 31] * 3
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = SK.q_build(df, F.col("v"), [], sub_bits=QS)
+    got = {
+        r.q_milli: r.est
+        for r in SK.q_quantiles(sk, [], QMS, sub_bits=QS).collect()
+    }
+    sv, n = sorted(vals), len(vals)
+    assert got == {q: sv[q * (n - 1) // 1000] for q in QMS}
+
+
+def test_q_merge_by_sum(spark):
+    df = spark.createDataFrame([(v,) for v in QVALS], "v long")
+    whole = SK.q_build(df, F.col("v"), [], sub_bits=QS)
+    s1 = SK.q_build(df.filter(F.col("v") % 2 == 0), F.col("v"), [], sub_bits=QS)
+    s2 = SK.q_build(df.filter(F.col("v") % 2 == 1), F.col("v"), [], sub_bits=QS)
+    merged = SK.q_merge(s1.unionByName(s2), [])
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in whole.collect()
+    )
+
+
+def test_q_grouped_and_bounded(spark):
+    rows = [("a", v) for v in QVALS] + [("b", v * 7 + 1) for v in QVALS]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = SK.q_build(df, F.col("v"), ["g"], sub_bits=QS)
+    assert sk.count() <= 2 * (64 - QS) * (1 << QS)
+    got = {
+        (r.g, r.q_milli): r.est
+        for r in SK.q_quantiles(sk, ["g"], [500, 900], sub_bits=QS).collect()
+    }
+    wa = _scalar_quantiles(QVALS, [500, 900])
+    wb = _scalar_quantiles([v * 7 + 1 for v in QVALS], [500, 900])
+    assert got == {("a", q): e for q, e in wa.items()} | {
+        ("b", q): e for q, e in wb.items()
+    }

@@ -442,3 +442,155 @@ def bloom_test(
         )
         test = test & (looked.bitwiseAND(mask) == mask)
     return test.cast("bigint")
+
+
+# ------------------------------------------------------------------
+# Log-linear quantile sketch: HdrHistogram-style buckets (Tene,
+# HdrHistogram; the same store shape as DDSketch's default,
+# Masson et al. 2019 VLDB "DDSketch: a fast and fully-mergeable
+# quantile sketch") with PURE INTEGER bucket math — no log anywhere:
+#
+#   e      = length(bin(v))              (bitlength, string-exact)
+#   shift  = max(e - s - 1, 0)
+#   bucket = shift * 2^s + (v >> shift)
+#
+# Values in [1, 2^(s+1)) map to themselves (exact linear region);
+# above that each octave splits into 2^s sub-buckets, so the bucket
+# id is monotone in v and the relative error of the bucket midpoint
+# is <= 2^-(s+1). The sketch is (group, bucket, cnt) rows — at most
+# (64 - s) * 2^s rows per group (~1.9k at the default s = 5) — built
+# with ONE map-side-combined exchange and merged across shards/days/
+# streams by SUM (counter semantics, like count-min; NOT idempotent).
+# Quantile extraction is a per-group cumulative walk over the
+# bounded bucket rows with the rank rule r = (q_milli*(n-1)) DIV
+# 1000 + 1 (1-based r-th smallest), bit-replayable in DuckDB.
+# ------------------------------------------------------------------
+
+
+def q_build(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str],
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Quantile-sketch bucket table (group_cols..., bucket, cnt) over
+    positive BIGINT ``value`` (values < 1 are clamped to 1 so the
+    bucket math is total). ONE exchange keyed (group, bucket) with a
+    map-side partial SUM."""
+    s = sub_bits
+    src = df.select(
+        *group_cols, F.greatest(value.cast("bigint"), F.lit(1)).alias("v")
+    )
+    d = (
+        src.withColumn("e", F.length(F.bin("v")).cast("bigint"))
+        .withColumn(
+            "sh", F.greatest(F.col("e") - (s + 1), F.lit(0)).cast("int")
+        )
+        .withColumn(
+            "bucket",
+            (F.col("sh").cast("bigint") * (1 << s)
+             + F.expr("shiftright(v, sh)")).cast("bigint"),
+        )
+    )
+    return d.groupBy(*group_cols, "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+
+
+def q_merge(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge quantile sketches from shards/streams: per-bucket SUM
+    (counter semantics — shards must partition the data)."""
+    return sketch.groupBy(*group_cols, "bucket").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def _q_bucket_mid(sub_bits: int) -> Column:
+    """Integer midpoint of column ``bucket``'s value range (exact
+    below 2^(s+1); octave sub-range midpoint above): with
+    sh = bucket DIV 2^s - 1 and m = bucket - sh*2^s, the range is
+    [m << sh, ((m+1) << sh) - 1]."""
+    s = sub_bits
+    sh = f"(bucket DIV {1 << s} - 1)"
+    m = f"(bucket - {sh} * {1 << s})"
+    lo = f"shiftleft({m}, CAST({sh} AS INT))"
+    hi = f"(shiftleft({m} + 1, CAST({sh} AS INT)) - 1)"
+    return F.expr(
+        f"CASE WHEN bucket < {1 << (s + 1)} THEN bucket "
+        f"ELSE ({lo} + {hi}) DIV 2 END"
+    ).cast("bigint")
+
+
+def q_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    q_millis: list[int],
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Quantile estimates (group_cols..., q_milli, est, n) from a
+    bucket table: rank r = (q_milli*(n-1)) DIV 1000 + 1, est = the
+    midpoint of the bucket containing the r-th smallest value. The
+    walk is a window cumsum over the <= (64-s)*2^s bucket rows per
+    group — driver-free and bounded regardless of corpus size."""
+    from pyspark.sql import Window as W
+
+    gw = W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
+    c = (
+        sketch.withColumn("cum", F.sum("cnt").over(gw.orderBy("bucket")))
+        .withColumn("n", F.sum("cnt").over(gw))
+    )
+    q = c.withColumn(
+        "q_milli",
+        F.explode(F.array(*[F.lit(int(x)).cast("bigint") for x in q_millis])),
+    ).withColumn("r", F.expr("q_milli * (n - 1) DIV 1000 + 1"))
+    hitting = q.filter(
+        (F.col("cum") >= F.col("r")) & (F.col("cum") - F.col("cnt") < F.col("r"))
+    )
+    return hitting.select(
+        *group_cols,
+        "q_milli",
+        _q_bucket_mid(sub_bits).alias("est"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+def sql_q_quantiles(
+    src: str,
+    value_expr: str,
+    group_cols: list[str],
+    q_millis: list[int],
+    sub_bits: int = 5,
+) -> str:
+    """DuckDB twin of q_build + q_quantiles: ``src`` is a CTE/table,
+    ``value_expr`` the positive-integer expression to sketch. Yields
+    CTE ``qest(group_cols..., q_milli, est, n)`` replaying the bucket
+    and rank arithmetic bit for bit."""
+    s = sub_bits
+    g = ", ".join(group_cols)
+    gc = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    qs = "[" + ",".join(str(int(x)) for x in q_millis) + "]"
+    return f"""
+qsv AS (SELECT {gc}GREATEST(CAST({value_expr} AS BIGINT), 1) AS v FROM {src}),
+qsb AS (SELECT {gc}
+          (GREATEST(length(bin(v)) - {s + 1}, 0) * {1 << s}
+           + (v >> GREATEST(length(bin(v)) - {s + 1}, 0))) AS bucket
+        FROM qsv),
+qsk AS (SELECT {gc}bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM qsb GROUP BY {gc}bucket),
+qsc AS (SELECT {gc}bucket, cnt,
+          SUM(cnt) OVER ({part}ORDER BY bucket) AS cum,
+          SUM(cnt) OVER ({part.rstrip() if part else ''}) AS n
+        FROM qsk),
+qsq AS (SELECT {gc}bucket, cnt, cum, n, q_milli,
+          (q_milli * (n - 1)) // 1000 + 1 AS r
+        FROM qsc, unnest({qs}) AS u(q_milli)),
+qest AS (SELECT {gc}CAST(q_milli AS BIGINT) AS q_milli,
+           CAST(CASE WHEN bucket < {1 << (s + 1)} THEN bucket
+             ELSE ( ((bucket - (bucket // {1 << s} - 1) * {1 << s})
+                       << (bucket // {1 << s} - 1))
+                  + (((bucket - (bucket // {1 << s} - 1) * {1 << s} + 1)
+                       << (bucket // {1 << s} - 1)) - 1) ) // 2
+           END AS BIGINT) AS est,
+           CAST(n AS BIGINT) AS n
+         FROM qsq WHERE cum >= r AND cum - cnt < r)"""

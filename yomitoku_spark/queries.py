@@ -1085,6 +1085,60 @@ FROM blest b LEFT JOIN ex e USING (probe)
 """.replace("{bloom_frag}", SK.sql_bloom_contains("members", "probes"))
 
 
+def quantile_sketch_doclen(spark, sf_dir):
+    """Log-linear quantile sketch (functions/sketch.q_build, the
+    HdrHistogram/DDSketch bucket store): per-language p50/p90/p99 of
+    document token counts from a mergeable (lang, bucket, cnt) table
+    — one map-side-combined exchange, <= (64-s)*2^s rows per group,
+    shard merge by SUM, quantile walk over the bounded rows. The
+    exact r-th-smallest value (same rank rule, computed by window
+    row_number) rides alongside; pytest pins the relative-error law
+    |est - exact| <= exact * 2^-(s+1). The referee replays the bucket
+    and rank arithmetic bit for bit in DuckDB."""
+    qms = [500, 900, 990]
+    d = t(spark, sf_dir, "documents")
+    src = d.select("lang", TS.token_count(F.col("text")).alias("n_tokens"))
+    sk = SK.q_build(src, F.col("n_tokens"), ["lang"], sub_bits=5)
+    est = SK.q_quantiles(sk, ["lang"], qms, sub_bits=5)
+    vals = src.select(
+        "lang", F.greatest(F.col("n_tokens").cast("bigint"), F.lit(1)).alias("v")
+    )
+    wn = vals.withColumn(
+        "rn", F.row_number().over(W.partitionBy("lang").orderBy("v"))
+    ).withColumn("nn", F.count("*").over(W.partitionBy("lang")))
+    qx = (
+        wn.withColumn(
+            "q_milli",
+            F.explode(F.array(*[F.lit(q).cast("bigint") for q in qms])),
+        )
+        .filter(F.col("rn") == F.expr("q_milli * (nn - 1) DIV 1000 + 1"))
+        .select("lang", "q_milli", F.col("v").cast("bigint").alias("exact"))
+    )
+    return est.join(qx, ["lang", "q_milli"]).select(
+        "lang", "q_milli",
+        F.col("est").cast("bigint").alias("est"),
+        "exact",
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+SQL_QUANTILE_SKETCH = f"""
+WITH src AS (SELECT lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+{{q_frag}},
+vals AS (SELECT lang, GREATEST(n_tokens, 1) AS v FROM src),
+rn AS (SELECT lang, v, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v) AS rn,
+              COUNT(*) OVER (PARTITION BY lang) AS nn FROM vals),
+qx AS (SELECT lang, CAST(q_milli AS BIGINT) AS q_milli, CAST(v AS BIGINT) AS exact
+       FROM rn, unnest([500,900,990]) AS u(q_milli)
+       WHERE rn = q_milli * (nn - 1) // 1000 + 1)
+SELECT e.lang, e.q_milli, e.est, qx.exact, e.n
+FROM qest e JOIN qx USING (lang, q_milli)
+""".replace(
+    "{q_frag}",
+    SK.sql_q_quantiles("src", "n_tokens", ["lang"], [500, 900, 990], sub_bits=5).lstrip(),
+)
+
+
 def markdown_escape(spark, sf_dir):
     """Markdown escaping (§2.7; reference export_markdown.py:7-9)."""
     d = t(spark, sf_dir, "documents")
@@ -4205,6 +4259,7 @@ QUERIES = {
     "cmsketch_token_counts": cmsketch_token_counts,
     "bloom_token_membership": bloom_token_membership,
     "decontaminate_bloom": decontaminate_bloom,
+    "quantile_sketch_doclen": quantile_sketch_doclen,
 }
 
 ORACLE = {
@@ -4281,6 +4336,7 @@ ORACLE = {
     "cmsketch_token_counts": SQL_CM_TOKEN_COUNTS,
     "bloom_token_membership": SQL_BLOOM_MEMBERSHIP,
     "decontaminate_bloom": SQL_DECONTAM_BLOOM,
+    "quantile_sketch_doclen": SQL_QUANTILE_SKETCH,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
