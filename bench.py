@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "bloom_token_membership",
     "decontaminate_bloom",
     "quantile_sketch_doclen",
+    "kmv_sample_tokens",
     # split_words_across_cells is deliberately NOT benched: its ~15
     # AQE query stages cost ~0.4 s codegen/scheduling EACH on the tiny
     # corpus (pure fixed overhead, amortized at real scale) — the row

@@ -413,3 +413,71 @@ def test_q_grouped_and_bounded(spark):
     assert got == {("a", q): e for q, e in wa.items()} | {
         ("b", q): e for q, e in wb.items()
     }
+
+
+# ------------------------------------------------------- bottom-k (KMV)
+
+KK = 16
+
+
+def _scalar_kmv(vals, k=KK):
+    hs = sorted((_h60(str(v)), str(v)) for v in set(vals))[:k]
+    n_kept = len(hs)
+    if n_kept < k:
+        est = n_kept * 1000
+    else:
+        est = (k - 1) * 1000 * (1 << 40) // max(hs[-1][0] // (1 << 20), 1)
+    return hs, n_kept, est
+
+
+def test_kmv_matches_scalar_referee(spark):
+    vals = [f"tok{i}" for i in range(500)] * 2  # duplicates collapse
+    df = spark.createDataFrame([(v,) for v in vals], "tok string")
+    sk = SK.kmv_build(df, F.col("tok"), [], k=KK)
+    got = sorted((r.h, r.v) for r in sk.collect())
+    hs, n_kept, est = _scalar_kmv(vals)
+    assert got == hs
+    e = SK.kmv_estimate(sk, [], k=KK).first()
+    assert (e.n_kept, e.est_milli) == (n_kept, est)
+    # k=16 on 500 distinct: the estimate should be in the right ballpark
+    assert 0.4 * 500 < est / 1000 < 2.5 * 500
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([(f"v{i}",) for i in range(7)], "tok string")
+    sk = SK.kmv_build(df, F.col("tok"), [], k=KK)
+    e = SK.kmv_estimate(sk, [], k=KK).first()
+    assert (e.n_kept, e.est_milli) == (7, 7000)
+
+
+def test_kmv_merge_idempotent_union(spark):
+    vals = [f"w{i}" for i in range(300)]
+    whole = SK.kmv_build(
+        spark.createDataFrame([(v,) for v in vals], "tok string"),
+        F.col("tok"), [], k=KK,
+    )
+    s1 = SK.kmv_build(
+        spark.createDataFrame([(v,) for v in vals[:200]], "tok string"),
+        F.col("tok"), [], k=KK,
+    )
+    s2 = SK.kmv_build(
+        spark.createDataFrame([(v,) for v in vals[120:]], "tok string"),
+        F.col("tok"), [], k=KK,
+    )
+    merged = SK.kmv_merge(s1.unionByName(s2), [], k=KK)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_kmv_grouped_sample_is_deterministic(spark):
+    rows = [("a", f"x{i}") for i in range(100)] + [
+        ("b", f"y{i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, tok string")
+    one = sorted(map(tuple, SK.kmv_build(df, F.col("tok"), ["g"], k=KK).collect()))
+    two = sorted(map(tuple, SK.kmv_build(
+        df.repartition(13), F.col("tok"), ["g"], k=KK).collect()))
+    assert one == two
+    assert len([r for r in one if r[0] == "a"]) == KK
+    assert len([r for r in one if r[0] == "b"]) == KK

@@ -594,3 +594,116 @@ qest AS (SELECT {gc}CAST(q_milli AS BIGINT) AS q_milli,
            END AS BIGINT) AS est,
            CAST(n AS BIGINT) AS n
          FROM qsq WHERE cum >= r AND cum - cnt < r)"""
+
+
+# ------------------------------------------------------------------
+# Bottom-k (KMV) sample: the k smallest 60-bit hashes of the distinct
+# values per group (Cohen & Kaplan 2007, "Summarizing data using
+# bottom-k sketches"; the K-Minimum-Values estimator of Bar-Yossef et
+# al. 2002). One artifact, two uses:
+#
+# * a DETERMINISTIC, MERGEABLE uniform sample of distinct values —
+#   any two shards' sketches union to the whole corpus's sketch
+#   (idempotent: take the k smallest of the union), so "sample 64
+#   docs per language" is reproducible on any cluster size and
+#   composable across days without an RNG seed anywhere;
+# * a distinct-count estimator: est = (k-1) * 2^60 / h_k with h_k
+#   the k-th smallest hash (unbiased for n >= k; exact below k since
+#   the sketch holds ALL hashes then).
+#
+# Scale shape: the corpus side reduces to DISTINCT (group, hash) —
+# one partial-agg exchange — and the top-k walk sorts only the
+# distinct hash set (a window row_number per group). The artifact is
+# <= k rows per group.
+# ------------------------------------------------------------------
+
+
+def kmv_build(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Bottom-k sketch (group_cols..., rank, h, v): the ``k`` smallest
+    hashes of the distinct values of ``value`` per group, with the
+    value kept alongside (the sample payload). ``rank`` is 1-based in
+    hash order."""
+    from pyspark.sql import Window as W
+
+    src = df.select(*group_cols, value.alias("v")).distinct()
+    d = src.withColumn("h", hash64(F.col("v").cast("string")))
+    gw = (W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1)))
+    return (
+        d.withColumn("rank", F.row_number().over(gw.orderBy("h", "v")))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, F.col("rank").cast("bigint").alias("rank"), "h", "v")
+    )
+
+
+def kmv_merge(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Merge bottom-k sketches from shards/streams: union, dedupe by
+    hash, keep the k smallest again — associative, commutative AND
+    idempotent (overlapping shards are harmless)."""
+    from pyspark.sql import Window as W
+
+    gw = (W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1)))
+    return (
+        sketch.select(*group_cols, "h", "v")
+        .distinct()
+        .withColumn("rank", F.row_number().over(gw.orderBy("h", "v")))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, F.col("rank").cast("bigint").alias("rank"), "h", "v")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Distinct-count estimate per group from a bottom-k sketch:
+    (group_cols..., n_kept, est_milli). Exact (n_kept * 1000) when the
+    group has fewer than k distinct values; otherwise the KMV
+    estimator (k-1)*2^60/h_k in milli-counts, computed in integer
+    fixed point: (k-1)*1000 * 2^40 DIV (h_k DIV 2^20)."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.max("h").alias("h_max"),
+    )
+    est = (
+        f"CASE WHEN n_kept < {k} THEN n_kept * 1000 "
+        f"ELSE CAST({k - 1} AS BIGINT) * 1000 * 1099511627776 "
+        f"DIV GREATEST(h_max DIV 1048576, CAST(1 AS BIGINT)) END"
+    )
+    return agg.select(
+        *group_cols, "n_kept", F.expr(est).cast("bigint").alias("est_milli")
+    )
+
+
+def sql_kmv(
+    src: str,
+    value_expr: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> str:
+    """DuckDB twin of kmv_build + kmv_estimate over ``src``: yields
+    CTEs ``kmvs(group..., rank, h, v)`` and ``kmve(group..., n_kept,
+    est_milli)`` replaying the hash, rank, and estimator arithmetic."""
+    g = ", ".join(group_cols)
+    gc = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    grp = f"GROUP BY {g}" if g else "GROUP BY 1=1"
+    return f"""
+kmvd AS (SELECT DISTINCT {gc}{value_expr} AS v FROM {src}),
+kmvh AS (SELECT {gc}v,
+           ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+         FROM kmvd),
+kmvr AS (SELECT {gc}v, h,
+           ROW_NUMBER() OVER ({part}ORDER BY h, v) AS rank
+         FROM kmvh),
+kmvs AS (SELECT {gc}CAST(rank AS BIGINT) AS rank, h, v
+         FROM kmvr WHERE rank <= {k}),
+kmve AS (SELECT {gc}CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(CASE WHEN COUNT(*) < {k} THEN COUNT(*) * 1000
+             ELSE CAST({k - 1} AS BIGINT) * 1000 * 1099511627776
+               // GREATEST(MAX(h) // 1048576, CAST(1 AS BIGINT)) END
+           AS BIGINT) AS est_milli
+         FROM kmvs {grp})"""

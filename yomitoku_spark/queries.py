@@ -1085,6 +1085,47 @@ FROM blest b LEFT JOIN ex e USING (probe)
 """.replace("{bloom_frag}", SK.sql_bloom_contains("members", "probes"))
 
 
+def kmv_sample_tokens(spark, sf_dir):
+    """Bottom-k (KMV) sample (functions/sketch.kmv_build, Cohen &
+    Kaplan 2007 / Bar-Yossef et al. 2002): per-language k=64 smallest
+    60-bit hashes of the distinct tokens — a DETERMINISTIC, MERGEABLE
+    uniform sample (no RNG seed; any shard split unions to the same
+    sketch, pytest-pinned idempotent) that doubles as a KMV
+    distinct-count estimate. The corpus side reduces to DISTINCT
+    (lang, tok) in one partial-agg exchange; the artifact is <= k
+    rows per group. Exact distinct counts ride alongside; the referee
+    replays hash, rank, and estimator arithmetic bit for bit."""
+    d = t(spark, sf_dir, "documents")
+    occ = d.select(
+        "lang", F.explode(TS.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    sk = SK.kmv_build(occ, F.col("tok"), ["lang"], k=64)
+    est = SK.kmv_estimate(sk, ["lang"], k=64)
+    exact = occ.groupBy("lang").agg(
+        F.countDistinct("tok").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        sk.join(est, "lang")
+        .join(exact, "lang")
+        .select(
+            "lang", "rank", F.col("v").alias("tok"), "h",
+            "n_kept", "est_milli", "exact_distinct",
+        )
+    )
+
+
+SQL_KMV_SAMPLE = f"""
+WITH base AS (SELECT lang, {_TOKS} AS tk FROM documents),
+occ AS (SELECT lang, tk[i] AS tok
+        FROM base, unnest(range(1, len(tk)+1)) AS u(i)),
+{{kmv_frag}},
+ex AS (SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+       FROM occ GROUP BY lang)
+SELECT s.lang, s.rank, s.v AS tok, s.h, e.n_kept, e.est_milli, ex.exact_distinct
+FROM kmvs s JOIN kmve e USING (lang) JOIN ex USING (lang)
+""".replace("{kmv_frag}", SK.sql_kmv("occ", "tok", ["lang"], k=64).lstrip())
+
+
 def quantile_sketch_doclen(spark, sf_dir):
     """Log-linear quantile sketch (functions/sketch.q_build, the
     HdrHistogram/DDSketch bucket store): per-language p50/p90/p99 of
@@ -4260,6 +4301,7 @@ QUERIES = {
     "bloom_token_membership": bloom_token_membership,
     "decontaminate_bloom": decontaminate_bloom,
     "quantile_sketch_doclen": quantile_sketch_doclen,
+    "kmv_sample_tokens": kmv_sample_tokens,
 }
 
 ORACLE = {
@@ -4337,6 +4379,7 @@ ORACLE = {
     "bloom_token_membership": SQL_BLOOM_MEMBERSHIP,
     "decontaminate_bloom": SQL_DECONTAM_BLOOM,
     "quantile_sketch_doclen": SQL_QUANTILE_SKETCH,
+    "kmv_sample_tokens": SQL_KMV_SAMPLE,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
