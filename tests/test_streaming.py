@@ -397,3 +397,75 @@ def test_stream_hll_registers_equals_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert se == be
+
+
+def test_stream_bloom_filter_equals_batch_build(spark, tmp_path):
+    """Streaming Bloom word upgrades, bit_or-folded over everything
+    emitted across a checkpointed restart, == the batch packed filter
+    over the full ingested set — fixed-footprint dedup/decontamination
+    state (<= m_bits/32 rows per group regardless of stream length)."""
+    from pyspark.sql import functions as F
+
+    from yomitoku_spark.functions import sketch as SK
+
+    in_dir = str(tmp_path / "bl_in")
+    out_dir = str(tmp_path / "bl_out")
+    cp_dir = str(tmp_path / "bl_cp")
+    M, K = 512, 3
+
+    schema = "source string, tok string"
+    wave1 = spark.createDataFrame(
+        [("a", f"tok{i}") for i in range(50)] + [("b", "only")], schema
+    )
+    # overlap: re-ingested tokens set no new bits and must not emit
+    wave2 = spark.createDataFrame(
+        [("a", f"tok{i}") for i in range(30, 90)] + [("b", "two")], schema
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            ST.stream_bloom_filter(stream, m_bits=M, k=K)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    wave1.coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    wave2.coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+
+    emitted = spark.read.parquet(out_dir)
+    streamed = {
+        (r.source, r.word): r.bits
+        for r in SK.bloom_merge(emitted, ["source"]).collect()
+    }
+    batch = {
+        (r.g, r.word): r.bits
+        for r in SK.bloom_build(
+            wave1.unionByName(wave2).withColumnRenamed("source", "g"),
+            F.col("tok"), ["g"], m_bits=M, k=K,
+        ).collect()
+    }
+    assert streamed == batch
+    # bounded state: occupied words never exceed the packed width
+    for g in ("a", "b"):
+        assert len([1 for s, _ in streamed if s == g]) <= M // 32
+    # probing the streamed filter finds every ingested token
+    filt = SK.bloom_merge(emitted, ["source"]).withColumnRenamed("source", "g")
+    probes = (
+        wave1.unionByName(wave2)
+        .select(F.col("source").alias("g"), F.col("tok").alias("probe"))
+        .distinct()
+    )
+    got = SK.bloom_contains(filt, probes, ["g"], "probe", m_bits=M, k=K)
+    assert got.filter(F.col("contains") == 0).count() == 0

@@ -306,3 +306,55 @@ def stream_hll_registers(
     return d.groupBy(group_col, "bucket").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_bloom_filter(
+    values_stream: DataFrame,
+    value_col: str = "tok",
+    group_col: str = "source",
+    m_bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Streaming membership sketch: per-(group, word) packed Bloom
+    word state via ``applyInPandasWithState``, pinned to the batch
+    build (`functions.sketch.bloom_build`).
+
+    The stateless hash→(word, mask) front half is the SAME column
+    plan as the batch build (`sketch._bloom_cells`); the stateful
+    half keeps one BIGINT (the word's running bit_or) per occupied
+    (group, word) and emits a row only when new bits are SET — so
+    bit_or-folding everything emitted (`sketch.bloom_merge`) equals
+    the batch filter over everything ingested so far, at any point in
+    the stream and across checkpointed restarts. State is bounded by
+    m_bits/32 rows per group no matter how many values arrive: unlike
+    `stream_exact_dedup` (one int per DISTINCT value), this is
+    dedup/decontamination state with a FIXED footprint — no false
+    negatives ever, false-positive rate set by m and k."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from yomitoku_spark.functions.sketch import _bloom_cells
+
+    src = values_stream.select(group_col, F.col(value_col).alias("v"))
+    d = _bloom_cells(src, "v", m_bits, k).select(group_col, "word", "mask")
+    out_schema = f"{group_col} string, word bigint, bits bigint"
+    state_schema = "bits bigint"
+
+    def fn(key, pdfs, state):
+        m = 0
+        for pdf in pdfs:
+            for v in pdf["mask"]:
+                m |= int(v)
+        if not m:
+            return
+        cur = int(state.get[0]) if state.exists else 0
+        new = cur | m
+        if new != cur:
+            state.update((new,))
+            yield pd.DataFrame(
+                {group_col: [key[0]], "word": [int(key[1])], "bits": [new]}
+            )
+
+    return d.groupBy(group_col, "word").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
