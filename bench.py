@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "decontaminate_bloom",
     "quantile_sketch_doclen",
     "kmv_sample_tokens",
+    "adaptive_length_gate",
     # split_words_across_cells is deliberately NOT benched: its ~15
     # AQE query stages cost ~0.4 s codegen/scheduling EACH on the tiny
     # corpus (pure fixed overhead, amortized at real scale) — the row

@@ -1,5 +1,11 @@
-"""Portable mergeable sketches: HyperLogLog distinct counting and a
-count-min frequency sketch (the latter at the end of the module).
+"""Portable mergeable sketches — one family, five summaries, in
+module order: HyperLogLog (distinct counts), count-min (frequencies),
+Bloom (membership), log-linear buckets (quantiles), and bottom-k/KMV
+(deterministic uniform sample + a second distinct estimator). Each is
+a small DataFrame artifact built with ONE map-side-combined exchange,
+merges across shards/days/streams with its own law (MAX / SUM /
+bit_or / SUM / min-k union), and is integer-exact so a DuckDB referee
+replays it bit for bit.
 
 Spark ships ``approx_count_distinct``, but its register state is
 engine-internal: you cannot persist it, merge sketches built by

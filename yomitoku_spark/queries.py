@@ -1085,6 +1085,47 @@ FROM blest b LEFT JOIN ex e USING (probe)
 """.replace("{bloom_frag}", SK.sql_bloom_contains("members", "probes"))
 
 
+def adaptive_length_gate(spark, sf_dir):
+    """Sketch-driven curation gate: the per-language p10 token-count
+    cutoff is computed from the log-linear quantile sketch's BOUNDED
+    bucket table (functions/sketch.q_build — <= (64-s)*2^s rows per
+    lang) instead of a corpus-wide exact percentile, then joins back
+    (a tiny per-lang table, Spark broadcasts it) to gate short
+    documents. This is how a 100 TB pipeline calibrates thresholds:
+    the control-plane statistic comes from a mergeable artifact that
+    costs one map-side-combined exchange, not a full sort — and it
+    can be reused/merged across days without rescanning. The referee
+    replays the sketch cutoff bit for bit."""
+    d = t(spark, sf_dir, "documents")
+    src = d.select(
+        "doc_id", "lang", TS.token_count(F.col("text")).alias("n_tokens")
+    )
+    sk = SK.q_build(src, F.col("n_tokens"), ["lang"], sub_bits=5)
+    cut = SK.q_quantiles(sk, ["lang"], [100], sub_bits=5).select(
+        "lang", F.col("est").alias("cutoff")
+    )
+    return src.join(F.broadcast(cut), "lang").select(
+        "doc_id", "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("cutoff").cast("bigint").alias("cutoff"),
+        (F.col("n_tokens") >= F.col("cutoff")).cast("bigint").alias("keep"),
+    )
+
+
+SQL_ADAPTIVE_GATE = f"""
+WITH src AS (SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+             FROM documents),
+{{q_frag}},
+cut AS (SELECT lang, est AS cutoff FROM qest)
+SELECT s.doc_id, s.lang, s.n_tokens, c.cutoff,
+  CAST(CASE WHEN s.n_tokens >= c.cutoff THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM src s JOIN cut c USING (lang)
+""".replace(
+    "{q_frag}",
+    SK.sql_q_quantiles("src", "n_tokens", ["lang"], [100], sub_bits=5).lstrip(),
+)
+
+
 def kmv_sample_tokens(spark, sf_dir):
     """Bottom-k (KMV) sample (functions/sketch.kmv_build, Cohen &
     Kaplan 2007 / Bar-Yossef et al. 2002): per-language k=64 smallest
@@ -4302,6 +4343,7 @@ QUERIES = {
     "decontaminate_bloom": decontaminate_bloom,
     "quantile_sketch_doclen": quantile_sketch_doclen,
     "kmv_sample_tokens": kmv_sample_tokens,
+    "adaptive_length_gate": adaptive_length_gate,
 }
 
 ORACLE = {
@@ -4380,6 +4422,7 @@ ORACLE = {
     "decontaminate_bloom": SQL_DECONTAM_BLOOM,
     "quantile_sketch_doclen": SQL_QUANTILE_SKETCH,
     "kmv_sample_tokens": SQL_KMV_SAMPLE,
+    "adaptive_length_gate": SQL_ADAPTIVE_GATE,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
