@@ -103,6 +103,24 @@ def main():
         ("query: decontaminate_bloom (one-row packed filter broadcast; "
          "map-only probe)", p))
 
+    # incremental ingest: the day-1 state the day-2 scan meets is ONE
+    # packed Bloom row on a broadcast nested-loop cross join (plus
+    # broadcast sketch/estimate folds) — day-1 is never rescanned in
+    # the decision path
+    p = plan_of(QUERIES["incremental_ingest_dedup"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p, "packed day-1 filter must cross-broadcast"
+    sections.append(
+        ("query: incremental_ingest_dedup (day-1 carried as one packed "
+         "Bloom row + HLL registers; day-2 probe is map-only)", p))
+
+    # KMV overlap: every pair computation runs on the <=64-row
+    # sketches, which must broadcast to the pair join
+    p = plan_of(QUERIES["kmv_overlap_langs"](spark, SF))
+    assert "BroadcastExchange" in p, "pair math must run on broadcast sketches"
+    sections.append(
+        ("query: kmv_overlap_langs (one corpus exchange builds the "
+         "sketches; all pair set-algebra on broadcast <=64-row artifacts)", p))
+
     for name in ["kv_items_geometric", "extract_scalar_cascade",
                  "extract_table_field", "jaccard_near_pairs",
                  "connected_components_labels", "grid_header_derivation",

@@ -1126,6 +1126,254 @@ FROM src s JOIN cut c USING (lang)
 )
 
 
+def kmv_overlap_langs(spark, sf_dir):
+    """Sketch-space set algebra (Cohen & Kaplan 2007 bottom-k; the
+    KMV intersection estimator of Beyer et al. 2007 SIGMOD "On
+    synopses for distinct-value estimation"): the token-set overlap
+    of every language PAIR — Jaccard, intersection size, union size —
+    estimated from the two k=64 bottom-k sketches ALONE. Per pair:
+    union the two sketches, re-rank, keep the k smallest (exactly
+    `sketch.kmv_merge` — the union sketch), then m = how many of
+    those k appear in BOTH sides gives jaccard ~= m/k and
+    |A ∩ B| ~= (m/k) * union_est. The corpus is touched ONCE (the
+    distinct (lang, tok) exchange inside kmv_build); all pair math
+    runs on <=64-row artifacts — at 100 TB this is the dataset-
+    overlap report (e.g. cross-source contamination triage) that
+    needs no corpus-×-corpus join, and the sketches are the same
+    mergeable artifacts a daily pipeline already keeps. Exact
+    intersection/union/Jaccard ride alongside as the referee."""
+    d = t(spark, sf_dir, "documents")
+    occ = d.select(
+        "lang", F.explode(TS.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    k = 64
+    sk = SK.kmv_build(occ, F.col("tok"), ["lang"], k=k)
+    langs = occ.select("lang").distinct()
+    pairs = (
+        langs.select(F.col("lang").alias("s1"))
+        .crossJoin(langs.select(F.col("lang").alias("s2")))
+        .filter(F.col("s1") < F.col("s2"))
+    )
+    tagged = pairs.join(
+        F.broadcast(sk), (F.col("lang") == F.col("s1")) | (F.col("lang") == F.col("s2"))
+    ).select(
+        "s1", "s2", "h", "v",
+        F.when(F.col("lang") == F.col("s1"), F.lit(1)).otherwise(F.lit(2)).alias("side"),
+    )
+    pg = tagged.groupBy("s1", "s2", "h", "v").agg(
+        F.countDistinct("side").alias("nsides")
+    )
+    pw = W.partitionBy("s1", "s2").orderBy("h", "v")
+    pk = pg.withColumn("rank", F.row_number().over(pw)).filter(F.col("rank") <= k)
+    pa = pk.groupBy("s1", "s2").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.max("h").alias("h_max"),
+        F.sum((F.col("nsides") == 2).cast("bigint")).cast("bigint").alias("m_both"),
+    )
+    union_est = (
+        f"CASE WHEN n_kept < {k} THEN n_kept * 1000 "
+        f"ELSE CAST({k - 1} AS BIGINT) * 1000 * 1099511627776 "
+        f"DIV GREATEST(h_max DIV 1048576, CAST(1 AS BIGINT)) END"
+    )
+    est = pa.select(
+        "s1", "s2", "n_kept", "m_both",
+        F.expr(union_est).cast("bigint").alias("union_est_milli"),
+    ).select(
+        "s1", "s2", "n_kept", "m_both", "union_est_milli",
+        F.expr("m_both * 1000 DIV n_kept").cast("bigint").alias("jaccard_milli"),
+        F.expr("m_both * union_est_milli DIV n_kept").cast("bigint").alias(
+            "inter_est_milli"
+        ),
+    )
+    # referee-side exact overlap (the O(corpus) join the sketch avoids)
+    exd = occ.distinct()
+    sizes = exd.groupBy("lang").agg(F.countDistinct("tok").alias("n"))
+    inter = (
+        exd.select(F.col("lang").alias("s1"), "tok")
+        .join(exd.select(F.col("lang").alias("s2"), "tok"), "tok")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").cast("bigint").alias("exact_inter"))
+    )
+    exact = (
+        pairs.join(sizes.select(F.col("lang").alias("s1"), F.col("n").alias("n1")), "s1")
+        .join(sizes.select(F.col("lang").alias("s2"), F.col("n").alias("n2")), "s2")
+        .join(inter, ["s1", "s2"], "left")
+        .select(
+            "s1", "s2",
+            F.coalesce("exact_inter", F.lit(0)).cast("bigint").alias("exact_inter"),
+            (F.col("n1") + F.col("n2") - F.coalesce("exact_inter", F.lit(0)))
+            .cast("bigint").alias("exact_union"),
+        )
+        .withColumn(
+            "exact_jaccard_milli",
+            F.expr("exact_inter * 1000 DIV exact_union").cast("bigint"),
+        )
+    )
+    return est.join(exact, ["s1", "s2"])
+
+
+SQL_KMV_OVERLAP = """
+WITH base AS (SELECT lang, {toks} AS t FROM documents),
+occ AS (SELECT lang, t[i] AS tok FROM base, unnest(range(1, len(t)+1)) AS u(i)),
+{kmv_frag},
+langs AS (SELECT DISTINCT lang FROM occ),
+pairs AS (SELECT a.lang AS s1, b.lang AS s2 FROM langs a, langs b
+          WHERE a.lang < b.lang),
+pu AS (SELECT p.s1, p.s2, s.h, s.v,
+              CASE WHEN s.lang = p.s1 THEN 1 ELSE 2 END AS side
+       FROM pairs p JOIN kmvs s ON s.lang = p.s1 OR s.lang = p.s2),
+pg AS (SELECT s1, s2, h, v, COUNT(DISTINCT side) AS nsides
+       FROM pu GROUP BY 1, 2, 3, 4),
+pr AS (SELECT s1, s2, h, nsides,
+              ROW_NUMBER() OVER (PARTITION BY s1, s2 ORDER BY h, v) AS rank
+       FROM pg),
+pa AS (SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS h_max,
+              CAST(SUM(CASE WHEN nsides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS m_both
+       FROM pr WHERE rank <= 64 GROUP BY 1, 2),
+est AS (SELECT s1, s2, n_kept, m_both,
+          CAST(CASE WHEN n_kept < 64 THEN n_kept * 1000
+            ELSE CAST(63 AS BIGINT) * 1000 * 1099511627776
+              // GREATEST(h_max // 1048576, CAST(1 AS BIGINT)) END
+          AS BIGINT) AS union_est_milli
+        FROM pa),
+exd AS (SELECT DISTINCT lang, tok FROM occ),
+sizes AS (SELECT lang, COUNT(DISTINCT tok) AS n FROM exd GROUP BY lang),
+inter AS (SELECT a.lang AS s1, b.lang AS s2,
+                 CAST(COUNT(*) AS BIGINT) AS exact_inter
+          FROM exd a JOIN exd b ON a.tok = b.tok AND a.lang < b.lang
+          GROUP BY 1, 2)
+SELECT e.s1, e.s2, e.n_kept, e.m_both, e.union_est_milli,
+  CAST(e.m_both * 1000 // e.n_kept AS BIGINT) AS jaccard_milli,
+  CAST(e.m_both * e.union_est_milli // e.n_kept AS BIGINT) AS inter_est_milli,
+  CAST(COALESCE(i.exact_inter, 0) AS BIGINT) AS exact_inter,
+  CAST(z1.n + z2.n - COALESCE(i.exact_inter, 0) AS BIGINT) AS exact_union,
+  CAST(COALESCE(i.exact_inter, 0) * 1000
+       // (z1.n + z2.n - COALESCE(i.exact_inter, 0)) AS BIGINT)
+    AS exact_jaccard_milli
+FROM est e
+LEFT JOIN inter i ON i.s1 = e.s1 AND i.s2 = e.s2
+JOIN sizes z1 ON z1.lang = e.s1
+JOIN sizes z2 ON z2.lang = e.s2
+""".replace("{toks}", _TOKS).replace(
+    "{kmv_frag}", SK.sql_kmv("occ", "tok", ["lang"], k=64).lstrip()
+)
+
+
+def incremental_ingest_dedup(spark, sf_dir):
+    """Incremental ingest: day-2 documents deduplicate against day-1
+    WITHOUT rescanning day-1 — the only state carried across days is
+    the day-1 Bloom filter of exact digests (8 KiB packed into one
+    map row, functions/sketch.bloom_pack) plus the mergeable HLL
+    register table (<=256 rows). Day-2's plan: digest each doc, test
+    the crossJoin-broadcast Bloom row with a pure column expression
+    (map-only — the production cross-day decision), keep the smallest
+    doc_id within day 2, and fold yesterday's HLL registers with
+    today's (per-bucket MAX, idempotent) for the running corpus
+    distinct estimate. Exact columns ride alongside as the referee:
+    bloom_seen_day1 >= exact_seen_day1 always (no false negatives),
+    and the exact distinct digest count sits next to the merged HLL
+    estimate. This is the daily-delta shape of a 100 TB pipeline —
+    O(new data) scan + O(sketch) state, never O(corpus) rework."""
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.md5(DD.normalized_text(F.col("text"))).alias("digest"),
+        (TS.hash64(F.col("doc_id").cast("string")) % 1000 < 500).alias(
+            "is_day1"
+        ),
+    )
+    day1 = base.filter(F.col("is_day1"))
+    day2 = base.filter(~F.col("is_day1"))
+    packed = SK.bloom_pack(SK.bloom_build(day1, F.col("digest"), []))
+    probed = day2.crossJoin(F.broadcast(packed)).select(
+        "doc_id",
+        "digest",
+        SK.bloom_test(F.col("digest")).alias("bloom_seen_day1"),
+    )
+    d2min = day2.groupBy("digest").agg(F.min("doc_id").alias("min_id"))
+    # referee-side exact membership (a real day-2 job would trust the
+    # Bloom and never touch this O(day-1) set)
+    seen1 = (
+        day1.select("digest")
+        .distinct()
+        .withColumn("seen1", F.lit(1).cast("bigint"))
+    )
+    regs = SK.hll_merge(
+        SK.hll_registers(day1, F.col("digest"), []).unionByName(
+            SK.hll_registers(day2, F.col("digest"), [])
+        ),
+        [],
+    )
+    est = SK.hll_estimate(regs, []).select(
+        F.col("est_milli").alias("corpus_distinct_est_milli")
+    )
+    ex = base.agg(
+        F.countDistinct("digest").cast("bigint").alias(
+            "exact_distinct_digests"
+        )
+    )
+    return (
+        probed.join(d2min, "digest")
+        .join(F.broadcast(seen1), "digest", "left")
+        .crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "doc_id",
+            "bloom_seen_day1",
+            F.coalesce("seen1", F.lit(0)).cast("bigint").alias(
+                "exact_seen_day1"
+            ),
+            (F.col("doc_id") == F.col("min_id")).cast("bigint").alias(
+                "first_in_day2"
+            ),
+            (
+                (F.col("bloom_seen_day1") == 0)
+                & (F.col("doc_id") == F.col("min_id"))
+            ).cast("bigint").alias("keep"),
+            "corpus_distinct_est_milli",
+            "exact_distinct_digests",
+        )
+    )
+
+
+SQL_INCREMENTAL_INGEST = """
+WITH base AS (SELECT doc_id,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
+    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000) < 500
+      AS is_day1
+  FROM documents),
+members AS (SELECT DISTINCT digest AS tok FROM base WHERE is_day1),
+probes AS (SELECT DISTINCT digest AS probe FROM base WHERE NOT is_day1),
+{bloom_frag},
+d2min AS (SELECT digest, MIN(doc_id) AS min_id FROM base
+          WHERE NOT is_day1 GROUP BY digest),
+alld AS (SELECT digest, 1 AS g FROM base),
+{hll_frag},
+ex AS (SELECT CAST(COUNT(DISTINCT digest) AS BIGINT) AS exact_distinct_digests
+       FROM base)
+SELECT b.doc_id,
+  bl.contains AS bloom_seen_day1,
+  CAST(CASE WHEN m.tok IS NULL THEN 0 ELSE 1 END AS BIGINT) AS exact_seen_day1,
+  CAST(CASE WHEN b.doc_id = d.min_id THEN 1 ELSE 0 END AS BIGINT)
+    AS first_in_day2,
+  CAST(CASE WHEN bl.contains = 0 AND b.doc_id = d.min_id THEN 1 ELSE 0 END
+    AS BIGINT) AS keep,
+  h.est_milli AS corpus_distinct_est_milli,
+  ex.exact_distinct_digests
+FROM base b
+JOIN blest bl ON bl.probe = b.digest
+LEFT JOIN members m ON m.tok = b.digest
+JOIN d2min d USING (digest)
+CROSS JOIN hest h
+CROSS JOIN ex
+WHERE NOT b.is_day1
+""".replace("{bloom_frag}", SK.sql_bloom_contains("members", "probes").lstrip()).replace(
+    "{hll_frag}", SK.sql_hll_estimate("alld", "g", "digest").lstrip()
+)
+
+
 def kmv_sample_tokens(spark, sf_dir):
     """Bottom-k (KMV) sample (functions/sketch.kmv_build, Cohen &
     Kaplan 2007 / Bar-Yossef et al. 2002): per-language k=64 smallest
@@ -4344,6 +4592,8 @@ QUERIES = {
     "quantile_sketch_doclen": quantile_sketch_doclen,
     "kmv_sample_tokens": kmv_sample_tokens,
     "adaptive_length_gate": adaptive_length_gate,
+    "incremental_ingest_dedup": incremental_ingest_dedup,
+    "kmv_overlap_langs": kmv_overlap_langs,
 }
 
 ORACLE = {
@@ -4423,6 +4673,8 @@ ORACLE = {
     "quantile_sketch_doclen": SQL_QUANTILE_SKETCH,
     "kmv_sample_tokens": SQL_KMV_SAMPLE,
     "adaptive_length_gate": SQL_ADAPTIVE_GATE,
+    "incremental_ingest_dedup": SQL_INCREMENTAL_INGEST,
+    "kmv_overlap_langs": SQL_KMV_OVERLAP,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
