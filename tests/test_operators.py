@@ -658,3 +658,45 @@ def test_semdedup_keepers_invariants(spark, emb):
             assert out[i][1] == (0 if has_dup else 1), (i, cell)
     n_dropped = sum(1 for _, k in out.values() if k == 0)
     assert 0 < n_dropped < len(out)
+
+
+def test_winnowing_parity_and_guarantee(spark):
+    """Column winnowing == scalar referee (exact fingerprint sets),
+    and the Schleimer et al. detection law: two docs sharing a token
+    run of >= w+k-1 share at least one fingerprint."""
+    import hashlib
+    import random
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def scalar(text, k=5, w=4):
+        toks = [x for x in text.lower().split() if x]
+        if len(toks) < k:
+            return set()
+        hs = [h64(" ".join(toks[i:i + k])) for i in range(len(toks) - k + 1)]
+        n, out = len(hs), set()
+        for s0 in range(max(n - w + 1, 1)):
+            wind = hs[s0:s0 + w]
+            mn = min(wind)
+            rel = max(i for i, h in enumerate(wind) if h == mn)
+            out.add((mn, s0 + rel + 1))
+        return out
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(60)
+    ]
+    run = " ".join(f"rare{j}" for j in range(8))  # w + k - 1 = 8 tokens
+    rows.append((1000, "alpha beta gamma " + run + " delta epsilon"))
+    rows.append((1001, "zeta eta " + run + " theta iota kappa"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for r in DD.winnow_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add((r.fh, r.fpos))
+    for i, text in rows:
+        assert got.get(i, set()) == scalar(text), i
+    shared = {h for h, _ in got[1000]} & {h for h, _ in got[1001]}
+    assert shared, "w+k-1 shared run must yield a shared fingerprint"

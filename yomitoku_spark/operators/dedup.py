@@ -395,3 +395,59 @@ def simhash_near_pairs(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003
+    SIGMOD "Winnowing: local algorithms for document fingerprinting" —
+    the MOSS selection rule): hash every word k-gram, slide a window
+    of ``w`` consecutive hashes, and from each window select the
+    minimum (rightmost on ties). The selected (hash, position) set —
+    expected density 2/(w+1) of all grams — GUARANTEES that any two
+    documents sharing a run of at least w+k-1 tokens share at least
+    one fingerprint: positional near-dup detection with a detection
+    floor, the property MinHash (set-sample) and SimHash (global
+    vector) don't give.
+
+    Scale shape: the gram hash is a pure column expression; the only
+    exchange is the doc_id repartition for the two window passes
+    (running count + framed struct-min), and the output is the
+    winnowed subset — the index a plagiarism/clone detector stores is
+    ~2/(w+1) the size of the full postings. Rightmost-tie argmin is
+    one framed ``min(struct(gh, -pos))`` — no self-join. Docs with
+    fewer than k tokens yield no grams and no fingerprints.
+
+    Returns (id_col, fh, fpos) distinct rows; positions are 1-based
+    gram starts (token span [fpos, fpos+k-1])."""
+    from yomitoku_spark.operators.curation import _grams
+
+    t = tokens(F.lower(F.col(text_col)))
+    occ = (
+        df.select(F.col(id_col).alias("id"), _grams(t, k).alias("g"))
+        .select("id", F.posexplode("g").alias("i0", "gram"))
+        .select(
+            "id",
+            (F.col("i0") + 1).cast("bigint").alias("pos"),
+            hash64(F.col("gram")).alias("gh"),
+        )
+    )
+    win = W.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    ng = F.count("*").over(W.partitionBy("id"))
+    sel = F.min(
+        F.struct(F.col("gh"), (-F.col("pos")).cast("bigint").alias("np"))
+    ).over(win)
+    d = occ.withColumn("ng", ng).withColumn("sel", sel)
+    # full windows only (the frame self-truncates at the partition
+    # tail); a doc with fewer than w grams keeps its single global min
+    d = d.filter(F.col("pos") <= F.greatest(F.col("ng") - (w - 1), F.lit(1)))
+    return d.select(
+        F.col("id").alias(id_col),
+        F.col("sel.gh").alias("fh"),
+        (-F.col("sel.np")).cast("bigint").alias("fpos"),
+    ).distinct()

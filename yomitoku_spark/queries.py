@@ -1261,6 +1261,92 @@ JOIN sizes z2 ON z2.lang = e.s2
 )
 
 
+def winnowing_near_pairs(spark, sf_dir):
+    """Winnowing near-dup candidates (operators/dedup.
+    winnow_fingerprints — Schleimer, Wilkerson & Aiken 2003, the MOSS
+    algorithm): word-5-gram hashes winnowed with a w=4 window
+    (rightmost-min per window via one framed struct-min — no
+    self-join), guaranteeing any shared token run >= w+k-1 = 8 tokens
+    produces a shared fingerprint while storing only ~2/(w+1) of the
+    grams. Fingerprints hotter than 50 docs are dropped before the
+    pair join (boilerplate skew defusal, same discipline as the
+    hot-shingle cap in jaccard_pairs); pairs sharing >= 2 fingerprints
+    emerge with per-doc fingerprint counts and a containment-style
+    overlap ratio. The POSITIONAL guarantee is what MinHash (set
+    sample) and SimHash (global vector) don't give — this is the
+    clone/plagiarism-detector index shape at corpus scale."""
+    d = t(spark, sf_dir, "documents")
+    fp = DD.winnow_fingerprints(d, k=5, w=4)
+    byh = fp.select(F.col("doc_id").alias("id"), "fh").distinct()
+    hot = (
+        byh.groupBy("fh")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") > 50)
+        .select("fh")
+    )
+    cold = byh.join(hot, "fh", "left_anti")
+    counts = cold.groupBy("id").agg(F.count("*").cast("bigint").alias("n_fp"))
+    a, b = cold.alias("a"), cold.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fh") == F.col("b.fh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.countDistinct(F.col("a.fh")).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    return (
+        pairs.join(
+            counts.select(F.col("id").alias("id_a"), F.col("n_fp").alias("n_fp_a")),
+            "id_a",
+        )
+        .join(
+            counts.select(F.col("id").alias("id_b"), F.col("n_fp").alias("n_fp_b")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", "n_shared", "n_fp_a", "n_fp_b",
+            F.expr("n_shared * 1000 DIV LEAST(n_fp_a, n_fp_b)")
+            .cast("bigint")
+            .alias("overlap_milli"),
+        )
+    )
+
+
+SQL_WINNOWING = """
+WITH base AS (SELECT doc_id, {toks} AS t FROM documents),
+gr AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT
+           AS gh
+       FROM base, unnest(range(1, greatest(len(t)-4, 0)+1)) AS u(i)),
+sel AS (SELECT doc_id, pos,
+         MIN(CAST(gh AS HUGEINT) * 2097152 + (2097151 - pos)) OVER
+           (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS skey,
+         COUNT(*) OVER (PARTITION BY doc_id) AS ng
+        FROM gr),
+fp AS (SELECT DISTINCT doc_id,
+         CAST(skey // 2097152 AS BIGINT) AS fh,
+         CAST(2097151 - (skey % 2097152) AS BIGINT) AS fpos
+       FROM sel WHERE pos <= greatest(ng - 3, 1)),
+byh AS (SELECT DISTINCT doc_id AS id, fh FROM fp),
+hot AS (SELECT fh FROM byh GROUP BY fh HAVING COUNT(DISTINCT id) > 50),
+cold AS (SELECT * FROM byh WHERE fh NOT IN (SELECT fh FROM hot)),
+cnt AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM cold GROUP BY id),
+pr AS (SELECT a.id AS id_a, b.id AS id_b,
+              CAST(COUNT(DISTINCT a.fh) AS BIGINT) AS n_shared
+       FROM cold a JOIN cold b ON a.fh = b.fh AND a.id < b.id
+       GROUP BY 1, 2
+       HAVING COUNT(DISTINCT a.fh) >= 2)
+SELECT p.id_a, p.id_b, p.n_shared, ca.n_fp AS n_fp_a, cb.n_fp AS n_fp_b,
+  CAST(p.n_shared * 1000 // LEAST(ca.n_fp, cb.n_fp) AS BIGINT)
+    AS overlap_milli
+FROM pr p JOIN cnt ca ON ca.id = p.id_a JOIN cnt cb ON cb.id = p.id_b
+""".replace("{toks}", _TOKS)
+
+
 def incremental_ingest_dedup(spark, sf_dir):
     """Incremental ingest: day-2 documents deduplicate against day-1
     WITHOUT rescanning day-1 — the only state carried across days is
@@ -4594,6 +4680,7 @@ QUERIES = {
     "adaptive_length_gate": adaptive_length_gate,
     "incremental_ingest_dedup": incremental_ingest_dedup,
     "kmv_overlap_langs": kmv_overlap_langs,
+    "winnowing_near_pairs": winnowing_near_pairs,
 }
 
 ORACLE = {
@@ -4675,6 +4762,7 @@ ORACLE = {
     "adaptive_length_gate": SQL_ADAPTIVE_GATE,
     "incremental_ingest_dedup": SQL_INCREMENTAL_INGEST,
     "kmv_overlap_langs": SQL_KMV_OVERLAP,
+    "winnowing_near_pairs": SQL_WINNOWING,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
