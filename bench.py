@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "incremental_ingest_dedup",
     "kmv_overlap_langs",
     "winnowing_near_pairs",
+    "sketch_drift_psi",
     # split_words_across_cells is deliberately NOT benched: its ~15
     # AQE query stages cost ~0.4 s codegen/scheduling EACH on the tiny
     # corpus (pure fixed overhead, amortized at real scale) — the row

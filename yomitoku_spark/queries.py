@@ -1261,6 +1261,99 @@ JOIN sizes z2 ON z2.lang = e.s2
 )
 
 
+def sketch_drift_psi(spark, sf_dir):
+    """Distribution-drift monitor from the SAME mergeable artifacts
+    the pipeline already keeps: per-language PSI (population stability
+    index, Σ (p2-p1)·ln(p2/p1)) between day-1 and day-2 token-count
+    distributions, computed on the log-linear quantile sketch's
+    BOUNDED bucket tables (functions/sketch.q_build — <= (64-s)·2^s
+    rows per group) rather than raw data. At 100 TB this is the
+    day-over-day data-quality gate: each day costs one map-side-
+    combined exchange to sketch, and the drift report is pure
+    arithmetic over two tiny bucket tables — no rescan, no sort.
+    Integer fixed point end to end: shares in ppm with +1 smoothing
+    (empty buckets get 1 ppm, keeps the log total), |ln ratio| via
+    the micro-log2 quadratic fragment (operators/retrieval.plog2q) on
+    the hi/lo ratio so every operand stays positive (Spark DIV
+    truncates toward zero but DuckDB // floors — they only agree on
+    non-negatives). Referee replays bucket ids, shares, and the log
+    arithmetic bit for bit."""
+    d = t(spark, sf_dir, "documents")
+    src = d.select(
+        "lang",
+        F.when(
+            TS.hash64(F.col("doc_id").cast("string")) % 1000 < 500, F.lit(1)
+        ).otherwise(F.lit(2)).alias("day"),
+        TS.token_count(F.col("text")).alias("n_tokens"),
+    )
+    sk = SK.q_build(src, F.col("n_tokens"), ["lang", "day"], sub_bits=5)
+    piv = sk.groupBy("lang", "bucket").agg(
+        F.sum(F.when(F.col("day") == 1, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("day") == 2, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint").alias("c2"),
+    )
+    tot = piv.groupBy("lang").agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    shares = piv.join(F.broadcast(tot), "lang").select(
+        "lang", "n1", "n2",
+        F.expr("c1 * 1000000 DIV GREATEST(n1, CAST(1 AS BIGINT)) + 1")
+        .cast("bigint").alias("s1"),
+        F.expr("c2 * 1000000 DIV GREATEST(n2, CAST(1 AS BIGINT)) + 1")
+        .cast("bigint").alias("s2"),
+    )
+    ratio = "(GREATEST(s1, s2) * 1048576 DIV LEAST(s1, s2))"
+    ln_micro = (
+        f"(({RET.plog2q_frag(ratio, 'spark')} - 20000000) "
+        f"* {SK.LN2_MICRO} DIV 1000000)"
+    )
+    contrib = f"((GREATEST(s1, s2) - LEAST(s1, s2)) * {ln_micro} DIV 1000000)"
+    return shares.groupBy("lang").agg(
+        F.min("n1").cast("bigint").alias("n1"),
+        F.min("n2").cast("bigint").alias("n2"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum(F.expr(contrib)).cast("bigint").alias("psi_micro"),
+    )
+
+
+def _sql_psi() -> str:
+    ratio = "(GREATEST(s1, s2) * 1048576 // LEAST(s1, s2))"
+    ln_micro = (
+        f"(({RET.plog2q_frag(ratio, 'duckdb')} - 20000000) "
+        f"* {SK.LN2_MICRO} // 1000000)"
+    )
+    contrib = f"((GREATEST(s1, s2) - LEAST(s1, s2)) * {ln_micro} // 1000000)"
+    return f"""
+WITH src AS (SELECT lang,
+    CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000) < 500 THEN 1 ELSE 2 END AS day,
+    GREATEST(CAST(len({_TOKS}) AS BIGINT), 1) AS v
+  FROM documents),
+qsb AS (SELECT lang, day,
+          (GREATEST(length(bin(v)) - 6, 0) * 32
+           + (v >> GREATEST(length(bin(v)) - 6, 0))) AS bucket
+        FROM src),
+piv AS (SELECT lang, bucket,
+          CAST(SUM(CASE WHEN day = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+          CAST(SUM(CASE WHEN day = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM qsb GROUP BY 1, 2),
+tot AS (SELECT lang, SUM(c1) AS n1, SUM(c2) AS n2 FROM piv GROUP BY lang),
+sh AS (SELECT p.lang, t.n1, t.n2,
+         p.c1 * 1000000 // GREATEST(t.n1, 1) + 1 AS s1,
+         p.c2 * 1000000 // GREATEST(t.n2, 1) + 1 AS s2
+       FROM piv p JOIN tot t USING (lang))
+SELECT lang, CAST(MIN(n1) AS BIGINT) AS n1, CAST(MIN(n2) AS BIGINT) AS n2,
+  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+  CAST(SUM({contrib}) AS BIGINT) AS psi_micro
+FROM sh GROUP BY lang
+"""
+
+
+SQL_DRIFT_PSI = _sql_psi()
+
+
 def winnowing_near_pairs(spark, sf_dir):
     """Winnowing near-dup candidates (operators/dedup.
     winnow_fingerprints — Schleimer, Wilkerson & Aiken 2003, the MOSS
@@ -4681,6 +4774,7 @@ QUERIES = {
     "incremental_ingest_dedup": incremental_ingest_dedup,
     "kmv_overlap_langs": kmv_overlap_langs,
     "winnowing_near_pairs": winnowing_near_pairs,
+    "sketch_drift_psi": sketch_drift_psi,
 }
 
 ORACLE = {
@@ -4763,6 +4857,7 @@ ORACLE = {
     "incremental_ingest_dedup": SQL_INCREMENTAL_INGEST,
     "kmv_overlap_langs": SQL_KMV_OVERLAP,
     "winnowing_near_pairs": SQL_WINNOWING,
+    "sketch_drift_psi": SQL_DRIFT_PSI,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
