@@ -425,27 +425,52 @@ def winnow_fingerprints(
 
     Returns (id_col, fh, fpos) distinct rows; positions are 1-based
     gram starts (token span [fpos, fpos+k-1])."""
-    from yomitoku_spark.operators.curation import _grams
-
     t = tokens(F.lower(F.col(text_col)))
+    # Repartition the RAW docs by id first, with an EXPLICIT partition
+    # count: it satisfies both windows' required hash distribution (so
+    # still exactly ONE exchange) and moves the tokenize + per-gram
+    # md5 below the shuffle onto every core. The explicit count is
+    # load-bearing — the doc rows are few BYTES, so AQE's size-based
+    # coalescing would fold the exchange to one task and serialize the
+    # compute-heavy part.
+    #
+    # Grams are built with lead() over exploded TOKENS, not with a
+    # slice-lambda over the token array: CollapseProject inlines the
+    # aliased tokens() expr into a higher-order lambda body, re-running
+    # the regex tokenizer once per GRAM (measured 6 s -> 0.4 s at
+    # sf0.1 local[32]); the lead chain tokenizes once per doc and
+    # rides the same id-partitioned ordering the winnow min needs.
+    tk = (
+        df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+        .select(F.col(id_col).alias("id"), F.posexplode(t).alias("i0", "tok"))
+    )
+    wo = W.partitionBy("id").orderBy("i0")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", j).over(wo) for j in range(1, k)]
+    )
+    # concat_ws skips nulls, so gate on the LAST lead: only full
+    # k-grams survive (docs with < k tokens yield none)
+    full = F.lead("tok", k - 1).over(wo).isNotNull()
     occ = (
-        df.select(F.col(id_col).alias("id"), _grams(t, k).alias("g"))
-        .select("id", F.posexplode("g").alias("i0", "gram"))
-        .select(
+        tk.select(
             "id",
             (F.col("i0") + 1).cast("bigint").alias("pos"),
-            hash64(F.col("gram")).alias("gh"),
+            F.when(full, hash64(gram)).alias("gh"),
         )
+        .filter(F.col("gh").isNotNull())
     )
     win = W.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
-    ng = F.count("*").over(W.partitionBy("id"))
     sel = F.min(
         F.struct(F.col("gh"), (-F.col("pos")).cast("bigint").alias("np"))
     ).over(win)
-    d = occ.withColumn("ng", ng).withColumn("sel", sel)
-    # full windows only (the frame self-truncates at the partition
-    # tail); a doc with fewer than w grams keeps its single global min
-    d = d.filter(F.col("pos") <= F.greatest(F.col("ng") - (w - 1), F.lit(1)))
+    # frame-row count shares the (partition, order) spec with `sel`,
+    # so both evaluate in one Window pass; wn == w marks full windows,
+    # pos == 1 keeps the single truncated window of a short doc
+    wn = F.count("*").over(win)
+    d = occ.withColumn("sel", sel).withColumn("wn", wn)
+    d = d.filter((F.col("wn") == w) | (F.col("pos") == 1))
     return d.select(
         F.col("id").alias(id_col),
         F.col("sel.gh").alias("fh"),
