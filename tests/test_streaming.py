@@ -469,3 +469,76 @@ def test_stream_bloom_filter_equals_batch_build(spark, tmp_path):
     )
     got = SK.bloom_contains(filt, probes, ["g"], "probe", m_bits=M, k=K)
     assert got.filter(F.col("contains") == 0).count() == 0
+
+
+def test_stream_q_buckets_equals_batch_sketch(spark, tmp_path):
+    """Streaming quantile-bucket deltas, sum-folded over everything
+    emitted across a checkpointed restart, == the batch bucket table
+    over the full ingested set (counter semantics: re-ingested values
+    COUNT AGAIN, unlike the idempotent HLL/Bloom twins) — so any
+    quantile extracted mid-stream is bit-identical to batch."""
+    from pyspark.sql import functions as F
+
+    from yomitoku_spark.functions import sketch as SK
+
+    in_dir = str(tmp_path / "q_in")
+    out_dir = str(tmp_path / "q_out")
+    cp_dir = str(tmp_path / "q_cp")
+
+    schema = "source string, v bigint"
+    wave1 = spark.createDataFrame(
+        [("a", i % 97 + 1) for i in range(300)] + [("b", 7), ("b", 70000)],
+        schema,
+    )
+    wave2 = spark.createDataFrame(
+        [("a", (i * 13) % 4096 + 1) for i in range(250)] + [("b", 7)],
+        schema,
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            ST.stream_q_buckets(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    wave1.coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    wave2.coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+
+    emitted = spark.read.parquet(out_dir)
+    streamed = {
+        (r.source, r.bucket): r.cnt
+        for r in SK.q_merge(emitted, ["source"]).collect()
+    }
+    both = wave1.unionByName(wave2)
+    batch = {
+        (r.source, r.bucket): r.cnt
+        for r in SK.q_build(both, F.col("v"), ["source"]).collect()
+    }
+    assert streamed == batch
+    # quantiles from the folded stream == batch quantiles, bit for bit
+    sq = {
+        tuple(r)
+        for r in SK.q_quantiles(
+            SK.q_merge(emitted, ["source"]), ["source"], [500, 900]
+        ).collect()
+    }
+    bq = {
+        tuple(r)
+        for r in SK.q_quantiles(
+            SK.q_build(both, F.col("v"), ["source"]), ["source"], [500, 900]
+        ).collect()
+    }
+    assert sq == bq

@@ -473,16 +473,16 @@ def bloom_test(
 # ------------------------------------------------------------------
 
 
-def q_build(
+def q_bucket_rows(
     df: DataFrame,
     value: Column,
     group_cols: list[str],
     sub_bits: int = 5,
 ) -> DataFrame:
-    """Quantile-sketch bucket table (group_cols..., bucket, cnt) over
-    positive BIGINT ``value`` (values < 1 are clamped to 1 so the
-    bucket math is total). ONE exchange keyed (group, bucket) with a
-    map-side partial SUM."""
+    """Stateless per-element (group_cols..., bucket) rows — the shared
+    front half of the batch bucket build and the streaming bucket
+    state (`streaming.stream.stream_q_buckets`). Values < 1 clamp to 1
+    so the bucket math is total."""
     s = sub_bits
     src = df.select(
         *group_cols, F.greatest(value.cast("bigint"), F.lit(1)).alias("v")
@@ -498,9 +498,21 @@ def q_build(
              + F.expr("shiftright(v, sh)")).cast("bigint"),
         )
     )
-    return d.groupBy(*group_cols, "bucket").agg(
-        F.count("*").cast("bigint").alias("cnt")
-    )
+    return d.select(*group_cols, "bucket")
+
+
+def q_build(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str],
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Quantile-sketch bucket table (group_cols..., bucket, cnt) over
+    positive BIGINT ``value``. ONE exchange keyed (group, bucket) with
+    a map-side partial SUM."""
+    return q_bucket_rows(df, value, group_cols, sub_bits).groupBy(
+        *group_cols, "bucket"
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
 
 
 def q_merge(sketch: DataFrame, group_cols: list[str]) -> DataFrame:

@@ -358,3 +358,50 @@ def stream_bloom_filter(
     return d.groupBy(group_col, "word").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_q_buckets(
+    values_stream: DataFrame,
+    value_col: str = "v",
+    group_col: str = "source",
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Streaming quantile sketch: per-(group, bucket) count state via
+    ``applyInPandasWithState``, pinned to the batch bucket rule
+    (`functions.sketch.q_build`).
+
+    The stateless value→bucket front half is the SAME column plan as
+    the batch build (`sketch.q_bucket_rows`); the stateful half keeps
+    one BIGINT (the bucket's running count) per occupied (group,
+    bucket) and emits each micro-batch's DELTA — the quantile sketch
+    merges by SUM (counter semantics, unlike the idempotent HLL MAX /
+    Bloom bit_or), so sum-folding everything emitted so far
+    (`sketch.q_merge`) equals the batch bucket table over everything
+    ingested so far, at any point in the stream and across
+    checkpointed restarts. State is bounded by (64 - s)·2^s rows per
+    group no matter how many values arrive, and any quantile is
+    available mid-stream by folding + `sketch.q_quantiles`."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from yomitoku_spark.functions.sketch import q_bucket_rows
+
+    d = q_bucket_rows(values_stream, F.col(value_col), [group_col], sub_bits)
+    out_schema = f"{group_col} string, bucket bigint, cnt bigint"
+    state_schema = "cnt bigint"
+
+    def fn(key, pdfs, state):
+        add = 0
+        for pdf in pdfs:
+            add += len(pdf)
+        if not add:
+            return
+        cur = int(state.get[0]) if state.exists else 0
+        state.update((cur + add,))
+        yield pd.DataFrame(
+            {group_col: [key[0]], "bucket": [int(key[1])], "cnt": [add]}
+        )
+
+    return d.groupBy(group_col, "bucket").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
