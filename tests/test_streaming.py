@@ -542,3 +542,63 @@ def test_stream_q_buckets_equals_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert sq == bq
+
+
+def test_stream_cm_counters_equals_batch_sketch(spark, tmp_path):
+    """Streaming count-min deltas, sum-folded over everything emitted
+    across a checkpointed restart, == the batch cm_build table over
+    the full ingested stream — so any point estimate mid-stream is
+    bit-identical to batch (and keeps the est >= true guarantee)."""
+    from pyspark.sql import functions as F
+
+    from yomitoku_spark.functions import sketch as SK
+
+    in_dir = str(tmp_path / "cm_in")
+    out_dir = str(tmp_path / "cm_out")
+    cp_dir = str(tmp_path / "cm_cp")
+
+    schema = "source string, tok string"
+    wave1 = spark.createDataFrame(
+        [("a", f"t{i % 37}") for i in range(200)] + [("b", "hot")] * 9,
+        schema,
+    )
+    wave2 = spark.createDataFrame(
+        [("a", f"t{(i * 7) % 61}") for i in range(150)] + [("b", "hot")] * 4,
+        schema,
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            ST.stream_cm_counters(stream, depth=3, width=64)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    wave1.coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    wave2.coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+
+    emitted = spark.read.parquet(out_dir)
+    streamed = {
+        (r.source, r.row, r.bucket): r.cnt
+        for r in SK.cm_merge(emitted, ["source"]).collect()
+    }
+    both = wave1.unionByName(wave2)
+    batch = {
+        (r.source, r.row, r.bucket): r.cnt
+        for r in SK.cm_build(
+            both, F.col("tok"), ["source"], depth=3, width=64
+        ).collect()
+    }
+    assert streamed == batch

@@ -121,6 +121,24 @@ def main():
         ("query: kmv_overlap_langs (one corpus exchange builds the "
          "sketches; all pair set-algebra on broadcast <=64-row artifacts)", p))
 
+    # winnowing: one doc-grain exchange feeds both window passes (the
+    # lead-chain gram build and the framed struct-min share the id
+    # partitioning); no cartesian product anywhere
+    p = plan_of(QUERIES["winnowing_near_pairs"](spark, SF))
+    assert "CartesianProduct" not in p, "winnowing must not cross-join"
+    sections.append(
+        ("query: winnowing_near_pairs (lead-chain grams + framed "
+         "struct-min winnow share ONE doc-grain exchange; banded "
+         "fingerprint equi-join)", p))
+
+    # PSI drift: the report is arithmetic over two bounded bucket
+    # tables; the per-lang totals broadcast back to the bucket rows
+    p = plan_of(QUERIES["sketch_drift_psi"](spark, SF))
+    assert "BroadcastExchange" in p, "PSI totals must broadcast"
+    sections.append(
+        ("query: sketch_drift_psi (drift from bounded sketch buckets; "
+         "totals broadcast, no raw-data rescan)", p))
+
     for name in ["kv_items_geometric", "extract_scalar_cascade",
                  "extract_table_field", "jaccard_near_pairs",
                  "connected_components_labels", "grid_header_derivation",

@@ -202,6 +202,29 @@ hest AS (SELECT {group_col}, n_nonzero, sum_rho,
 # ------------------------------------------------------------------
 
 
+def cm_cells(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str],
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Stateless per-occurrence (group_cols..., row, bucket) cell rows
+    — the shared front half of the batch build and the streaming
+    counter state (`streaming.stream.stream_cm_counters`)."""
+    d = df.select(*group_cols, value.alias("v")).withColumn(
+        "row", F.explode(F.array(*[F.lit(j) for j in range(depth)]))
+    )
+    bucket = (
+        hash64(F.concat_ws(":", F.col("row").cast("string"), F.col("v"))) % width
+    )
+    return d.select(
+        *group_cols,
+        F.col("row").cast("bigint").alias("row"),
+        bucket.cast("bigint").alias("bucket"),
+    )
+
+
 def cm_build(
     df: DataFrame,
     value: Column,
@@ -214,14 +237,8 @@ def cm_build(
     with map-side partial SUM; the depth-fold explode happens before
     the combine, so the shuffle still moves ≤ depth·width rows per
     group per task."""
-    d = df.select(*group_cols, value.alias("v")).withColumn(
-        "row", F.explode(F.array(*[F.lit(j) for j in range(depth)]))
-    )
-    bucket = (
-        hash64(F.concat_ws(":", F.col("row").cast("string"), F.col("v"))) % width
-    )
     return (
-        d.select(*group_cols, "row", bucket.cast("bigint").alias("bucket"))
+        cm_cells(df, value, group_cols, depth, width)
         .groupBy(*group_cols, "row", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )

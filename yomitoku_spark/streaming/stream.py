@@ -405,3 +405,54 @@ def stream_q_buckets(
     return d.groupBy(group_col, "bucket").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_cm_counters(
+    values_stream: DataFrame,
+    value_col: str = "tok",
+    group_col: str = "source",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Streaming count-min sketch: per-(group, row, bucket) counter
+    state via ``applyInPandasWithState``, pinned to the batch build
+    (`functions.sketch.cm_build`) — the fifth and last sketch family
+    member's stream twin.
+
+    The stateless hash→(row, bucket) front half is the SAME column
+    plan as the batch build (`sketch.cm_cells`); the stateful half
+    keeps one BIGINT (the cell's running count) per occupied cell and
+    emits each micro-batch's DELTA — count-min merges by SUM (counter
+    semantics, like the quantile buckets), so sum-folding everything
+    emitted so far (`sketch.cm_merge`) equals the batch sketch over
+    everything ingested so far, at any point and across checkpointed
+    restarts. State is bounded by depth·width rows per group."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from yomitoku_spark.functions.sketch import cm_cells
+
+    d = cm_cells(values_stream, F.col(value_col), [group_col], depth, width)
+    out_schema = f"{group_col} string, row bigint, bucket bigint, cnt bigint"
+    state_schema = "cnt bigint"
+
+    def fn(key, pdfs, state):
+        add = 0
+        for pdf in pdfs:
+            add += len(pdf)
+        if not add:
+            return
+        cur = int(state.get[0]) if state.exists else 0
+        state.update((cur + add,))
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "row": [int(key[1])],
+                "bucket": [int(key[2])],
+                "cnt": [add],
+            }
+        )
+
+    return d.groupBy(group_col, "row", "bucket").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
