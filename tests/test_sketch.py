@@ -481,3 +481,87 @@ def test_kmv_grouped_sample_is_deterministic(spark):
     assert one == two
     assert len([r for r in one if r[0] == "a"]) == KK
     assert len([r for r in one if r[0] == "b"]) == KK
+
+
+def test_sketch_artifacts_persist_and_merge_across_days(spark, tmp_path):
+    """The portability claim, end to end: every sketch is a plain
+    DataFrame artifact, so day-1 sketches WRITTEN TO PARQUET and read
+    back merge with day-2 sketches to exactly the sketch of the union
+    — the operational property Spark's approx_count_distinct state
+    cannot offer. Covers all four table sketches under their own
+    merge law (HLL/MAX, Bloom/bit_or, quantile/SUM, KMV/min-k)."""
+    from pyspark.sql import functions as F
+
+    from yomitoku_spark.functions import sketch as SK
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    day1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    day2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    both = day1.unionByName(day2)
+
+    def roundtrip(df, name):
+        p = str(tmp_path / name)
+        df.write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
+    # HLL: MAX-merge of persisted day-1 registers + day-2 registers
+    h1 = roundtrip(SK.hll_registers(day1, F.col("tok"), ["lang"]), "hll1")
+    h2 = SK.hll_registers(day2, F.col("tok"), ["lang"])
+    got = {
+        tuple(r)
+        for r in SK.hll_estimate(
+            SK.hll_merge(h1.unionByName(h2), ["lang"]), ["lang"]
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in SK.hll_estimate(
+            SK.hll_registers(both, F.col("tok"), ["lang"]), ["lang"]
+        ).collect()
+    }
+    assert got == want
+
+    # Bloom: bit_or-merge (idempotent — day splits may overlap)
+    b1 = roundtrip(SK.bloom_build(day1, F.col("tok"), ["lang"]), "bl1")
+    b2 = SK.bloom_build(day2, F.col("tok"), ["lang"])
+    got = {
+        tuple(r)
+        for r in SK.bloom_merge(b1.unionByName(b2), ["lang"]).collect()
+    }
+    want = {
+        tuple(r) for r in SK.bloom_build(both, F.col("tok"), ["lang"]).collect()
+    }
+    assert got == want
+
+    # quantile buckets: SUM-merge (counter semantics)
+    q1 = roundtrip(SK.q_build(day1.select(
+        "lang", F.length("tok").alias("v")), F.col("v"), ["lang"]), "q1")
+    q2 = SK.q_build(day2.select(
+        "lang", F.length("tok").alias("v")), F.col("v"), ["lang"])
+    got = {
+        tuple(r) for r in SK.q_merge(q1.unionByName(q2), ["lang"]).collect()
+    }
+    want = {
+        tuple(r)
+        for r in SK.q_build(
+            both.select("lang", F.length("tok").alias("v")),
+            F.col("v"), ["lang"],
+        ).collect()
+    }
+    assert got == want
+
+    # KMV: min-k union (idempotent)
+    k1 = roundtrip(SK.kmv_build(day1, F.col("tok"), ["lang"], k=16), "k1")
+    k2 = SK.kmv_build(day2, F.col("tok"), ["lang"], k=16)
+    got = {
+        tuple(r)
+        for r in SK.kmv_merge(k1.unionByName(k2), ["lang"], k=16).collect()
+    }
+    want = {
+        tuple(r) for r in SK.kmv_build(both, F.col("tok"), ["lang"], k=16).collect()
+    }
+    assert got == want
