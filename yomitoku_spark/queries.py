@@ -4712,7 +4712,7 @@ LEFT JOIN placed p
 # ===================================================================
 
 # Registry order matters for the driver's correctness artifact: it
-# snapshots the FIRST 50 entries only (the registry has 67, so the 17
+# snapshots the FIRST 50 entries only (the registry has 98, so the 48
 # tail entries are outside the window). Rotation policy: new queries
 # and rows absent from the last driver artifact go first; rows that
 # are driver-green two consecutive rounds rotate to the tail. No row
@@ -4739,6 +4739,15 @@ LEFT JOIN placed p
 # llm_extract_kv and grid_dag_units displaced across the 50-row
 # boundary; doc_lm_perplexity (late r6) pushes multimodal_plan
 # (driver-green r4+r5) across it too.
+#
+# Very-late-r6 additions (appended at the dict END, so tail-only this
+# round, hard-gated by test_oracle_tail every pytest run): the sketch
+# family consumers (cmsketch/bloom/quantile/kmv rows +
+# adaptive_length_gate), incremental_ingest_dedup, kmv_overlap_langs,
+# winnowing_near_pairs, sketch_drift_psi, bpe_train_merges,
+# bpe_subword_counts. r7 rotation MUST move these into the driver
+# window (they are "new, never driver-checked" under the policy
+# above).
 QUERIES = {
     # --- new this round: never driver-checked ---
     "bm25_retrieval_topk": bm25_retrieval_topk,
