@@ -700,3 +700,56 @@ def test_winnowing_parity_and_guarantee(spark):
         assert got.get(i, set()) == scalar(text), i
     shared = {h for h, _ in got[1000]} & {h for h, _ in got[1001]}
     assert shared, "w+k-1 shared run must yield a shared fingerprint"
+
+
+def test_bpe_train_matches_scalar_referee(spark):
+    """Distributed BPE merge learning == a pure-Python referee (exact
+    merge table: round, pair, count) over randomized word dicts —
+    pins the pair-count arithmetic, the (count desc, pair asc)
+    tiebreak (UTF-8 binary order == code-point order), and the greedy
+    leftmost non-overlapping apply rule the replace() chain encodes."""
+    import random
+
+    from yomitoku_spark.operators import bpe as BPE
+
+    def scalar_bpe(word_counts, n_merges):
+        seqs = {w: list(w) for w in word_counts}
+        merges = []
+        for r in range(1, n_merges + 1):
+            pc = {}
+            for w, cnt in word_counts.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + cnt
+            if not pc:
+                break
+            (x, y), c = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((r, x, y, c))
+            for w, s in seqs.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                        out.append(x + y)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[w] = out
+        return merges
+
+    rng = random.Random(11)
+    for trial in range(3):
+        wc = {}
+        for _ in range(40):
+            w = "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+            wc[w] = wc.get(w, 0) + rng.randint(1, 9)
+        rows = [(w,) for w, c in wc.items() for _ in range(c)]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, ["text"])
+        got = [
+            (r.round, r.x, r.y, r.pair_count)
+            for r in BPE.bpe_train(df, n_merges=5).orderBy("round").collect()
+        ]
+        assert got == scalar_bpe(wc, 5), (trial, got)
