@@ -1291,6 +1291,36 @@ def bpe_subword_counts(spark, sf_dir):
     return BPE.bpe_apply(d, pairs)
 
 
+def pack_chunks_bpe(spark, sf_dir):
+    """The tokenizer loop closed end to end: learn the 8 BPE merges
+    (bpe_train_merges), tokenize every document with them
+    (bpe_apply — a nested-replace codegen Project), then pack the
+    SUBWORD stream per language into 256-subword context windows with
+    per-doc lineage — the same two-pass prefix-sum packing as
+    pack_chunks, but budgeted in the units the model actually consumes
+    instead of whitespace tokens. One corpus exchange for the word
+    dict, one for the doc fold, one range exchange per stream; the
+    referee re-learns the merges and replays the packing arithmetic."""
+    d = t(spark, sf_dir, "documents")
+    m = BPE.bpe_train(d, n_merges=8)
+    pairs = [(r.x, r.y) for r in m.orderBy("round").collect()]
+    sub = BPE.bpe_apply(d, pairs).select("doc_id", "n_subwords")
+    j = d.select("doc_id", "lang").join(sub, "doc_id")
+    byid = W.partitionBy("lang").orderBy("doc_id")
+    c = j.withColumn("cum", F.sum("n_subwords").over(byid))
+    return c.select(
+        "doc_id", "lang",
+        F.col("n_subwords").cast("bigint").alias("n_subwords"),
+        (F.col("cum") - F.col("n_subwords")).cast("bigint").alias(
+            "start_offset"
+        ),
+        F.expr("(cum - n_subwords) DIV 256").cast("bigint").alias(
+            "first_chunk"
+        ),
+        F.expr("(cum - 1) DIV 256").cast("bigint").alias("last_chunk"),
+    )
+
+
 def _sql_bpe_rounds(n: int) -> str:
     S = BPE.SEP
     parts = [
@@ -1334,6 +1364,26 @@ SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
        CAST(SUM(g.n_sub) AS BIGINT) AS n_subwords
 FROM occ o JOIN segs g USING (w)
 GROUP BY o.doc_id
+"""
+)
+
+SQL_PACK_BPE = (
+    "WITH " + _sql_bpe_rounds(8) + f""",
+segs AS (SELECT w, CAST(len(string_split(trim(s, '{BPE.SEP}'),
+                '{BPE.SEP}{BPE.SEP}')) AS BIGINT) AS n_sub FROM w8),
+sub AS (SELECT o.doc_id, CAST(SUM(g.n_sub) AS BIGINT) AS n_subwords
+        FROM occ o JOIN segs g USING (w) GROUP BY o.doc_id),
+j AS (SELECT d.doc_id, d.lang, s.n_subwords
+      FROM (SELECT doc_id, lang FROM documents) d JOIN sub s USING (doc_id)),
+c AS (SELECT doc_id, lang, n_subwords,
+        SUM(n_subwords) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM j)
+SELECT doc_id, lang, n_subwords,
+  CAST(cum - n_subwords AS BIGINT) AS start_offset,
+  CAST((cum - n_subwords) // 256 AS BIGINT) AS first_chunk,
+  CAST((cum - 1) // 256 AS BIGINT) AS last_chunk
+FROM c
 """
 )
 
@@ -4863,6 +4913,7 @@ QUERIES = {
     "sketch_drift_psi": sketch_drift_psi,
     "bpe_train_merges": bpe_train_merges,
     "bpe_subword_counts": bpe_subword_counts,
+    "pack_chunks_bpe": pack_chunks_bpe,
 }
 
 ORACLE = {
@@ -4948,6 +4999,7 @@ ORACLE = {
     "sketch_drift_psi": SQL_DRIFT_PSI,
     "bpe_train_merges": SQL_BPE_TRAIN,
     "bpe_subword_counts": SQL_BPE_APPLY,
+    "pack_chunks_bpe": SQL_PACK_BPE,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
