@@ -545,3 +545,34 @@ def test_decontaminate_bloom_narrow_width_overflags(spark):
     assert any(
         rows[i]["bloom_gram_hits"] > rows[i]["eval_gram_hits"] for i in rows
     ), "narrow filter should produce false positives"
+
+
+def test_pack_chunks_sharded_equals_unsharded(spark):
+    """The hot-stream two-pass prefix sum (contiguous id-range shards,
+    per-shard local cumsum + broadcast re-base) is byte-equal to the
+    single-partition-per-stream path — forced through MANY shards with
+    a tiny range_size so the re-base actually exercises."""
+    from pyspark.sql import functions as F
+
+    from yomitoku_spark.operators import curation as CUR
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plain = {
+        tuple(r)
+        for r in CUR.pack_chunks(docs, chunk_tokens=256).collect()
+    }
+    sharded = {
+        tuple(r)
+        for r in CUR.pack_chunks_sharded(
+            docs, chunk_tokens=256, range_size=16
+        ).collect()
+    }
+    assert sharded == plain
+    # degenerate single-shard config also equal
+    one = {
+        tuple(r)
+        for r in CUR.pack_chunks_sharded(
+            docs, chunk_tokens=256, range_size=1 << 40
+        ).collect()
+    }
+    assert one == plain

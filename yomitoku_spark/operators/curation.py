@@ -259,9 +259,9 @@ def pack_chunks(
     The prefix sum is a window over the stream partition ordered by
     doc id — Spark executes it as ONE range exchange + per-partition
     scan (two-pass prefix sum). Streams are independent, so skew is
-    bounded by the largest stream; at 100 TB you shard a hot stream by
-    a salt column and re-base offsets with the per-shard totals (the
-    same two-pass trick, one level up).
+    bounded by the largest stream; for the hot-stream regime use
+    :func:`pack_chunks_sharded`, which runs the same two-pass trick
+    one level up and is pytest-pinned byte-equal to this path.
     """
     ntok = token_count(F.col(text_col))
     by_id = W.partitionBy(stream_col).orderBy(id_col)
@@ -283,6 +283,70 @@ def pack_chunks(
         .alias("first_chunk"),
         F.floor((F.col("cum") - 1) / chunk_tokens).cast("bigint").alias("last_chunk"),
     )
+
+
+def pack_chunks_sharded(
+    df: DataFrame,
+    chunk_tokens: int,
+    range_size: int = 1 << 20,
+    text_col: str = "text",
+    stream_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`pack_chunks` for the HOT-STREAM regime: the distributed
+    two-pass prefix sum, made explicit.
+
+    A single window partition per stream serializes that stream's
+    scan on one task — fine until one stream holds 10^10 documents.
+    Here each stream splits into CONTIGUOUS id ranges
+    (shard = id DIV ``range_size``, so global (stream, id) order is
+    preserved across shards), the prefix sum runs per (stream, shard)
+    — parallelism × number of shards — and a per-shard totals table
+    (one tiny row per shard) is window-cumsum'd and broadcast back to
+    re-base each shard's local offsets. Output is BYTE-EQUAL to
+    :func:`pack_chunks` (pytest pins it); only the plan shape differs:
+    the hot stream's O(n) scan becomes O(n / n_shards) per task plus
+    an O(shards) driver-free fold.
+    """
+    ntok = token_count(F.col(text_col))
+    d = df.select(
+        F.col(id_col), F.col(stream_col), ntok.alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    d = d.withColumn(
+        "shard", (F.col(id_col).cast("bigint") / range_size).cast("bigint")
+    )
+    by_id = W.partitionBy(stream_col, "shard").orderBy(id_col)
+    local = d.withColumn(
+        "lcum",
+        F.sum("n_tokens").over(by_id.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    totals = d.groupBy(stream_col, "shard").agg(
+        F.sum("n_tokens").alias("shard_total")
+    )
+    by_shard = W.partitionBy(stream_col).orderBy("shard")
+    bases = totals.withColumn(
+        "base",
+        F.coalesce(
+            F.sum("shard_total").over(
+                by_shard.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(stream_col, "shard", "base")
+    r = local.join(F.broadcast(bases), [stream_col, "shard"]).withColumn(
+        "cum", F.col("lcum") + F.col("base")
+    )
+    return r.select(
+        id_col,
+        stream_col,
+        "n_tokens",
+        (F.col("cum") - F.col("n_tokens")).cast("bigint").alias("start_offset"),
+        F.floor((F.col("cum") - F.col("n_tokens")) / chunk_tokens)
+        .cast("bigint")
+        .alias("first_chunk"),
+        F.floor((F.col("cum") - 1) / chunk_tokens).cast("bigint").alias("last_chunk"),
+    )
+
 
 def decontaminate(
     df: DataFrame,

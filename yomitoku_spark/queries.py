@@ -672,6 +672,21 @@ FROM c
 """
 
 
+def pack_chunks_sharded(spark, sf_dir):
+    """The hot-stream variant of pack_chunks (operators/curation.
+    pack_chunks_sharded): contiguous id-range shards run the prefix
+    sum at parallelism × n_shards, a tiny per-shard totals table is
+    window-cumsum'd and broadcast back to re-base local offsets —
+    the explicit distributed two-pass prefix sum for a stream too hot
+    for one window partition. Forced through many shards here
+    (range_size=16); output contract — and therefore the oracle — is
+    IDENTICAL to pack_chunks (pytest additionally pins set equality
+    of the two paths)."""
+    return CUR.pack_chunks_sharded(
+        t(spark, sf_dir, "documents"), chunk_tokens=256, range_size=16
+    )
+
+
 def decontaminate_ngram(spark, sf_dir):
     """Benchmark decontamination (GPT-3/PaLM n-gram overlap scrub):
     training docs sharing any word-8-gram with a deterministic 2%
@@ -4914,6 +4929,7 @@ QUERIES = {
     "bpe_train_merges": bpe_train_merges,
     "bpe_subword_counts": bpe_subword_counts,
     "pack_chunks_bpe": pack_chunks_bpe,
+    "pack_chunks_sharded": pack_chunks_sharded,
 }
 
 ORACLE = {
@@ -5000,6 +5016,7 @@ ORACLE = {
     "bpe_train_merges": SQL_BPE_TRAIN,
     "bpe_subword_counts": SQL_BPE_APPLY,
     "pack_chunks_bpe": SQL_PACK_BPE,
+    "pack_chunks_sharded": SQL_PACK_CHUNKS,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
