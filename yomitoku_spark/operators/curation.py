@@ -215,6 +215,81 @@ def exact_substring_spans(
     return spans
 
 
+def scrub_duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup with REMOVAL (the second half of Lee et
+    al. 2022 "Deduplicating training data makes language models
+    better"): every word-``k``-gram occurring in >= 2 distinct
+    documents keeps its copy in the smallest doc_id (the keeper) and
+    is scrubbed from every other document — covered token positions
+    are cut and the remaining tokens re-joined. Operates on the
+    dedup-normalized (lowercased, whitespace-tokenized) stream, the
+    same representation the span detector uses.
+
+    Scale shape: grams travel as 60-bit hashes; the corpus-wide
+    exchanges are the gram-keeper aggregation, the doc-grain anti-join
+    of covered positions, and the final per-doc re-assembly fold.
+    Overlapping removable spans merge for free through the DISTINCT
+    covered-position set.
+
+    Returns (id_col, n_tokens, n_removed, cleaned_text) for every
+    document — untouched docs ride through with n_removed = 0."""
+    t = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("id"), t.alias("t"))
+    toks = base.select(
+        "id", F.posexplode(F.col("t")).alias("i0", "tok")
+    ).select("id", (F.col("i0") + 1).cast("bigint").alias("p"), "tok")
+    occ = base.select(
+        "id", F.posexplode(_grams(F.col("t"), k)).alias("i0", "gram")
+    ).select(
+        "id",
+        (F.col("i0") + 1).cast("bigint").alias("pos"),
+        hash64(F.col("gram")).alias("gh"),
+    )
+    keeper = (
+        occ.groupBy("gh")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.countDistinct("id").alias("nd"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("gh", "keep_id")
+    )
+    bad = occ.join(keeper, "gh").filter(F.col("id") != F.col("keep_id"))
+    covered = bad.select(
+        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p")
+    ).distinct()
+    kept = toks.join(covered, ["id", "p"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    totals = toks.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_tokens")
+    )
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     rates_permille: dict[str, int],

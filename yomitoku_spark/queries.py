@@ -672,6 +672,46 @@ FROM c
 """
 
 
+def doc_scrub_spans(spark, sf_dir):
+    """Exact-substring dedup with REMOVAL (operators/curation.
+    scrub_duplicate_spans — the second half of Lee et al. 2022):
+    cross-doc duplicated 8-gram spans keep one copy (smallest doc_id)
+    and are cut from every other document, with the cleaned text and
+    removed-token counts emitted per doc. Grams travel as 60-bit
+    hashes; overlapping spans merge via the DISTINCT covered-position
+    set; the referee rebuilds every cleaned string in DuckDB."""
+    return CUR.scrub_duplicate_spans(t(spark, sf_dir, "documents"), k=8)
+
+
+SQL_SCRUB_SPANS = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+toks AS (SELECT doc_id, CAST(i AS BIGINT) AS p, t[i] AS tok
+         FROM base, unnest(range(1, len(t)+1)) AS u(i)),
+occ AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+            AS gh
+        FROM base, unnest(range(1, greatest(len(t)-7, 0)+1)) AS u(i)),
+keeper AS (SELECT gh, MIN(doc_id) AS keep_id FROM occ
+           GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+bad AS (SELECT o.doc_id, o.pos FROM occ o JOIN keeper k USING (gh)
+        WHERE o.doc_id <> k.keep_id),
+cov AS (SELECT DISTINCT doc_id, pos + j AS p
+        FROM bad, unnest(range(0, 8)) AS r(j)),
+kept AS (SELECT t.doc_id, t.p, t.tok FROM toks t
+         LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+         WHERE c.p IS NULL),
+reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+          string_agg(tok, ' ' ORDER BY p) AS cleaned_text
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY doc_id)
+SELECT tt.doc_id, tt.n_tokens,
+  CAST(tt.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+  COALESCE(r.cleaned_text, '') AS cleaned_text
+FROM tot tt LEFT JOIN reb r USING (doc_id)
+"""
+
+
 def pack_chunks_sharded(spark, sf_dir):
     """The hot-stream variant of pack_chunks (operators/curation.
     pack_chunks_sharded): contiguous id-range shards run the prefix
@@ -4930,6 +4970,7 @@ QUERIES = {
     "bpe_subword_counts": bpe_subword_counts,
     "pack_chunks_bpe": pack_chunks_bpe,
     "pack_chunks_sharded": pack_chunks_sharded,
+    "doc_scrub_spans": doc_scrub_spans,
 }
 
 ORACLE = {
@@ -5017,6 +5058,7 @@ ORACLE = {
     "bpe_subword_counts": SQL_BPE_APPLY,
     "pack_chunks_bpe": SQL_PACK_BPE,
     "pack_chunks_sharded": SQL_PACK_CHUNKS,
+    "doc_scrub_spans": SQL_SCRUB_SPANS,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
