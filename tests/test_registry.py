@@ -38,58 +38,27 @@ def test_driver_window_boundary_matches_rotation_comment():
     assert "extract_transcripts_mix" in window
     assert "multimodal_features" in window
     # flagship/composed rows never rotate out
-    for must in ("extract_transcripts", "corpus_build", "corpus_build_full",
+    for must in ("extract_transcripts", "extract_transcripts_staged",
+                 "segment_features", "extract_fields_kv",
+                 "corpus_build", "corpus_build_full",
                  "training_set_selection", "export_formats"):
         assert must in window, must
-    # the dict comment documents the boundary: last in-window row and
-    # first tail rows (r6 rotation; the curation quartet displaced the
-    # 4 r2/r3+r5-green generics — all oracle-backed — into the
-    # hard-gated tail ahead of ivf_flat/ivf_scaled, and the second
-    # curation wave displaced doc_token_stats/doc_quality/
-    # doc_fingerprint — driver-green every round r1–r5 — behind them;
-    # the late-r6 rows doc_lm_perplexity + semdedup_embeddings took the
-    # slots of embedding_topk + ann_lsh_topk, driver-green r4+r5, which
-    # now lead the tail so multimodal_features/_plan stay in-window)
+    # r6 FINAL rotation: the 15 very-late never-driver-checked rows
+    # lead the window, the 19 earlier-r6 rows follow, multimodal_plan
+    # anchors the boundary, and the first tail rows are the evicted
+    # r4+r5-green pair
+    assert window[0] == "cmsketch_token_counts"
+    assert window[14] == "doc_scrub_spans"
+    assert window[15] == "bm25_retrieval_topk"
+    assert window[33] == "pack_chunks"
     assert window[-1] == "multimodal_plan", window[-1]
-    assert tail[0] == "embedding_topk", tail[0]
-    assert tail[1] == "ann_lsh_topk", tail[1]
-    assert tail[2] == "ivf_flat_topk", tail[2]
-    assert tail[3] == "ivf_scaled_topk", tail[3]
-    # the bm25/chunking/sketch trio (late r6) took the slots of
-    # minhash_lsh_pairs + simhash_pairs + doc_lang_id (driver-green
-    # r1-r5), which join the tail right behind the ivf pair
-    assert tail[4] == "minhash_lsh_pairs", tail[4]
-    assert tail[5] == "simhash_pairs", tail[5]
-    assert tail[6] == "doc_lang_id", tail[6]
-    assert tail[7] == "doc_token_stats", tail[7]
-    assert tail[8] == "doc_quality", tail[8]
-    assert tail[9] == "doc_fingerprint", tail[9]
-    assert tail[10] == "jaccard_near_pairs", tail[10]
-    assert tail[13] == "sessionize", tail[13]
-    # r6 additions lead the window
-    assert window[0] == "bm25_retrieval_topk"
-    assert window[1] == "doc_sliding_chunks"
-    assert window[2] == "hll_distinct_tokens"
-    assert window[3] == "decontaminate_ngram"
-    assert window[4] == "pii_redaction"
-    assert window[5] == "doc_importance_weights"
-    assert window[6] == "doc_lm_perplexity"
-    assert window[7] == "semdedup_embeddings"
-    assert window[8] == "llm_extract_kv"
-    assert window[9] == "grid_dag_units"
-    assert window[10] == "corpus_index_build"
-    assert window[11] == "ann_ivf_pq_topk"
-    assert window[12] == "search_cells_lookup"
-    assert window[13] == "ann_ivf_clustered_topk"
-    assert window[14] == "embedding_clustered_topk"
-    assert window[15] == "doc_repetition_quality"
-    assert window[16] == "exact_substring_spans"
-    assert window[17] == "corpus_mixture_sample"
-    assert window[18] == "pack_chunks"
-    # the r5 tail returned to the window in full (no row sits out of
-    # the driver window more than one consecutive round)
-    for returned in ("ivf_lloyd_topk", "argmax_join", "content_concat",
-                     "containment_join", "dedup_contained_boxes",
-                     "asof_join", "rollup_revenue",
-                     "connected_components_labels"):
+    assert tail[0] == "ann_multiprobe_topk", tail[0]
+    assert tail[1] == "simhash_near_dup_pairs", tail[1]
+    # out their SECOND consecutive round — the policy cap; the r7
+    # rotation MUST return these three to the window
+    for capped in ("asof_join", "rollup_revenue", "content_concat"):
+        assert capped in tail, capped
+    # at-limit rows that returned after one tail round
+    for returned in ("ivf_lloyd_topk", "argmax_join", "containment_join",
+                     "dedup_contained_boxes", "connected_components_labels"):
         assert returned in window, returned

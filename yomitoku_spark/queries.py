@@ -4817,7 +4817,7 @@ LEFT JOIN placed p
 # ===================================================================
 
 # Registry order matters for the driver's correctness artifact: it
-# snapshots the FIRST 50 entries only (the registry has 98, so the 48
+# snapshots the FIRST 50 entries only (the registry has 101, so the 51
 # tail entries are outside the window). Rotation policy: new queries
 # and rows absent from the last driver artifact go first; rows that
 # are driver-green two consecutive rounds rotate to the tail. No row
@@ -4826,35 +4826,40 @@ LEFT JOIN placed p
 # sf0.01) — rotation never leaves a row with only a by-convention
 # referee.
 #
-# r6 rotation: the new rows (LLM-extract loop + index-build +
-# cell-lookup + 2 clustered-ANN, then the curation quartet added later
-# in r6: repetition quality / substring spans / mixture sample /
-# packing, then the second curation wave: decontamination / PII
-# redaction / DSIR importance weights / CCNet LM perplexity) are new
-# (never checked) and go
-# first; the 3 r5-new rows keep a second consecutive window round; the
-# whole 17-row r5 tail returns (out exactly one round, per policy);
-# the 4 r2/r3+r5-green generics (jaccard … sessionize) rotate out to
-# make room for the curation rows — they lead the hard-gated tail —
-# and the second wave displaces doc_token_stats / doc_quality /
-# doc_fingerprint (driver-green every round r1–r5, oracle-backed)
-# right behind them; the 12 rows first driver-green in r4 and green
-# again in r5 (template_override … grid_row_dicts) stay in the tail,
-# as do ivf_flat_topk + ivf_scaled_topk (driver-green r4+r5) which
-# llm_extract_kv and grid_dag_units displaced across the 50-row
-# boundary; doc_lm_perplexity (late r6) pushes multimodal_plan
-# (driver-green r4+r5) across it too.
-#
-# Very-late-r6 additions (appended at the dict END, so tail-only this
-# round, hard-gated by test_oracle_tail every pytest run): the sketch
-# family consumers (cmsketch/bloom/quantile/kmv rows +
-# adaptive_length_gate), incremental_ingest_dedup, kmv_overlap_langs,
-# winnowing_near_pairs, sketch_drift_psi, bpe_train_merges,
-# bpe_subword_counts. r7 rotation MUST move these into the driver
-# window (they are "new, never driver-checked" under the policy
-# above).
+# r6 final rotation (supersedes the mid-r6 one): the driver never ran
+# a snapshot mid-round, so ALL never-driver-checked rows fit the
+# 50-row window at once — the 15 very-late additions (sketch family:
+# cmsketch/bloom/decontam-bloom/quantile/kmv + adaptive gate,
+# incremental ingest, kmv overlap, winnowing, PSI drift, BPE train/
+# apply/pack, sharded packing, substring scrub) lead, then the 19
+# earlier-r6 rows, then the pinned rows-only + flagship family, then
+# the at-limit returns (ivf_lloyd/argmax/containment/dedup_contained/
+# connected_components + multimodal_plan, which also anchors the
+# boundary). Evicted to the hard-gated tail: 12 rows driver-green in
+# r4+r5 (ann_multiprobe, simhash_near_dup, the relational generics
+# anti_join/semi_join/dup_key/direction_vote/grid_cells/span_extents/
+# topk_per_group/adjacency_join/grid_recovery, doc_near_dup_clusters)
+# plus asof_join / rollup_revenue / content_concat, which now sit out
+# their SECOND consecutive round — all three MUST return in the r7
+# window (policy cap).
 QUERIES = {
-    # --- new this round: never driver-checked ---
+    # --- very-late-r6 rows: never driver-checked, window-first per policy ---
+    "cmsketch_token_counts": cmsketch_token_counts,
+    "bloom_token_membership": bloom_token_membership,
+    "decontaminate_bloom": decontaminate_bloom,
+    "quantile_sketch_doclen": quantile_sketch_doclen,
+    "kmv_sample_tokens": kmv_sample_tokens,
+    "adaptive_length_gate": adaptive_length_gate,
+    "incremental_ingest_dedup": incremental_ingest_dedup,
+    "kmv_overlap_langs": kmv_overlap_langs,
+    "winnowing_near_pairs": winnowing_near_pairs,
+    "sketch_drift_psi": sketch_drift_psi,
+    "bpe_train_merges": bpe_train_merges,
+    "bpe_subword_counts": bpe_subword_counts,
+    "pack_chunks_bpe": pack_chunks_bpe,
+    "pack_chunks_sharded": pack_chunks_sharded,
+    "doc_scrub_spans": doc_scrub_spans,
+    # --- r6-new rows getting their FIRST driver row this round ---
     "bm25_retrieval_topk": bm25_retrieval_topk,
     "doc_sliding_chunks": doc_sliding_chunks,
     "hll_distinct_tokens": hll_distinct_tokens,
@@ -4874,13 +4879,27 @@ QUERIES = {
     "exact_substring_spans": exact_substring_spans,
     "corpus_mixture_sample": corpus_mixture_sample,
     "pack_chunks": pack_chunks,
-    # --- first driver row was r5: keep a second consecutive row ---
+    # --- pinned: rows-only entries + flagship family (never rotate out) ---
+    "extract_transcripts_mix": extract_transcripts_mix,
+    "multimodal_features": multimodal_features,
+    "extract_transcripts": extract_transcripts,
+    "extract_transcripts_staged": extract_transcripts_staged,
+    "segment_features": segment_features,
+    "extract_fields_kv": extract_fields_kv,
+    "corpus_build": corpus_build,
     "corpus_build_full": corpus_build_full,
-    "ann_multiprobe_topk": ann_multiprobe_topk,
-    "simhash_near_dup_pairs": simhash_near_dup_pairs,
-    # --- returning from the r5 tail (out one round; replay-green r5) ---
+    "training_set_selection": training_set_selection,
+    "export_formats": export_formats,
+    # --- at out-limit: returned after one tail round (policy cap) ---
     "ivf_lloyd_topk": ivf_lloyd_topk,
     "argmax_join": argmax_join,
+    "containment_join": containment_join,
+    "dedup_contained_boxes": dedup_contained_boxes,
+    "connected_components_labels": connected_components_labels,
+    "multimodal_plan": multimodal_plan,
+    # --- hard-gated tail (tests/test_oracle_tail.py replays every row at sf0.01) ---
+    "ann_multiprobe_topk": ann_multiprobe_topk,
+    "simhash_near_dup_pairs": simhash_near_dup_pairs,
     "anti_join_orphans": anti_join_orphans,
     "semi_join_hot_parts": semi_join_hot_parts,
     "content_concat": content_concat,
@@ -4888,39 +4907,16 @@ QUERIES = {
     "direction_vote": direction_vote,
     "grid_cells": grid_cells,
     "span_extents": span_extents,
-    "containment_join": containment_join,
-    "dedup_contained_boxes": dedup_contained_boxes,
     "topk_per_group": topk_per_group,
     "adjacency_join": adjacency_join,
     "grid_recovery": grid_recovery,
     "asof_join": asof_join,
     "rollup_revenue": rollup_revenue,
-    "connected_components_labels": connected_components_labels,
-    # --- flagship + composed + LLM-pipeline rows: always in-window ---
-    "extract_transcripts": extract_transcripts,
-    "extract_transcripts_staged": extract_transcripts_staged,
-    "extract_transcripts_mix": extract_transcripts_mix,
-    "segment_features": segment_features,
-    "extract_fields_kv": extract_fields_kv,
-    "export_formats": export_formats,
     "doc_near_dup_clusters": doc_near_dup_clusters,
-    "training_set_selection": training_set_selection,
-    "corpus_build": corpus_build,
-    "multimodal_features": multimodal_features,
-    "multimodal_plan": multimodal_plan,
-    # embedding_topk + ann_lsh_topk (driver-green r4+r5) yield their
-    # window slots to the two late-r6 curation rows so
-    # multimodal_features/_plan stay inside the 50-row window for the
-    # graduation check; both remain hard-gated in the tail
     "embedding_topk": embedding_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ivf_flat_topk": ivf_flat_topk,
     "ivf_scaled_topk": ivf_scaled_topk,
-    # --- rotated out of the 50-row driver window (all driver-green at
-    # least twice; hard-gated by tests/test_oracle_tail.py every run) ---
-    # minhash_lsh_pairs + simhash_pairs + doc_lang_id (driver-green
-    # r1-r5) yield their slots to the three late-r6 retrieval/
-    # chunking/sketch rows
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_pairs": simhash_pairs,
     "doc_lang_id": doc_lang_id,
@@ -4953,24 +4949,6 @@ QUERIES = {
     "search_cells_adjacent": search_cells_adjacent,
     "kv_dict_view": kv_dict_view,
     "grid_row_dicts": grid_row_dicts,
-    # cmsketch/bloom (latest r6 additions) start in the hard-gated
-    # tail — the window was already full of never-driver-checked rows;
-    # they rotate into the driver window in r7
-    "cmsketch_token_counts": cmsketch_token_counts,
-    "bloom_token_membership": bloom_token_membership,
-    "decontaminate_bloom": decontaminate_bloom,
-    "quantile_sketch_doclen": quantile_sketch_doclen,
-    "kmv_sample_tokens": kmv_sample_tokens,
-    "adaptive_length_gate": adaptive_length_gate,
-    "incremental_ingest_dedup": incremental_ingest_dedup,
-    "kmv_overlap_langs": kmv_overlap_langs,
-    "winnowing_near_pairs": winnowing_near_pairs,
-    "sketch_drift_psi": sketch_drift_psi,
-    "bpe_train_merges": bpe_train_merges,
-    "bpe_subword_counts": bpe_subword_counts,
-    "pack_chunks_bpe": pack_chunks_bpe,
-    "pack_chunks_sharded": pack_chunks_sharded,
-    "doc_scrub_spans": doc_scrub_spans,
 }
 
 ORACLE = {
