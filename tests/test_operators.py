@@ -753,3 +753,39 @@ def test_bpe_train_matches_scalar_referee(spark):
             for r in BPE.bpe_train(df, n_merges=5).orderBy("round").collect()
         ]
         assert got == scalar_bpe(wc, 5), (trial, got)
+
+
+def test_winnowing_hot_fingerprint_cap_bounds_pairs(spark):
+    """Boilerplate skew defusal: a fingerprint shared by >50 docs (a
+    crafted common footer) is dropped before the pair join, so the
+    crafted corpus yields NO quadratic pair blowup — while two docs
+    sharing a genuinely rare run still pair up."""
+    from pyspark.sql import functions as F
+
+    footer = " ".join(f"footer{j}" for j in range(12))
+    rare = " ".join(f"rare{j}" for j in range(12))
+    rows = [(i, f"unique{i}a unique{i}b unique{i}c " + footer) for i in range(80)]
+    rows += [(900, "lead in tokens " + rare), (901, rare + " tail out tokens")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    fp = DD.winnow_fingerprints(df)
+    byh = fp.select("doc_id", "fh").distinct()
+    hot = (
+        byh.groupBy("fh").agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 50).select("fh")
+    )
+    cold = byh.join(hot, "fh", "left_anti")
+    pairs = (
+        cold.alias("a")
+        .join(cold.alias("b"),
+              (F.col("a.fh") == F.col("b.fh"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .distinct()
+        .collect()
+    )
+    got = {(r.x, r.y) for r in pairs}
+    # the 80 footer docs never pair (their shared fingerprints are all
+    # hot-capped); the rare pair survives
+    assert (900, 901) in got
+    assert all(x >= 900 for x, y in got), got
