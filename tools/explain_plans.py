@@ -139,6 +139,19 @@ def main():
         ("query: sketch_drift_psi (drift from bounded sketch buckets; "
          "totals broadcast, no raw-data rescan)", p))
 
+    # sharded packing: the hot-stream two-pass prefix sum — the
+    # per-shard totals table must BROADCAST back for the re-base
+    p = plan_of(QUERIES["pack_chunks_sharded"](spark, SF))
+    assert "BroadcastExchange" in p, "shard bases must broadcast"
+    sections.append(
+        ("query: pack_chunks_sharded (distributed two-pass prefix sum: "
+         "per-shard window cumsum + broadcast shard-base re-base)", p))
+
+    sections.append(
+        ("query: doc_scrub_spans (gram-keeper agg -> covered-position "
+         "anti-join -> per-doc reassembly; grams travel as 60-bit hashes)",
+         plan_of(QUERIES["doc_scrub_spans"](spark, SF))))
+
     for name in ["kv_items_geometric", "extract_scalar_cascade",
                  "extract_table_field", "jaccard_near_pairs",
                  "connected_components_labels", "grid_header_derivation",
