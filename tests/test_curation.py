@@ -576,3 +576,98 @@ def test_pack_chunks_sharded_equals_unsharded(spark):
         ).collect()
     }
     assert one == plain
+
+
+def test_scrub_keeper_protection_and_empty_docs(spark):
+    """Review findings pinned: (a) a removable span overlapping a
+    KEEPER copy of another gram must not cut it — every duplicated
+    gram keeps one intact occurrence; (b) zero-token docs ride
+    through with n_tokens=0 instead of vanishing."""
+    from pyspark.sql import functions as F
+
+    from yomitoku_spark.operators import curation as CUR
+
+    g = " ".join(f"g{j}" for j in range(8))       # gram G: docs 5 & 9
+    h = " ".join(f"h{j}" for j in range(8))       # gram H: docs 9 & 12
+    rows = [
+        (5, "a b c " + g),
+        # doc 9: G (non-keeper, removable) directly before H (keeper):
+        # without position protection, G's 8-token cut would stop right
+        # at H, but craft overlap by sharing a token: G's last token
+        # region adjacent — use G then H with G's span covering the
+        # doc prefix and H starting inside a removable window
+        (9, g + " " + h),
+        (12, "x y " + h + " z"),
+        (77, ""),                                  # zero-token doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in CUR.scrub_duplicate_spans(df, k=8).collect()}
+    # (b) the empty doc is present
+    assert out[77].n_tokens == 0 and out[77].n_removed == 0
+    assert out[77].cleaned_text == ""
+    # (a) doc 9 is keeper for H (9 < 12): H must survive intact in doc
+    # 9 even though doc 9's copy of G (keeper 5) is scrubbed
+    assert h in out[9].cleaned_text, out[9].cleaned_text
+    assert not out[9].cleaned_text.startswith("g0"), out[9].cleaned_text
+    # G's keeper copy (doc 5) intact; doc 12's H copy scrubbed
+    assert g in out[5].cleaned_text
+    assert h not in out[12].cleaned_text
+    # every duplicated gram retains at least one intact copy corpus-wide
+    joined = " | ".join(r.cleaned_text for r in out.values())
+    assert g in joined and h in joined
+
+
+def test_pack_chunks_sharded_huge_and_stringy_numeric_ids(spark):
+    """Review finding pinned: shard derivation is integer DIV, so ids
+    beyond double precision (> 2^53) shard exactly and stay byte-equal
+    to the unsharded path."""
+    from pyspark.sql import functions as F
+
+    from yomitoku_spark.operators import curation as CUR
+
+    base = 1 << 55
+    rows = [(base + i * 3, "lang0", "tok " * (i % 7 + 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    plain = {tuple(r) for r in CUR.pack_chunks(df, chunk_tokens=8).collect()}
+    sharded = {
+        tuple(r)
+        for r in CUR.pack_chunks_sharded(df, chunk_tokens=8, range_size=16).collect()
+    }
+    assert sharded == plain and len(plain) == 40
+
+
+def test_bpe_sql_referee_survives_merge_exhaustion(spark):
+    """Review finding pinned: when the pair table dries up before
+    round 8 (Spark's bpe_train breaks early), the DuckDB referee's
+    COALESCE sentinel turns the dead rounds into identity instead of
+    NULLing the corpus — train and apply stay engine==referee."""
+    import duckdb
+    import pandas as pd
+
+    from yomitoku_spark.operators import bpe as BPE
+    from yomitoku_spark.queries import SQL_BPE_APPLY, SQL_BPE_TRAIN
+
+    # every word is "ab"/"cd"-like: one merge each, then silence by
+    # round ~3 of the referee's fixed 8
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["ab ab cd", "ab cd cd", "e e e"]}
+    )
+    sdf = spark.createDataFrame(pdf)
+
+    merges = BPE.bpe_train(sdf, n_merges=8)
+    got_train = [(r.round, r.x, r.y, r.pair_count) for r in merges.orderBy("round").collect()]
+    assert 0 < len(got_train) < 8  # genuinely exhausted early
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want_train = [tuple(r) for r in con.sql(
+        SQL_BPE_TRAIN + " ORDER BY round").fetchall()]
+    assert [tuple(g) for g in got_train] == want_train
+
+    pairs = [(r.x, r.y) for r in merges.orderBy("round").collect()]
+    got_apply = {
+        (r.doc_id, r.n_words, r.n_subwords)
+        for r in BPE.bpe_apply(sdf, pairs).collect()
+    }
+    want_apply = {tuple(r) for r in con.sql(SQL_BPE_APPLY).fetchall()}
+    assert got_apply == want_apply

@@ -691,25 +691,35 @@ def kmv_merge(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataFram
     )
 
 
+def kmv_est_frag(k: int, dialect: str = "spark") -> str:
+    """The KMV fixed-point estimator as a two-dialect SQL fragment
+    over columns ``n_kept`` and ``h_max``: exact (n_kept*1000) below
+    k, else (k-1)*1000*2^40 DIV (h_k DIV 2^20). SINGLE SOURCE for
+    :func:`kmv_estimate`, :func:`sql_kmv`, and sketch-space consumers
+    (e.g. the pair-overlap query) — the scaling constants live only
+    here."""
+    div = "DIV" if dialect == "spark" else "//"
+    return (
+        f"CASE WHEN n_kept < {k} THEN n_kept * 1000 "
+        f"ELSE CAST({k - 1} AS BIGINT) * 1000 * 1099511627776 "
+        f"{div} GREATEST(h_max {div} 1048576, CAST(1 AS BIGINT)) END"
+    )
+
+
 def kmv_estimate(
     sketch: DataFrame, group_cols: list[str], k: int = 64
 ) -> DataFrame:
     """Distinct-count estimate per group from a bottom-k sketch:
-    (group_cols..., n_kept, est_milli). Exact (n_kept * 1000) when the
-    group has fewer than k distinct values; otherwise the KMV
-    estimator (k-1)*2^60/h_k in milli-counts, computed in integer
-    fixed point: (k-1)*1000 * 2^40 DIV (h_k DIV 2^20)."""
+    (group_cols..., n_kept, est_milli). Estimator arithmetic in
+    :func:`kmv_est_frag`."""
     agg = sketch.groupBy(*group_cols).agg(
         F.count("*").cast("bigint").alias("n_kept"),
         F.max("h").alias("h_max"),
     )
-    est = (
-        f"CASE WHEN n_kept < {k} THEN n_kept * 1000 "
-        f"ELSE CAST({k - 1} AS BIGINT) * 1000 * 1099511627776 "
-        f"DIV GREATEST(h_max DIV 1048576, CAST(1 AS BIGINT)) END"
-    )
     return agg.select(
-        *group_cols, "n_kept", F.expr(est).cast("bigint").alias("est_milli")
+        *group_cols,
+        "n_kept",
+        F.expr(kmv_est_frag(k, "spark")).cast("bigint").alias("est_milli"),
     )
 
 
@@ -736,9 +746,7 @@ kmvr AS (SELECT {gc}v, h,
          FROM kmvh),
 kmvs AS (SELECT {gc}CAST(rank AS BIGINT) AS rank, h, v
          FROM kmvr WHERE rank <= {k}),
-kmve AS (SELECT {gc}CAST(COUNT(*) AS BIGINT) AS n_kept,
-           CAST(CASE WHEN COUNT(*) < {k} THEN COUNT(*) * 1000
-             ELSE CAST({k - 1} AS BIGINT) * 1000 * 1099511627776
-               // GREATEST(MAX(h) // 1048576, CAST(1 AS BIGINT)) END
-           AS BIGINT) AS est_milli
-         FROM kmvs {grp})"""
+kmve AS (SELECT {gc}n_kept,
+           CAST({kmv_est_frag(k, 'duckdb')} AS BIGINT) AS est_milli
+         FROM (SELECT {gc}CAST(COUNT(*) AS BIGINT) AS n_kept,
+                      MAX(h) AS h_max FROM kmvs {grp}))"""

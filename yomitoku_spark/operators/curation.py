@@ -230,14 +230,24 @@ def scrub_duplicate_spans(
     dedup-normalized (lowercased, whitespace-tokenized) stream, the
     same representation the span detector uses.
 
-    Scale shape: grams travel as 60-bit hashes; the corpus-wide
-    exchanges are the gram-keeper aggregation, the doc-grain anti-join
-    of covered positions, and the final per-doc re-assembly fold.
-    Overlapping removable spans merge for free through the DISTINCT
-    covered-position set.
+    Keeper positions are PROTECTED: a position in doc D that belongs
+    to any duplicated gram whose keeper IS D is exempt from removal,
+    even when another gram's removable span overlaps it. This makes
+    the keep-one-copy guarantee total — every duplicated gram's
+    keeper occurrence survives intact (without the exemption, a
+    removable span from gram G could cut through doc D's keeper copy
+    of gram H). Removal is position-wise, so a non-keeper occurrence
+    overlapping a protected one is cut only outside the protection.
 
-    Returns (id_col, n_tokens, n_removed, cleaned_text) for every
-    document — untouched docs ride through with n_removed = 0."""
+    Scale shape: grams travel as 60-bit hashes; the corpus-wide
+    exchanges are the gram-keeper aggregation, the doc-grain
+    anti-joins of covered/protected positions, and the final per-doc
+    re-assembly fold. Overlapping removable spans merge for free
+    through the DISTINCT covered-position set.
+
+    Returns (id_col, n_tokens, n_removed, cleaned_text) for EVERY
+    document — untouched docs ride through with n_removed = 0, and
+    zero-token docs with n_tokens = 0 and empty cleaned_text."""
     t = tokens(F.lower(F.col(text_col)))
     base = df.select(F.col(id_col).alias("id"), t.alias("t"))
     toks = base.select(
@@ -259,11 +269,23 @@ def scrub_duplicate_spans(
         .filter(F.col("nd") >= 2)
         .select("gh", "keep_id")
     )
-    bad = occ.join(keeper, "gh").filter(F.col("id") != F.col("keep_id"))
+    dup = occ.join(keeper, "gh")
+    bad = dup.filter(F.col("id") != F.col("keep_id"))
     covered = bad.select(
         "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p")
     ).distinct()
-    kept = toks.join(covered, ["id", "p"], "left_anti")
+    protected = (
+        dup.filter(F.col("id") == F.col("keep_id"))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    removable = covered.join(protected, ["id", "p"], "left_anti")
+    kept = toks.join(removable, ["id", "p"], "left_anti")
     rebuilt = kept.groupBy("id").agg(
         F.count("*").cast("bigint").alias("n_kept"),
         F.array_join(
@@ -274,8 +296,14 @@ def scrub_duplicate_spans(
             " ",
         ).alias("cleaned_text"),
     )
-    totals = toks.groupBy("id").agg(
+    tok_counts = toks.groupBy("id").agg(
         F.count("*").cast("bigint").alias("n_tokens")
+    )
+    # anchor on the full document set so zero-token docs ride through
+    totals = (
+        df.select(F.col(id_col).alias("id"))
+        .join(tok_counts, "id", "left")
+        .select("id", F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"))
     )
     return (
         totals.join(rebuilt, "id", "left")
@@ -387,8 +415,13 @@ def pack_chunks_sharded(
     d = df.select(
         F.col(id_col), F.col(stream_col), ntok.alias("n_tokens")
     ).filter(F.col("n_tokens") > 0)
+    # integer DIV, not double division: a double rounds shard
+    # boundaries for ids > 2^53, silently breaking byte-equality with
+    # the unsharded path. Requires a NUMERIC id_col (contiguous-range
+    # sharding is meaningless for opaque string ids; a non-castable id
+    # would NULL the shard and the re-base join would drop the row).
     d = d.withColumn(
-        "shard", (F.col(id_col).cast("bigint") / range_size).cast("bigint")
+        "shard", F.expr(f"CAST({id_col} AS BIGINT) DIV {int(range_size)}")
     )
     by_id = W.partitionBy(stream_col, "shard").orderBy(id_col)
     local = d.withColumn(

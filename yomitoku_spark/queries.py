@@ -693,18 +693,24 @@ occ AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
         FROM base, unnest(range(1, greatest(len(t)-7, 0)+1)) AS u(i)),
 keeper AS (SELECT gh, MIN(doc_id) AS keep_id FROM occ
            GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
-bad AS (SELECT o.doc_id, o.pos FROM occ o JOIN keeper k USING (gh)
-        WHERE o.doc_id <> k.keep_id),
+dup AS (SELECT o.doc_id, o.pos, k.keep_id FROM occ o JOIN keeper k USING (gh)),
 cov AS (SELECT DISTINCT doc_id, pos + j AS p
-        FROM bad, unnest(range(0, 8)) AS r(j)),
+        FROM dup, unnest(range(0, 8)) AS r(j) WHERE doc_id <> keep_id),
+prot AS (SELECT DISTINCT doc_id, pos + j AS p
+         FROM dup, unnest(range(0, 8)) AS r(j) WHERE doc_id = keep_id),
+rem AS (SELECT c.doc_id, c.p FROM cov c
+        LEFT JOIN prot q ON q.doc_id = c.doc_id AND q.p = c.p
+        WHERE q.p IS NULL),
 kept AS (SELECT t.doc_id, t.p, t.tok FROM toks t
-         LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+         LEFT JOIN rem c ON c.doc_id = t.doc_id AND c.p = t.p
          WHERE c.p IS NULL),
 reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
           string_agg(tok, ' ' ORDER BY p) AS cleaned_text
         FROM kept GROUP BY doc_id),
-tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
-        FROM toks GROUP BY doc_id)
+tcnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+         FROM toks GROUP BY doc_id),
+tot AS (SELECT d.doc_id, CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN tcnt t USING (doc_id))
 SELECT tt.doc_id, tt.n_tokens,
   CAST(tt.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
   COALESCE(r.cleaned_text, '') AS cleaned_text
@@ -1226,14 +1232,11 @@ def kmv_overlap_langs(spark, sf_dir):
         F.max("h").alias("h_max"),
         F.sum((F.col("nsides") == 2).cast("bigint")).cast("bigint").alias("m_both"),
     )
-    union_est = (
-        f"CASE WHEN n_kept < {k} THEN n_kept * 1000 "
-        f"ELSE CAST({k - 1} AS BIGINT) * 1000 * 1099511627776 "
-        f"DIV GREATEST(h_max DIV 1048576, CAST(1 AS BIGINT)) END"
-    )
     est = pa.select(
         "s1", "s2", "n_kept", "m_both",
-        F.expr(union_est).cast("bigint").alias("union_est_milli"),
+        F.expr(SK.kmv_est_frag(k, "spark")).cast("bigint").alias(
+            "union_est_milli"
+        ),
     ).select(
         "s1", "s2", "n_kept", "m_both", "union_est_milli",
         F.expr("m_both * 1000 DIV n_kept").cast("bigint").alias("jaccard_milli"),
@@ -1289,10 +1292,7 @@ pa AS (SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS h_max,
                 AS m_both
        FROM pr WHERE rank <= 64 GROUP BY 1, 2),
 est AS (SELECT s1, s2, n_kept, m_both,
-          CAST(CASE WHEN n_kept < 64 THEN n_kept * 1000
-            ELSE CAST(63 AS BIGINT) * 1000 * 1099511627776
-              // GREATEST(h_max // 1048576, CAST(1 AS BIGINT)) END
-          AS BIGINT) AS union_est_milli
+          CAST({kmv_frag_est} AS BIGINT) AS union_est_milli
         FROM pa),
 exd AS (SELECT DISTINCT lang, tok FROM occ),
 sizes AS (SELECT lang, COUNT(DISTINCT tok) AS n FROM exd GROUP BY lang),
@@ -1314,7 +1314,7 @@ JOIN sizes z1 ON z1.lang = e.s1
 JOIN sizes z2 ON z2.lang = e.s2
 """.replace("{toks}", _TOKS).replace(
     "{kmv_frag}", SK.sql_kmv("occ", "tok", ["lang"], k=64).lstrip()
-)
+).replace("{kmv_frag_est}", SK.kmv_est_frag(64, "duckdb"))
 
 
 def bpe_train_merges(spark, sf_dir):
@@ -1397,8 +1397,16 @@ p{r} AS (SELECT a[i] AS x, a[i+1] AS y, CAST(SUM(cnt) AS BIGINT) AS pair_count
 m{r} AS MATERIALIZED (SELECT x, y, pair_count FROM p{r}
          ORDER BY pair_count DESC, x, y LIMIT 1),
 w{r} AS MATERIALIZED (SELECT w, cnt, replace(s,
-           (SELECT '{S}' || x || '{S}{S}' || y || '{S}' FROM m{r}),
-           (SELECT '{S}' || x || y || '{S}' FROM m{r})) AS s FROM w{r - 1})"""
+           -- COALESCE sentinel: if the pair table dried up before
+           -- round {r} (Spark's bpe_train breaks early), the scalar
+           -- subquery is NULL and replace(s, NULL, ..) would NULL the
+           -- whole corpus; 5 consecutive separators can never occur
+           -- (symbol wrapping yields at most 2), so the round becomes
+           -- the identity instead
+           COALESCE((SELECT '{S}' || x || '{S}{S}' || y || '{S}' FROM m{r}),
+                    '{S}{S}{S}{S}{S}'),
+           COALESCE((SELECT '{S}' || x || y || '{S}' FROM m{r}), '')) AS s
+         FROM w{r - 1})"""
         )
     return ",\n".join(parts)
 
@@ -1597,14 +1605,17 @@ gr AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
            AS gh
        FROM base, unnest(range(1, greatest(len(t)-4, 0)+1)) AS u(i)),
 sel AS (SELECT doc_id, pos,
-         MIN(CAST(gh AS HUGEINT) * 2097152 + (2097151 - pos)) OVER
-           (PARTITION BY doc_id ORDER BY pos
-            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS skey,
+         -- HUGEINT packing of (gh asc, pos desc): 2^40 position space
+         -- (a doc would need >10^12 grams to overflow, vs the Spark
+         -- twin's uncapped struct-min)
+         MIN(CAST(gh AS HUGEINT) * 1099511627776 + (1099511627775 - pos))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS skey,
          COUNT(*) OVER (PARTITION BY doc_id) AS ng
         FROM gr),
 fp AS (SELECT DISTINCT doc_id,
-         CAST(skey // 2097152 AS BIGINT) AS fh,
-         CAST(2097151 - (skey % 2097152) AS BIGINT) AS fpos
+         CAST(skey // 1099511627776 AS BIGINT) AS fh,
+         CAST(1099511627775 - (skey % 1099511627776) AS BIGINT) AS fpos
        FROM sel WHERE pos <= greatest(ng - 3, 1)),
 byh AS (SELECT DISTINCT doc_id AS id, fh FROM fp),
 hot AS (SELECT fh FROM byh GROUP BY fh HAVING COUNT(DISTINCT id) > 50),
