@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "pack_chunks_bpe",
     "pack_chunks_sharded",
     "doc_scrub_spans",
+    "containment_near_pairs",
     # split_words_across_cells is deliberately NOT benched: its ~15
     # AQE query stages cost ~0.4 s codegen/scheduling EACH on the tiny
     # corpus (pure fixed overhead, amortized at real scale) — the row

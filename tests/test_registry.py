@@ -49,16 +49,18 @@ def test_driver_window_boundary_matches_rotation_comment():
     # r4+r5-green pair
     assert window[0] == "cmsketch_token_counts"
     assert window[14] == "doc_scrub_spans"
-    assert window[15] == "bm25_retrieval_topk"
-    assert window[33] == "pack_chunks"
+    assert window[15] == "containment_near_pairs"
+    assert window[16] == "bm25_retrieval_topk"
+    assert window[34] == "pack_chunks"
     assert window[-1] == "multimodal_plan", window[-1]
     assert tail[0] == "ann_multiprobe_topk", tail[0]
-    assert tail[1] == "simhash_near_dup_pairs", tail[1]
+    assert tail[1] == "argmax_join", tail[1]
     # out their SECOND consecutive round — the policy cap; the r7
-    # rotation MUST return these three to the window
-    for capped in ("asof_join", "rollup_revenue", "content_concat"):
+    # rotation MUST return these four to the window
+    for capped in ("asof_join", "rollup_revenue", "content_concat",
+                   "argmax_join"):
         assert capped in tail, capped
     # at-limit rows that returned after one tail round
-    for returned in ("ivf_lloyd_topk", "argmax_join", "containment_join",
+    for returned in ("ivf_lloyd_topk", "containment_join",
                      "dedup_contained_boxes", "connected_components_labels"):
         assert returned in window, returned

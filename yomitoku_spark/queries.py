@@ -1544,6 +1544,104 @@ FROM sh GROUP BY lang
 SQL_DRIFT_PSI = _sql_psi()
 
 
+def containment_near_pairs(spark, sf_dir):
+    """Asymmetric CONTAINMENT dedup (Broder 1997's containment
+    coefficient, |A∩B| / min(|A|,|B|) over shingle sets): catches the
+    excerpt/quote case symmetric Jaccard structurally misses — a
+    30-token excerpt inside a 200-token source has Jaccard ≈ 0.15 but
+    containment 1.0. To make the row self-demonstrating, every 37th
+    document contributes a deterministic 30-token-prefix excerpt doc
+    (id + 100000) to the corpus; pairs are thresholded on containment
+    ≥ 0.8 with the Jaccard riding alongside so the asymmetry is
+    visible in-row. Same scale machinery as jaccard_near_pairs:
+    distinct shingles, hot-shingle cap (>100 docs), equi-join only."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ex = d.filter(F.col("doc_id") % 37 == 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(
+            F.slice(TS.tokens(F.lower(F.col("text"))), 1, 30), " "
+        ).alias("text"),
+    )
+    corpus = d.unionByName(ex)
+    sh = corpus.select(
+        F.col("doc_id").alias("id"), DD.shingles(F.col("text"), 3).alias("sh")
+    )
+    sizes = sh.select("id", F.size("sh").cast("bigint").alias("sz"))
+    exd = sh.select("id", F.explode("sh").alias("g"))
+    hot = (
+        exd.groupBy("g").agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 100).select("g")
+    )
+    cold = exd.join(hot, "g", "left_anti")
+    inter = (
+        cold.alias("a")
+        .join(
+            cold.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sza")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("szb")), "id_b")
+        .select(
+            "id_a", "id_b", "inter", "sza", "szb",
+            F.expr("inter * 1000 DIV LEAST(sza, szb)").cast("bigint").alias(
+                "containment_milli"
+            ),
+            F.expr("inter * 1000 DIV (sza + szb - inter)").cast("bigint").alias(
+                "jaccard_milli"
+            ),
+        )
+        .filter(F.col("containment_milli") >= 800)
+    )
+
+
+SQL_CONTAINMENT = """
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(
+           (list_filter(regexp_split_to_array(lower(text),
+              '[ \\t\\n\\x0b\\x0c\\r]+'), t -> t <> ''))[1:30], ' ')
+  FROM documents WHERE doc_id % 37 = 5
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\x0c\\r]+'),
+                     t -> t <> '') AS tk
+  FROM src
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(tk) >= 3
+           THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]
+           ELSE [array_to_string(tk, ' ')] END) AS s
+  FROM toks
+),
+sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+hot AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) > 100),
+exc AS (SELECT * FROM ex WHERE g NOT IN (SELECT g FROM hot)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM exc a JOIN exc b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b, i.inter, sa.sz AS sza, sb.sz AS szb,
+       CAST(i.inter * 1000 // LEAST(sa.sz, sb.sz) AS BIGINT)
+         AS containment_milli,
+       CAST(i.inter * 1000 // (sa.sz + sb.sz - i.inter) AS BIGINT)
+         AS jaccard_milli
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.inter * 1000 // LEAST(sa.sz, sb.sz) >= 800
+"""
+
+
 def winnowing_near_pairs(spark, sf_dir):
     """Winnowing near-dup candidates (operators/dedup.
     winnow_fingerprints — Schleimer, Wilkerson & Aiken 2003, the MOSS
@@ -4828,7 +4926,7 @@ LEFT JOIN placed p
 # ===================================================================
 
 # Registry order matters for the driver's correctness artifact: it
-# snapshots the FIRST 50 entries only (the registry has 101, so the 51
+# snapshots the FIRST 50 entries only (the registry has 102, so the 52
 # tail entries are outside the window). Rotation policy: new queries
 # and rows absent from the last driver artifact go first; rows that
 # are driver-green two consecutive rounds rotate to the tail. No row
@@ -4850,9 +4948,11 @@ LEFT JOIN placed p
 # r4+r5 (ann_multiprobe, simhash_near_dup, the relational generics
 # anti_join/semi_join/dup_key/direction_vote/grid_cells/span_extents/
 # topk_per_group/adjacency_join/grid_recovery, doc_near_dup_clusters)
-# plus asof_join / rollup_revenue / content_concat, which now sit out
-# their SECOND consecutive round — all three MUST return in the r7
-# window (policy cap).
+# plus asof_join / rollup_revenue / content_concat / argmax_join,
+# which now sit out their SECOND consecutive round — all four MUST
+# return in the r7 window (policy cap). containment_near_pairs
+# (added after the rotation, never driver-checked) took argmax_join's
+# window slot.
 QUERIES = {
     # --- very-late-r6 rows: never driver-checked, window-first per policy ---
     "cmsketch_token_counts": cmsketch_token_counts,
@@ -4870,6 +4970,7 @@ QUERIES = {
     "pack_chunks_bpe": pack_chunks_bpe,
     "pack_chunks_sharded": pack_chunks_sharded,
     "doc_scrub_spans": doc_scrub_spans,
+    "containment_near_pairs": containment_near_pairs,
     # --- r6-new rows getting their FIRST driver row this round ---
     "bm25_retrieval_topk": bm25_retrieval_topk,
     "doc_sliding_chunks": doc_sliding_chunks,
@@ -4903,13 +5004,13 @@ QUERIES = {
     "export_formats": export_formats,
     # --- at out-limit: returned after one tail round (policy cap) ---
     "ivf_lloyd_topk": ivf_lloyd_topk,
-    "argmax_join": argmax_join,
     "containment_join": containment_join,
     "dedup_contained_boxes": dedup_contained_boxes,
     "connected_components_labels": connected_components_labels,
     "multimodal_plan": multimodal_plan,
     # --- hard-gated tail (tests/test_oracle_tail.py replays every row at sf0.01) ---
     "ann_multiprobe_topk": ann_multiprobe_topk,
+    "argmax_join": argmax_join,
     "simhash_near_dup_pairs": simhash_near_dup_pairs,
     "anti_join_orphans": anti_join_orphans,
     "semi_join_hot_parts": semi_join_hot_parts,
@@ -5048,6 +5149,7 @@ ORACLE = {
     "pack_chunks_bpe": SQL_PACK_BPE,
     "pack_chunks_sharded": SQL_PACK_CHUNKS,
     "doc_scrub_spans": SQL_SCRUB_SPANS,
+    "containment_near_pairs": SQL_CONTAINMENT,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "grid_row_dicts": SQL_GRID_DICT,
     "kv_items_geometric": SQL_KV_GEOMETRIC,
