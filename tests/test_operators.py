@@ -482,6 +482,43 @@ def test_label_propagation_equals_union_find(spark):
     assert lp == uf
 
 
+def test_label_propagation_small_graph_shortcut(spark):
+    """The opt-in small-graph strategy (r7 optimization: one union-find
+    task instead of the sweep loop when the materialized edge list is
+    under the bound) must return EXACTLY the fixpoint labels, and must
+    NOT fire when the bound is 0 (default) or exceeded."""
+    import random
+
+    from yomitoku_spark.operators import components as CC
+
+    rng = random.Random(21)
+    edges = [(i, i + 1) for i in range(30)]  # chain: diameter 30
+    edges += [(100 + rng.randint(0, 20), 100 + rng.randint(0, 20)) for _ in range(40)]
+    edges += [(500, 501), (502, 502)]
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    fast = {
+        r.node: r.label
+        for r in CC.label_propagation(
+            edf, compress=True, small_graph_edges=CC.SMALL_GRAPH_EDGES
+        ).collect()
+    }
+    assert CC.LAST_SWEEPS == 1  # took the union-find shortcut
+    slow = {
+        r.node: r.label for r in CC.label_propagation(edf, compress=True).collect()
+    }
+    assert CC.LAST_SWEEPS > 1  # took the sweep loop
+    assert fast == slow
+    # bound below the graph size -> sweep loop even when opted in
+    tiny_bound = {
+        r.node: r.label
+        for r in CC.label_propagation(
+            edf, compress=True, small_graph_edges=10
+        ).collect()
+    }
+    assert CC.LAST_SWEEPS > 1
+    assert tiny_bound == slow
+
+
 def test_label_propagation_fixpoint_long_chain(spark):
     """Fixpoint mode (iters=None) must converge EXACTLY on a path graph
     whose diameter (12) exceeds the old fixed sweep count (5) — the

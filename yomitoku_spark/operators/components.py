@@ -74,6 +74,17 @@ def connected_components(
     )
 
 
+# opt-in small-graph cutoff for label_propagation: below this many
+# UNDIRECTED edge rows (2x edge count) the whole graph trivially fits
+# one task and a single union-find pass beats >= 3 distributed sweeps
+# (each sweep is 2-3 shuffle jobs; at sf0.1 the LSH graphs are a few
+# hundred edges and the sweep loop alone cost ~2 s of pure scheduling).
+# The SAME size-based strategy pick as broadcast-vs-sort-merge joins:
+# a 100 TB near-dup graph blows past the bound and takes the
+# distributed fixpoint path unchanged.
+SMALL_GRAPH_EDGES = 1 << 18
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",
@@ -81,6 +92,7 @@ def label_propagation(
     iters: int | None = None,
     max_iters: int = 64,
     compress: bool = False,
+    small_graph_edges: int = 0,
 ) -> DataFrame:
     """GLOBAL weakly-connected components by iterative min-label
     (hash-min) propagation — the scale path for corpus-wide graphs.
@@ -129,6 +141,28 @@ def label_propagation(
         # candidate-generation pipeline (e.g. MinHash-LSH shingling),
         # which multiplied the composed-query wall by ~1.8x at sf0.1.
         und = und.localCheckpoint(eager=True)
+        if small_graph_edges and und.count() <= 2 * small_graph_edges:
+            # opt-in size-based strategy pick (see SMALL_GRAPH_EDGES):
+            # the materialized edge list fits one task, so a single
+            # union-find pass replaces the whole sweep loop. Labels are
+            # IDENTICAL — union-by-smaller-root makes every root the
+            # component minimum, exactly the hash-min fixpoint.
+            LAST_SWEEPS = 1
+            id_type = dict(und.dtypes)["a"]
+
+            def all_edges(batches):
+                uf = UnionFind()
+                for pdf in batches:
+                    for a, b in zip(pdf["a"], pdf["b"]):
+                        uf.union(a, b)
+                nodes = sorted(uf.parent)
+                yield pd.DataFrame(
+                    {"node": nodes, "label": [uf.find(n) for n in nodes]}
+                )
+
+            return und.repartition(1).mapInPandas(
+                all_edges, schema=f"node {id_type}, label {id_type}"
+            )
     labels = und.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

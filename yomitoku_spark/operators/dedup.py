@@ -35,8 +35,14 @@ def normalized_text(col: Column) -> Column:
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the smallest id per exact (normalized) text digest."""
     digest = F.md5(normalized_text(F.col(text_col))).alias("digest")
+    # the normalize+md5 map is the expensive per-row work; fan a small
+    # single-file scan out to every core before it (guide §2.5). Only
+    # the narrow (digest, id) projection is shuffled twice; the full
+    # text rides only the original scan and the final semi join.
+    par = df.sparkSession.sparkContext.defaultParallelism
     keep = (
-        df.select(digest, F.col(id_col))
+        df.select(F.col(id_col), F.col(text_col)).repartition(par)
+        .select(digest, F.col(id_col))
         .groupBy("digest")
         .agg(F.min(id_col).alias(id_col))
     )
@@ -85,7 +91,10 @@ def minhash_signatures_arrow(
     # the Arrow path tokenizes identically to the column-expression path
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
+    prefixes = [f"{j}:".encode() for j in range(n_hashes)]
+
     def sig_batches(batches):
+        md5 = hashlib.md5
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
             sigs = []
@@ -98,20 +107,20 @@ def minhash_signatures_arrow(
                     }
                 else:
                     sh = {" ".join(toks)}
+                enc = [s.encode() for s in sh]
                 sigs.append(
                     [
-                        min(
-                            int(
-                                hashlib.md5(f"{j}:{s}".encode()).hexdigest()[:15], 16
-                            )
-                            for s in sh
-                        )
-                        for j in range(n_hashes)
+                        min(int(md5(p + e).hexdigest()[:15], 16) for e in enc)
+                        for p in prefixes
                     ]
                 )
             yield pd.DataFrame({"id": ids, "sig": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(
+    # fan the scan out to every core first: the signature stage is the
+    # expensive per-row map, and a small parquet input arrives as 1-2
+    # partitions (guide §2.5 input skew / §4 Python boundary)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(id_col, text_col).repartition(par).mapInPandas(
         sig_batches, schema="id bigint, sig array<bigint>"
     )
 
@@ -179,16 +188,17 @@ def lsh_candidate_pairs(
     star = None
     if max_bucket_size:
         wb = W.partitionBy("band", "key")
-        sized = banded.withColumn("n", F.count(F.lit(1)).over(wb)).withColumn(
-            "mn", F.min("id").over(wb)
+        # materialize the sized banding ONCE: both the star branch and
+        # the capped-bucket branch consume it, and left lazy each
+        # re-runs the band/key window shuffle+sort (guide §2.4)
+        sized = (
+            banded.withColumn("n", F.count(F.lit(1)).over(wb))
+            .withColumn("mn", F.min("id").over(wb))
+            .localCheckpoint(eager=True)
         )
-        star = (
-            sized.filter(
-                (F.col("n") > max_bucket_size) & (F.col("id") != F.col("mn"))
-            )
-            .select(F.col("mn").alias("id_a"), F.col("id").alias("id_b"))
-            .distinct()
-        )
+        star = sized.filter(
+            (F.col("n") > max_bucket_size) & (F.col("id") != F.col("mn"))
+        ).select(F.col("mn").alias("id_a"), F.col("id").alias("id_b"))
         banded = sized.filter(F.col("n") <= max_bucket_size).select(
             "id", "band", "key"
         )
@@ -202,11 +212,12 @@ def lsh_candidate_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
     if star is not None:
-        pairs = pairs.unionByName(star).distinct()
-    return pairs
+        # one distinct over the union replaces the previous
+        # distinct-then-union-then-distinct (same set, one exchange less)
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def jaccard_pairs(

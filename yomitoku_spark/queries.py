@@ -31,6 +31,20 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par(df: DataFrame) -> DataFrame:
+    """Fan a small scan out to the session's parallelism before
+    expensive per-row work (guide §2.5 input skew: a sub-row-group
+    parquet file arrives as 1-2 partitions, serializing every
+    downstream map stage — tokenization, shingling, Arrow UDFs — on
+    one or two cores regardless of cluster size). Scale-adaptive: the
+    target is defaultParallelism, never a constant; at real scale the
+    input is already many splits and the extra exchange of raw rows is
+    the cheap side of the trade (it moves each row once so that the
+    expensive map runs on every core)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def _cents(c) -> F.Column:
     return F.round(F.col(c) * 100).cast("bigint")
 
@@ -1563,8 +1577,15 @@ def containment_near_pairs(spark, sf_dir):
         ).alias("text"),
     )
     corpus = d.unionByName(ex)
-    sh = corpus.select(
-        F.col("doc_id").alias("id"), DD.shingles(F.col("text"), 3).alias("sh")
+    # the shingle table feeds FOUR consumers (sizes, hot-shingle agg,
+    # and both sides of the intersection join); computed lazily the
+    # interpreted-HOF shingling re-ran for each on a 2-partition scan
+    # (~5.9 s/pass at sf0.1, ~80% of the query wall). Fan out to every
+    # core first (guide §2.5), materialize ONCE (guide §2.4).
+    sh = (
+        _par(corpus)
+        .select(F.col("doc_id").alias("id"), DD.shingles(F.col("text"), 3).alias("sh"))
+        .localCheckpoint(eager=True)
     )
     sizes = sh.select("id", F.size("sh").cast("bigint").alias("sz"))
     exd = sh.select("id", F.explode("sh").alias("g"))
@@ -1572,7 +1593,7 @@ def containment_near_pairs(spark, sf_dir):
         exd.groupBy("g").agg(F.count("*").alias("c"))
         .filter(F.col("c") > 100).select("g")
     )
-    cold = exd.join(hot, "g", "left_anti")
+    cold = exd.join(F.broadcast(hot), "g", "left_anti")
     inter = (
         cold.alias("a")
         .join(
@@ -2051,7 +2072,7 @@ def training_set_selection(spark, sf_dir):
     stop = TS.stopword_count(F.col("text"), "en")
     punct = F.length(F.regexp_replace("text", r"[\w\s]", ""))
     n_tok = TS.token_count(F.col("text"))
-    stats = d.select(
+    stats = _par(d).select(
         "doc_id",
         TS.lang_id(F.col("text")).alias("lang_detected"),
         n_tok.alias("n_tokens"),
@@ -2076,6 +2097,9 @@ def training_set_selection(spark, sf_dir):
         # corpus can chain near-dups arbitrarily long — r5 advice)
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         compress=True,
+        # size-based strategy pick: tiny materialized graphs run one
+        # union-find task instead of >= 3 sweep jobs (identical labels)
+        small_graph_edges=CC.SMALL_GRAPH_EDGES,
     ).withColumnRenamed("node", "doc_id")
     out = (
         stats.join(exact, "doc_id", "left")
@@ -2190,6 +2214,9 @@ def doc_near_dup_clusters(spark, sf_dir):
         # corpus can chain near-dups arbitrarily long — r5 advice)
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         compress=True,
+        # size-based strategy pick: tiny materialized graphs run one
+        # union-find task instead of >= 3 sweep jobs (identical labels)
+        small_graph_edges=CC.SMALL_GRAPH_EDGES,
     )
     return (
         d.select("doc_id")
@@ -3411,6 +3438,9 @@ def corpus_build_full(spark, sf_dir):
         # corpus can chain near-dups arbitrarily long — r5 advice)
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         compress=True,
+        # size-based strategy pick: tiny materialized graphs run one
+        # union-find task instead of >= 3 sweep jobs (identical labels)
+        small_graph_edges=CC.SMALL_GRAPH_EDGES,
     ).withColumnRenamed("node", "turn_key")
     j = stats.join(comp, "turn_key", "left")
     neardup = F.coalesce("label", F.col("turn_key")) == F.col("turn_key")
