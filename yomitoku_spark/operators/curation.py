@@ -50,6 +50,17 @@ from pyspark.sql import functions as F
 from yomitoku_spark.functions.textstats import hash64, token_count, tokens
 
 
+def _fan(df: DataFrame) -> DataFrame:
+    """Fan a small scan out to the session's parallelism before the
+    expensive tokenize/gram map stages (guide §2.5 input skew: a
+    single small parquet file arrives as 1-2 partitions, serializing
+    every downstream interpreted-HOF map on one or two cores).
+    Scale-adaptive — the target is defaultParallelism; at real scale
+    the input is already many splits and the one extra exchange of raw
+    rows buys every core for the expensive map."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _grams(t: Column, n: int) -> Column:
     """Sliding word n-grams of the token array (1-based positions;
     empty when the doc has fewer than n tokens). The size guard
@@ -81,6 +92,11 @@ def repetition_quality(
     any corpus size.
     """
     t = tokens(F.lower(F.col(text_col)))
+    # NOT fanned out (unlike the gram-hash operators below): this
+    # operator's four consumers each re-shuffle narrow doc-grain rows
+    # anyway, and the extra repartition exchange per consumer measured
+    # SLOWER at sf0.1 (1.25 s -> 2.2 s) — the gram maps here are
+    # cheaper than a per-consumer exchange.
     base = df.select(
         F.col(id_col), token_count(F.col(text_col)).alias("n_tokens"), t.alias("t")
     )
@@ -171,7 +187,7 @@ def exact_substring_spans(
     doc_id repartition.
     """
     t = tokens(F.lower(F.col(text_col)))
-    occ = df.select(F.col(id_col), t.alias("t")).select(
+    occ = _fan(df).select(F.col(id_col), t.alias("t")).select(
         id_col, F.posexplode(_grams(F.col("t"), k)).alias("i0", "gram")
     )
     occ = occ.select(id_col, (F.col("i0") + 1).alias("pos"), hash64(F.col("gram")).alias("gh"))
@@ -249,7 +265,7 @@ def scrub_duplicate_spans(
     document — untouched docs ride through with n_removed = 0, and
     zero-token docs with n_tokens = 0 and empty cleaned_text."""
     t = tokens(F.lower(F.col(text_col)))
-    base = df.select(F.col(id_col).alias("id"), t.alias("t"))
+    base = _fan(df).select(F.col(id_col).alias("id"), t.alias("t"))
     toks = base.select(
         "id", F.posexplode(F.col("t")).alias("i0", "tok")
     ).select("id", (F.col("i0") + 1).cast("bigint").alias("p"), "tok")
@@ -488,7 +504,7 @@ def decontaminate(
     """
     t = tokens(F.lower(F.col(text_col)))
     is_eval = (hash64(F.col(id_col).cast("string")) % 1000) < eval_permille
-    base = df.select(
+    base = _fan(df).select(
         F.col(id_col),
         token_count(F.col(text_col)).alias("n_tokens"),
         t.alias("t"),
@@ -569,7 +585,7 @@ def decontaminate_bloom(
 
     t = tokens(F.lower(F.col(text_col)))
     is_eval = (hash64(F.col(id_col).cast("string")) % 1000) < eval_permille
-    base = df.select(
+    base = _fan(df).select(
         F.col(id_col),
         token_count(F.col(text_col)).alias("n_tokens"),
         t.alias("t"),
@@ -692,7 +708,7 @@ def importance_weights(
     """
     t = tokens(F.lower(F.col(text_col)))
     is_target = (hash64(F.col(id_col).cast("string")) % 1000) < target_permille
-    base = df.select(F.col(id_col), t.alias("t"), is_target.alias("is_target"))
+    base = _fan(df).select(F.col(id_col), t.alias("t"), is_target.alias("is_target"))
     occ = base.select(
         id_col,
         "is_target",
@@ -788,7 +804,7 @@ def lm_perplexity(
     is_train = (
         hash64(F.concat(F.col(id_col).cast("string"), F.lit(":lm"))) % 1000
     ) < train_permille
-    base = df.select(F.col(id_col), t.alias("t"), is_train.alias("is_train"))
+    base = _fan(df).select(F.col(id_col), t.alias("t"), is_train.alias("is_train"))
     pairs = F.when(
         F.size("t") >= 2,
         F.zip_with(

@@ -47,6 +47,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _mat(s, dtype=np.float64) -> np.ndarray:
+    """Stack a pandas Series of equal-length vectors into an (n, d)
+    matrix. np.concatenate over the element arrays + reshape is ~7x
+    faster than np.asarray(s.tolist()) at 10^6 rows (no per-row
+    Python list materialization) — this conversion IS the dominant
+    cost of the Arrow re-rank stages once the dot is a single matmul."""
+    vals = s.values
+    if len(vals) == 0:
+        return np.empty((0, 0), dtype=dtype)
+    return np.concatenate(vals).reshape(len(vals), -1).astype(dtype, copy=False)
+
+
 def _q_away(v: np.ndarray) -> np.ndarray:
     """Round half away from zero to int64 — the semantics of Spark's
     ROUND (HALF_UP) and DuckDB's ROUND. numpy's rint rounds half to
@@ -76,8 +88,8 @@ def dot_quantized_arrow(scale: int = 1000):
 
     @F.pandas_udf("bigint")
     def _dq(q: pd.Series, c: pd.Series) -> pd.Series:
-        qm = _q_away(np.asarray(q.tolist(), dtype=np.float64) * scale)
-        cm = _q_away(np.asarray(c.tolist(), dtype=np.float64) * scale)
+        qm = _q_away(_mat(q) * scale)
+        cm = _q_away(_mat(c) * scale)
         return pd.Series((qm * cm).sum(axis=1))
 
     return _dq
@@ -137,7 +149,7 @@ def brute_force_topk_quantized(
         ids, mat = bc.value
         for pdf in batches:
             q_ids = pdf[id_col].to_numpy()
-            q = _q_away(np.asarray(pdf[vec_col].tolist(), dtype=np.float64) * scale)
+            q = _q_away(_mat(pdf[vec_col]) * scale)
             if len(q) == 0:
                 continue
             dots = q @ mat.T  # (b, n) int64 — exact
@@ -213,16 +225,28 @@ def clustered_embeddings(
     ranking is still decided by the residual vector, so recall is not
     trivially 1. Everything stays JVM-side: the sign matrix is a folded
     literal and the add is one zip_with per row."""
-    signs = signed_planes_md5(dim, n_clusters, 1)[0]
-    signs_lit = F.array(
-        *[F.array(*[F.lit(int(v)) for v in row]) for row in signs]
+    signs = signed_planes_md5(dim, n_clusters, 1)[0].astype(np.float64)
+    w = float(weight)
+
+    def derive(batches):
+        # one numpy broadcast-add per Arrow batch. Bit-identical to the
+        # previous zip_with formulation: x + w*s is the same IEEE-754
+        # binary64 multiply-then-add in numpy and in the JVM (w*s is
+        # exact for s = ±1), and the old per-row evaluation walked the
+        # 50x64 literal sign matrix as ~3200 interpreted expression
+        # nodes PER ROW (~1.4 s for 2000 rows at sf0.1 — the hidden
+        # constant under every clustered-ANN query).
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = _mat(pdf[vec_col])
+            cv = mat + w * signs[ids % n_clusters]
+            yield pd.DataFrame({id_col: ids, out_col: list(cv)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        derive, schema=f"{id_col} bigint, {out_col} array<double>"
     )
-    srow = F.element_at(signs_lit, (F.col(id_col) % n_clusters).cast("int") + 1)
-    cvec = F.zip_with(
-        F.col(vec_col), srow,
-        lambda x, s: x.cast("double") + F.lit(float(weight)) * s,
-    )
-    return df.select(id_col, cvec.alias(out_col))
 
 
 def lsh_buckets_quantized(
@@ -255,7 +279,7 @@ def lsh_buckets_quantized(
 
     def sig(it):
         for pdf in it:
-            mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            mat = _mat(pdf[vec_col])
             if len(mat) == 0:
                 continue
             q = _q_away(mat * scale)
@@ -390,7 +414,7 @@ def lloyd_refine_quantized(
 
         def partials(batches):
             for pdf in batches:
-                mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                mat = _mat(pdf[vec_col])
                 if len(mat) == 0:
                     continue
                 q = _q_away(mat * scale)
@@ -537,7 +561,7 @@ def ivf_assign_probes(
 
     def assign(batches):
         for pdf in batches:
-            mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            mat = _mat(pdf[vec_col])
             if len(mat) == 0:
                 continue
             q = _q_away(mat * scale)
@@ -588,7 +612,7 @@ def lsh_signatures(
 
     def sig(it):
         for pdf in it:
-            mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            mat = _mat(pdf[vec_col])
             if len(mat) == 0:
                 continue
             bits = (mat @ planes.T) > 0  # (n, n_tables*n_planes)
@@ -699,7 +723,7 @@ def pq_encode(
 
     def enc(batches):
         for pdf in batches:
-            mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            mat = _mat(pdf[vec_col])
             if len(mat) == 0:
                 continue
             q = _q_away(mat * scale).reshape(len(mat), mq, d)
@@ -758,10 +782,8 @@ def ivf_pq_topk(
 
     @F.pandas_udf("bigint")
     def _adc(q: pd.Series, c: pd.Series) -> pd.Series:
-        qm = _q_away(np.asarray(q.tolist(), dtype=np.float64) * scale).reshape(
-            len(q), mq, d
-        )
-        cd = np.asarray(c.tolist(), dtype=np.int64)  # (n, m)
+        qm = _q_away(_mat(q) * scale).reshape(len(q), mq, d)
+        cd = _mat(c, dtype=np.int64)  # (n, m)
         sel = cb[np.arange(mq)[None, :], cd]  # (n, m, d) gathered entries
         return pd.Series((qm * sel).sum(axis=(1, 2)))
 

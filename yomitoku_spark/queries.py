@@ -1085,7 +1085,7 @@ def cmsketch_token_counts(spark, sf_dir):
     collision-free). The sketch table merges across shards by SUM —
     pytest pins the merge law."""
     d = t(spark, sf_dir, "documents")
-    occ = d.select(
+    occ = _par(d).select(
         "doc_id", F.explode(TS.tokens(F.lower(F.col("text")))).alias("tok")
     )
     sk = SK.cm_build(occ, F.col("tok"), [])
@@ -1679,14 +1679,22 @@ def winnowing_near_pairs(spark, sf_dir):
     clone/plagiarism-detector index shape at corpus scale."""
     d = t(spark, sf_dir, "documents")
     fp = DD.winnow_fingerprints(d, k=5, w=4)
-    byh = fp.select(F.col("doc_id").alias("id"), "fh").distinct()
+    # materialize the winnowed index ONCE: byh feeds the hot-cap agg
+    # AND the cold anti-join, and cold feeds the per-doc counts plus
+    # BOTH pair-join sides — left lazy the two window passes + per-gram
+    # md5 re-ran up to 5x (bimodal 1.7 s / ~15 s walls at sf0.1
+    # depending on whether exchange reuse kicked in). Guide §2.4.
+    byh = (
+        fp.select(F.col("doc_id").alias("id"), "fh").distinct()
+        .localCheckpoint(eager=True)
+    )
     hot = (
         byh.groupBy("fh")
         .agg(F.countDistinct("id").alias("nd"))
         .filter(F.col("nd") > 50)
         .select("fh")
     )
-    cold = byh.join(hot, "fh", "left_anti")
+    cold = byh.join(F.broadcast(hot), "fh", "left_anti").localCheckpoint(eager=True)
     counts = cold.groupBy("id").agg(F.count("*").cast("bigint").alias("n_fp"))
     a, b = cold.alias("a"), cold.alias("b")
     pairs = (
@@ -1876,7 +1884,7 @@ def kmv_sample_tokens(spark, sf_dir):
     rows per group. Exact distinct counts ride alongside; the referee
     replays hash, rank, and estimator arithmetic bit for bit."""
     d = t(spark, sf_dir, "documents")
-    occ = d.select(
+    occ = _par(d).select(
         "lang", F.explode(TS.tokens(F.lower(F.col("text")))).alias("tok")
     )
     sk = SK.kmv_build(occ, F.col("tok"), ["lang"], k=64)
