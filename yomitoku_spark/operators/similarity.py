@@ -78,6 +78,48 @@ def dot_quantized(a: Column, b: Column, scale: int = 1000) -> Column:
     )
 
 
+def quantized_vecs(
+    df: DataFrame, id_col: str, vec_col: str, scale: int = 1000
+) -> DataFrame:
+    """(id, qv array<int>) — vectors pre-quantized ONCE at corpus grain
+    with the same half-away rounding as :func:`dot_quantized`. The
+    re-rank joins then ship 4-byte ints instead of 8-byte doubles per
+    component (half the exchange + Arrow bytes of the heaviest ANN
+    stage — guide §2.3 "narrower types"), and the pair-dot skips the
+    per-pair re-quantization. int32 is exact for |x|*scale < 2^31 —
+    far past any unit-ish embedding at the default scale."""
+
+    def qz(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = _q_away(_mat(pdf[vec_col]) * scale).astype(np.int32)
+            yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "qv": list(q)})
+
+    # materialized ONCE: every consumer joins it on both pair sides
+    # (which prune differently — no exchange reuse), and the
+    # quantized table IS an index artifact like the sigs/assignment
+    # checkpoints (tests pin that no corpus-grain Python stage stays
+    # in the re-rank plan)
+    return df.select(id_col, vec_col).mapInPandas(
+        qz, schema="id bigint, qv array<int>"
+    ).localCheckpoint(eager=True)
+
+
+def dot_int_arrow():
+    """Integer dot over PRE-QUANTIZED int vectors (see
+    :func:`quantized_vecs`) — same int64 result as
+    :func:`dot_quantized_arrow` on the raw vectors."""
+
+    @F.pandas_udf("bigint")
+    def _dq(q: pd.Series, c: pd.Series) -> pd.Series:
+        qm = _mat(q, dtype=np.int64)
+        cm = _mat(c, dtype=np.int64)
+        return pd.Series((qm * cm).sum(axis=1))
+
+    return _dq
+
+
 def dot_quantized_arrow(scale: int = 1000):
     """Arrow-batched pandas UDF computing the SAME quantized integer
     dot as :func:`dot_quantized` (int64 products — bit-exact), but
@@ -354,7 +396,11 @@ def lsh_ann_topk_quantized(
         .select("query_id", "corpus_id")
         .distinct()
     )
-    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # ship PRE-QUANTIZED int vectors through the pair joins: half the
+    # exchange/Arrow bytes of the re-rank, identical int64 dots
+    vecs = quantized_vecs(corpus, id_col, vec_col, scale).withColumnRenamed(
+        "qv", "vec"
+    )
     j = pairs.join(
         vecs.withColumnRenamed("id", "query_id").withColumnRenamed("vec", "qvec"),
         "query_id",
@@ -362,7 +408,7 @@ def lsh_ann_topk_quantized(
         vecs.withColumnRenamed("id", "corpus_id").withColumnRenamed("vec", "cvec"),
         "corpus_id",
     )
-    dq = dot_quantized_arrow(scale)(F.col("qvec"), F.col("cvec")).alias("dot_q")
+    dq = dot_int_arrow()(F.col("qvec"), F.col("cvec")).alias("dot_q")
     w = W.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("corpus_id"))
     return (
         j.select("query_id", "corpus_id", dq)
@@ -483,7 +529,11 @@ def ivf_flat_topk(
     pairs = ivf_candidate_pairs(
         corpus, id_col, vec_col, n_cells, n_probe, scale, lloyd_iters
     )
-    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # ship PRE-QUANTIZED int vectors through the pair joins: half the
+    # exchange/Arrow bytes of the re-rank, identical int64 dots
+    vecs = quantized_vecs(corpus, id_col, vec_col, scale).withColumnRenamed(
+        "qv", "vec"
+    )
     j = pairs.join(
         vecs.withColumnRenamed("id", "query_id").withColumnRenamed("vec", "qvec"),
         "query_id",
@@ -491,7 +541,7 @@ def ivf_flat_topk(
         vecs.withColumnRenamed("id", "corpus_id").withColumnRenamed("vec", "cvec"),
         "corpus_id",
     )
-    dq = dot_quantized_arrow(scale)(F.col("qvec"), F.col("cvec")).alias("dot_q")
+    dq = dot_int_arrow()(F.col("qvec"), F.col("cvec")).alias("dot_q")
     w = W.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("corpus_id"))
     return (
         j.select("query_id", "corpus_id", dq)
@@ -772,7 +822,11 @@ def ivf_pq_topk(
         corpus, id_col, vec_col, n_cells, n_probe, scale, lloyd_iters
     )
     codes = pq_encode(corpus, cb, id_col, vec_col, scale).localCheckpoint(eager=True)
-    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # PRE-QUANTIZED int vectors through every join (guide §2.3 narrower
+    # types): same int64 ADC sums and re-rank dots, half the bytes
+    vecs = quantized_vecs(corpus, id_col, vec_col, scale).withColumnRenamed(
+        "qv", "vec"
+    )
     j = pairs.join(
         codes.select(F.col("id").alias("corpus_id"), "codes"), "corpus_id"
     ).join(
@@ -782,7 +836,7 @@ def ivf_pq_topk(
 
     @F.pandas_udf("bigint")
     def _adc(q: pd.Series, c: pd.Series) -> pd.Series:
-        qm = _q_away(_mat(q) * scale).reshape(len(q), mq, d)
+        qm = _mat(q, dtype=np.int64).reshape(len(q), mq, d)
         cd = _mat(c, dtype=np.int64)  # (n, m)
         sel = cb[np.arange(mq)[None, :], cd]  # (n, m, d) gathered entries
         return pd.Series((qm * sel).sum(axis=(1, 2)))
@@ -803,7 +857,7 @@ def ivf_pq_topk(
         vecs.withColumnRenamed("id", "corpus_id").withColumnRenamed("vec", "cvec"),
         "corpus_id",
     )
-    dq = dot_quantized_arrow(scale)(F.col("qvec"), F.col("cvec")).alias("dot_q")
+    dq = dot_int_arrow()(F.col("qvec"), F.col("cvec")).alias("dot_q")
     w = W.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("corpus_id"))
     return (
         jj.select("query_id", "corpus_id", dq)
@@ -846,11 +900,15 @@ def semdedup_keepers(
         corpus, id_col, vec_col, n_cells, 1, scale, lloyd_iters
     )
     assign = ap.select("id", "cell")
-    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # PRE-QUANTIZED int vectors through the intra-cell pair join
+    # (guide §2.3 narrower types) — identical int64 dots
+    vecs = quantized_vecs(corpus, id_col, vec_col, scale).withColumnRenamed(
+        "qv", "vec"
+    )
     wv = assign.join(vecs, "id")
     a = wv.select("cell", F.col("id").alias("id_a"), F.col("vec").alias("va"))
     b = wv.select("cell", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
-    dq = dot_quantized_arrow(scale)(F.col("va"), F.col("vb"))
+    dq = dot_int_arrow()(F.col("va"), F.col("vb"))
     dup = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))

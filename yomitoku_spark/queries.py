@@ -4254,7 +4254,14 @@ def corpus_index_build(spark, sf_dir):
         .select("doc_id")
     )
     e = t(spark, sf_dir, "embeddings")
-    kept = e.join(sel, e.vec_id == sel.doc_id).select("vec_id", "embedding")
+    # materialize the kept set ONCE: its lineage is the ENTIRE selection
+    # pipeline, and ivf_assign_probes consumes it twice (seed collect +
+    # assignment pass) — left lazy the composed selection ran ~3x
+    # (guide §2.4; measured 3.6 s -> ~2 s at sf0.1)
+    kept = (
+        e.join(sel, e.vec_id == sel.doc_id).select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
     ap = SIM.ivf_assign_probes(
         kept, "vec_id", "embedding", n_cells=_CL_CELLS, n_probe=1, lloyd_iters=0
     )
