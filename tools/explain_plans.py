@@ -180,11 +180,18 @@ def main():
     # its shuffles are the keeper/cluster joins only
     p = plan_of(QUERIES["corpus_build_full"](spark, SF))
     tree = p.split("(1) ")[0]
-    assert tree.count("MapInPandas") == 0, tree
+    # the ONE allowed python stage is the small-graph union-find over
+    # the MATERIALIZED edge list (r7: label_propagation's size-based
+    # strategy pick — it reads Scan ExistingRDD, never a corpus scan);
+    # the extraction MapInPandas must NOT reappear, so the final plan
+    # contains no parquet scan at all
+    assert tree.count("MapInPandas") <= 1, tree
+    assert tree.count("Scan parquet") == 0, tree
     assert "Scan ExistingRDD" in tree, tree
     sections.append(("query: corpus_build_full (corpus_build + star-capped "
-                     "LSH near-dup + fixpoint label propagation; extraction "
-                     "materialized once — zero in-plan python stages)",
+                     "LSH near-dup + clustering; extraction materialized "
+                     "once — the only python stage in the final plan is the "
+                     "small-graph union-find over the materialized edges)",
                      p))
 
     with open("PLANS.md", "w") as f:

@@ -4087,7 +4087,13 @@ def _clustered_vecs(spark, sf_dir):
     # every query against /root/testdata tables — a deterministic,
     # SQL-reproducible derivation keeps the 3-axis oracle check intact
     e = t(spark, sf_dir, "embeddings")
-    return SIM.clustered_embeddings(e, n_clusters=_CL_N, weight=_CL_W)
+    # materialized ONCE per invocation: the clustered-ANN queries
+    # consume the derived table from 3-5 subtrees (codebook collect,
+    # assignment, encode, quantized re-rank sides) and left lazy each
+    # re-ran the derivation map (guide §2.4)
+    return SIM.clustered_embeddings(
+        e, n_clusters=_CL_N, weight=_CL_W
+    ).localCheckpoint(eager=True)
 
 
 def embedding_clustered_topk(spark, sf_dir):
