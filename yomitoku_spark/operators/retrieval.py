@@ -143,13 +143,21 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
     qt = tokens(F.lower(F.col(query_text_col)))
+    # qterms is tiny but feeds two broadcasts (term_set + the scoring
+    # join); materialize once so the query-side tokenize runs once
     qterms = queries.select(
         F.col(query_id_col), F.explode(qt).alias("term")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     term_set = qterms.select("term").distinct()
     # semi filter to queried TERMS only (documents of a kept term all
-    # survive, so df stays exact); everything below is candidate-sized
-    matched = postings.join(F.broadcast(term_set), "term")
+    # survive, so df stays exact); everything below is candidate-sized.
+    # matched feeds BOTH the df table and the scoring join — left lazy
+    # the corpus-grain postings aggregation ran twice (guide §2.4);
+    # the materialized frame is candidate-sized (postings of queried
+    # terms only), the same bounded class as the broadcasts below
+    matched = postings.join(F.broadcast(term_set), "term").localCheckpoint(
+        eager=True
+    )
     df_t = matched.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
