@@ -826,3 +826,34 @@ def test_winnowing_hot_fingerprint_cap_bounds_pairs(spark):
     # hot-capped); the rare pair survives
     assert (900, 901) in got
     assert all(x >= 900 for x, y in got), got
+
+
+class TestFanOut:
+    """session.fan_out: repartition small scans, no-op on well-split
+    inputs (the 100 TB shape — a blanket repartition there would
+    funnel the corpus into defaultParallelism giant partitions)."""
+
+    def test_small_scan_fans_to_parallelism(self, spark, docs):
+        from yomitoku_spark.session import fan_out
+
+        par = spark.sparkContext.defaultParallelism
+        fanned = fan_out(docs.select("doc_id", "text"))
+        assert fanned.rdd.getNumPartitions() == par
+
+    def test_well_split_input_is_identity(self, spark, tmp_path):
+        from yomitoku_spark.session import fan_out
+
+        par = spark.sparkContext.defaultParallelism
+        p = str(tmp_path / "many_files.parquet")
+        spark.range(1000).repartition(par + 1).write.parquet(p)
+        df = spark.read.parquet(p)
+        assert len(df.inputFiles()) >= par
+        # identity: same plan object, no exchange added
+        assert fan_out(df) is df
+
+    def test_fan_out_preserves_rows(self, spark, docs):
+        from yomitoku_spark.session import fan_out
+
+        base = docs.select("doc_id").orderBy("doc_id").collect()
+        fanned = fan_out(docs.select("doc_id")).orderBy("doc_id").collect()
+        assert base == fanned

@@ -48,17 +48,16 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from yomitoku_spark.functions.textstats import hash64, token_count, tokens
+from yomitoku_spark.session import fan_out
 
 
 def _fan(df: DataFrame) -> DataFrame:
     """Fan a small scan out to the session's parallelism before the
-    expensive tokenize/gram map stages (guide §2.5 input skew: a
-    single small parquet file arrives as 1-2 partitions, serializing
-    every downstream interpreted-HOF map on one or two cores).
-    Scale-adaptive — the target is defaultParallelism; at real scale
-    the input is already many splits and the one extra exchange of raw
-    rows buys every core for the expensive map."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    expensive tokenize/gram map stages — see
+    :func:`yomitoku_spark.session.fan_out` (guide §2.5 input skew;
+    skips itself when the scan already has ample input files, so it
+    is a no-op at real scale)."""
+    return fan_out(df)
 
 
 def _grams(t: Column, n: int) -> Column:

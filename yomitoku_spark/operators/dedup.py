@@ -25,6 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from yomitoku_spark.functions.textstats import hash64, tokens
+from yomitoku_spark.session import fan_out
 
 
 def normalized_text(col: Column) -> Column:
@@ -36,12 +37,12 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the smallest id per exact (normalized) text digest."""
     digest = F.md5(normalized_text(F.col(text_col))).alias("digest")
     # the normalize+md5 map is the expensive per-row work; fan a small
-    # single-file scan out to every core before it (guide §2.5). Only
+    # single-file scan out to every core before it (guide §2.5;
+    # session.fan_out skips itself on well-split inputs). Only
     # the narrow (digest, id) projection is shuffled twice; the full
     # text rides only the original scan and the final semi join.
-    par = df.sparkSession.sparkContext.defaultParallelism
     keep = (
-        df.select(F.col(id_col), F.col(text_col)).repartition(par)
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
         .select(digest, F.col(id_col))
         .groupBy("digest")
         .agg(F.min(id_col).alias(id_col))
@@ -118,9 +119,9 @@ def minhash_signatures_arrow(
 
     # fan the scan out to every core first: the signature stage is the
     # expensive per-row map, and a small parquet input arrives as 1-2
-    # partitions (guide §2.5 input skew / §4 Python boundary)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    return df.select(id_col, text_col).repartition(par).mapInPandas(
+    # partitions (guide §2.5 input skew / §4 Python boundary;
+    # session.fan_out skips itself on well-split inputs)
+    return fan_out(df.select(id_col, text_col)).mapInPandas(
         sig_batches, schema="id bigint, sig array<bigint>"
     )
 

@@ -25,6 +25,7 @@ from yomitoku_spark.operators import dedup as DD
 from yomitoku_spark.operators import retrieval as RET
 from yomitoku_spark.operators import similarity as SIM
 from yomitoku_spark.operators import spatial as SP
+from yomitoku_spark.session import fan_out
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -33,16 +34,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _par(df: DataFrame) -> DataFrame:
     """Fan a small scan out to the session's parallelism before
-    expensive per-row work (guide §2.5 input skew: a sub-row-group
-    parquet file arrives as 1-2 partitions, serializing every
-    downstream map stage — tokenization, shingling, Arrow UDFs — on
-    one or two cores regardless of cluster size). Scale-adaptive: the
-    target is defaultParallelism, never a constant; at real scale the
-    input is already many splits and the extra exchange of raw rows is
-    the cheap side of the trade (it moves each row once so that the
-    expensive map runs on every core)."""
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    expensive per-row work — see :func:`yomitoku_spark.session.fan_out`
+    (guide §2.5 input skew; skips itself when the scan already has
+    ample input files, so it is a no-op at real scale)."""
+    return fan_out(df)
 
 
 def _cents(c) -> F.Column:

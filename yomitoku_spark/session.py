@@ -45,3 +45,32 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def fan_out(df):
+    """Round-robin ``repartition(defaultParallelism)`` of a SMALL scan
+    before expensive per-row map work (optimization guide §2.5 input
+    skew: a sub-row-group parquet file arrives as 1-2 partitions,
+    serializing every downstream map — tokenization, shingling, Arrow
+    UDFs — on one or two cores regardless of cluster size).
+
+    Size-adaptive in BOTH directions: when the relation is already
+    backed by at least ``defaultParallelism`` input files the exchange
+    is skipped entirely — at 100 TB a blanket repartition to the core
+    count would funnel the whole input into a few giant partitions
+    (the opposite of the guide's advice), while the scan itself
+    already yields ample parallel splits. The probe is
+    ``DataFrame.inputFiles()`` (driver-side listing, already cached by
+    the read — measured ~6 ms); it UNDERCOUNTS splits (a large file
+    yields several), so the gate only errs toward keeping today's
+    behavior. Derived relations (no backing files) keep the fan-out.
+    """
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= par:
+        return df
+    return df.repartition(par)
