@@ -857,3 +857,37 @@ class TestFanOut:
         base = docs.select("doc_id").orderBy("doc_id").collect()
         fanned = fan_out(docs.select("doc_id")).orderBy("doc_id").collect()
         assert base == fanned
+
+
+class TestAssignProbesQv:
+    """ivf_assign_probes(with_qv=True): the combined single-pass index
+    artifact (cell + probes + pre-quantized vector) must carry exactly
+    the quantized_vecs values, and must not disturb the ids-only shape
+    consumers (probe-count inference skips the qv column)."""
+
+    def test_qv_matches_quantized_vecs(self, spark, emb):
+        ap = SIM.ivf_assign_probes(emb, with_qv=True, lloyd_iters=1)
+        qv = {r["id"]: list(r["qv"]) for r in ap.select("id", "qv").collect()}
+        ref = {
+            r["id"]: list(r["qv"])
+            for r in SIM.quantized_vecs(emb, "vec_id", "embedding").collect()
+        }
+        assert qv == ref
+
+    def test_candidate_pairs_identical_with_prebuilt_ap(self, spark, emb):
+        ap = SIM.ivf_assign_probes(emb, n_probe=2, with_qv=True)
+        via_ap = SIM.ivf_candidate_pairs(emb, n_probe=2, ap=ap).collect()
+        direct = SIM.ivf_candidate_pairs(emb, n_probe=2).collect()
+        assert sorted(map(tuple, via_ap)) == sorted(map(tuple, direct))
+
+    def test_pq_encode_qv_matches_pq_encode(self, spark, emb):
+        cb = SIM.pq_codebooks(emb)
+        ap = SIM.ivf_assign_probes(emb, with_qv=True)
+        via_qv = {
+            r["id"]: list(r["codes"])
+            for r in SIM.pq_encode_qv(ap, cb).collect()
+        }
+        direct = {
+            r["id"]: list(r["codes"]) for r in SIM.pq_encode(emb, cb).collect()
+        }
+        assert via_qv == direct

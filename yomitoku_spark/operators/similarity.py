@@ -526,14 +526,19 @@ def ivf_flat_topk(
     the inverted-list analog of the LSH path, with candidate count
     ~ n_probe/n_cells of the corpus per query. Each Lloyd sweep adds one
     scan + a tiny driver fold (no shuffle of the corpus)."""
+    # ONE corpus pass: the assignment matmul emits cell + probes + the
+    # pre-quantized int vector together (guide §2.4) — candidates and
+    # both re-rank vector sides all read the same checkpointed artifact
+    ap = ivf_assign_probes(
+        corpus, id_col, vec_col, n_cells, n_probe, scale, lloyd_iters,
+        with_qv=True,
+    )
     pairs = ivf_candidate_pairs(
-        corpus, id_col, vec_col, n_cells, n_probe, scale, lloyd_iters
+        corpus, id_col, vec_col, n_cells, n_probe, scale, lloyd_iters, ap=ap
     )
     # ship PRE-QUANTIZED int vectors through the pair joins: half the
     # exchange/Arrow bytes of the re-rank, identical int64 dots
-    vecs = quantized_vecs(corpus, id_col, vec_col, scale).withColumnRenamed(
-        "qv", "vec"
-    )
+    vecs = ap.select("id", F.col("qv").alias("vec"))
     j = pairs.join(
         vecs.withColumnRenamed("id", "query_id").withColumnRenamed("vec", "qvec"),
         "query_id",
@@ -558,16 +563,23 @@ def ivf_candidate_pairs(
     n_probe: int = 2,
     scale: int = 1000,
     lloyd_iters: int = 0,
+    ap: DataFrame | None = None,
 ) -> DataFrame:
     """The ids-only candidate stage of :func:`ivf_flat_topk` (train /
     assign / probe / cell-join / dedup), exposed separately so bench
     and tests can measure the SCAN FRACTION — candidates per query over
     corpus size — which is the number that decides whether an ANN
-    config is sub-linear or brute force with extra steps."""
-    ap = ivf_assign_probes(
-        corpus, id_col, vec_col, n_cells, n_probe, scale, lloyd_iters
-    )
-    n_probe = sum(1 for c in ap.columns if c.startswith("p"))
+    config is sub-linear or brute force with extra steps.
+
+    ``ap``: a prebuilt :func:`ivf_assign_probes` artifact to read the
+    lists/probes from instead of building one — the topk paths pass
+    their combined (assignment + quantized-vector) checkpoint so the
+    corpus is scanned once, not once per derived table."""
+    if ap is None:
+        ap = ivf_assign_probes(
+            corpus, id_col, vec_col, n_cells, n_probe, scale, lloyd_iters
+        )
+    n_probe = sum(1 for c in ap.columns if c.startswith("p") and c[1:].isdigit())
     lists = ap.select(F.col("id").alias("corpus_id"), "cell")
     probes = ap.select(
         F.col("id").alias("query_id"),
@@ -589,11 +601,21 @@ def ivf_assign_probes(
     n_probe: int = 2,
     scale: int = 1000,
     lloyd_iters: int = 0,
+    with_qv: bool = False,
 ) -> DataFrame:
     """The IVF INDEX itself: per-vector owning cell + top-``n_probe``
     probe cells — (id, cell, p0..p{n_probe-1}), eagerly materialized
     (this ids-only table is what an index BUILD persists; the corpus
-    index-build registry row exposes exactly this artifact)."""
+    index-build registry row exposes exactly this artifact).
+
+    ``with_qv=True`` additionally emits the pre-quantized int32 vector
+    (``qv`` — bit-identical to :func:`quantized_vecs`, which computes
+    the same ``_q_away(x*scale)``): the assignment matmul already HAS
+    the quantized matrix in hand, so the topk paths get their re-rank
+    vector artifact from this single corpus pass instead of scanning
+    and quantizing the corpus a second time (guide §2.4 — one pass,
+    one materialization; this combined (cell, probes, qv) row IS a
+    real IVF index record layout)."""
     cent_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     c_mat = _q_away(np.asarray([r[1] for r in cent_rows], dtype=np.float64) * scale)
     if lloyd_iters > 0:
@@ -624,9 +646,13 @@ def ivf_assign_probes(
             idx = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe]
             for p in range(n_probe):
                 out[f"p{p}"] = c_ids[idx[:, p]]
+            if with_qv:
+                out["qv"] = list(q.astype(np.int32))
             yield pd.DataFrame(out)
 
     schema = "id bigint, cell bigint, " + ", ".join(f"p{p} bigint" for p in range(n_probe))
+    if with_qv:
+        schema += ", qv array<int>"
     ap = corpus.select(id_col, vec_col).mapInPandas(assign, schema=schema)
     # materialize the ids-only assignment table ONCE (cell + probes per
     # id — this IS the IVF inverted index). The probe and list sides
@@ -790,6 +816,33 @@ def pq_encode(
     )
 
 
+def pq_encode_qv(ap: DataFrame, codebooks: np.ndarray) -> DataFrame:
+    """:func:`pq_encode` over an already-quantized (id, qv) artifact
+    (the :func:`ivf_assign_probes` ``with_qv=True`` checkpoint): same
+    integer L2 argmin per subspace, but reading the int32 vectors the
+    assignment pass already produced instead of re-scanning and
+    re-quantizing the corpus (guide §2.4 — the float corpus is read
+    once per query, by the assignment matmul)."""
+    mq, _ncodes, d = codebooks.shape
+    cb = codebooks
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = _mat(pdf["qv"], dtype=np.int64).reshape(len(pdf), mq, d)
+            diff = q[:, :, None, :] - cb[None, :, :, :]
+            d2 = (diff * diff).sum(axis=3)
+            codes = np.argmin(d2, axis=2)  # first (lowest) min wins
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "codes": list(codes.astype(np.int32))}
+            )
+
+    return ap.select("id", "qv").mapInPandas(
+        enc, schema="id bigint, codes array<int>"
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -818,15 +871,23 @@ def ivf_pq_topk(
     scoring, re-rank — reproduces bit-for-bit in the DuckDB oracle."""
     cb = pq_codebooks(corpus, id_col, vec_col, n_codes, m, scale)
     mq, _ncodes, d = cb.shape
-    pairs = ivf_candidate_pairs(
-        corpus, id_col, vec_col, n_cells, n_probe, scale, lloyd_iters
+    # ONE corpus pass (guide §2.4): the assignment matmul emits cell +
+    # probes + the pre-quantized int vector together; candidates, the
+    # PQ encode, and both re-rank vector sides all derive from that
+    # single checkpointed artifact
+    ap = ivf_assign_probes(
+        corpus, id_col, vec_col, n_cells, n_probe, scale, lloyd_iters,
+        with_qv=True,
     )
-    codes = pq_encode(corpus, cb, id_col, vec_col, scale).localCheckpoint(eager=True)
+    pairs = ivf_candidate_pairs(
+        corpus, id_col, vec_col, n_cells, n_probe, scale, lloyd_iters, ap=ap
+    )
+    # lazy encode over the checkpoint: codes feed exactly one consumer
+    # (the ADC join), so the pass runs once without its own checkpoint
+    codes = pq_encode_qv(ap, cb)
     # PRE-QUANTIZED int vectors through every join (guide §2.3 narrower
     # types): same int64 ADC sums and re-rank dots, half the bytes
-    vecs = quantized_vecs(corpus, id_col, vec_col, scale).withColumnRenamed(
-        "qv", "vec"
-    )
+    vecs = ap.select("id", F.col("qv").alias("vec"))
     j = pairs.join(
         codes.select(F.col("id").alias("corpus_id"), "codes"), "corpus_id"
     ).join(
@@ -896,16 +957,17 @@ def semdedup_keepers(
     ``n_cells`` grows ~n/target_list_size so per-cell quadratic work
     stays bounded (AQE skew-join splits oversized cells). This is the
     embedding-space twin of the star-capped LSH text dedup."""
+    # ONE corpus pass: assignment + pre-quantized vector in the same
+    # checkpointed artifact (guide §2.4) — the intra-cell pair sides
+    # read (id, cell, vec) directly, no assignment⋈vector join at all
     ap = ivf_assign_probes(
-        corpus, id_col, vec_col, n_cells, 1, scale, lloyd_iters
+        corpus, id_col, vec_col, n_cells, 1, scale, lloyd_iters,
+        with_qv=True,
     )
     assign = ap.select("id", "cell")
     # PRE-QUANTIZED int vectors through the intra-cell pair join
     # (guide §2.3 narrower types) — identical int64 dots
-    vecs = quantized_vecs(corpus, id_col, vec_col, scale).withColumnRenamed(
-        "qv", "vec"
-    )
-    wv = assign.join(vecs, "id")
+    wv = ap.select("id", "cell", F.col("qv").alias("vec"))
     a = wv.select("cell", F.col("id").alias("id_a"), F.col("vec").alias("va"))
     b = wv.select("cell", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
     dq = dot_int_arrow()(F.col("va"), F.col("vb"))
