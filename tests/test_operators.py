@@ -891,3 +891,24 @@ class TestAssignProbesQv:
             r["id"]: list(r["codes"]) for r in SIM.pq_encode(emb, cb).collect()
         }
         assert via_qv == direct
+
+    def test_lsh_qv_on_base_rows_matches_quantized_vecs(self, spark, emb):
+        sigs = SIM.lsh_buckets_quantized(
+            emb, n_flip=2, with_qv=True
+        )
+        base = sigs.filter((F.col("table") == 0) & (F.col("probe") == 0))
+        qv = {r["id"]: list(r["qv"]) for r in base.select("id", "qv").collect()}
+        ref = {
+            r["id"]: list(r["qv"])
+            for r in SIM.quantized_vecs(emb, "vec_id", "embedding").collect()
+        }
+        assert qv == ref
+        # every non-(0,0) row stays ids-only
+        others = sigs.filter((F.col("table") != 0) | (F.col("probe") != 0))
+        assert others.filter(F.col("qv").isNotNull()).count() == 0
+        # bucket/probe rows themselves are unchanged by with_qv
+        plain = SIM.lsh_buckets_quantized(emb, n_flip=2)
+        lhs = sorted(
+            map(tuple, sigs.select("id", "table", "bucket", "probe").collect())
+        )
+        assert lhs == sorted(map(tuple, plain.collect()))

@@ -300,6 +300,7 @@ def lsh_buckets_quantized(
     n_tables: int = 2,
     scale: int = 1000,
     n_flip: int = 0,
+    with_qv: bool = False,
 ) -> DataFrame:
     """Integer-exact LSH buckets: vectors quantized to round(x·scale)
     int64, bucket bit p of table t = [q · plane(t,p) > 0]. One numpy
@@ -315,7 +316,15 @@ def lsh_buckets_quantized(
     QUERY side only, no extra tables, no bigger index.
 
     Output (id, table, bucket, probe) — probe=0 is the base bucket (the
-    index side); probe=1..n_flip are query-side probes."""
+    index side); probe=1..n_flip are query-side probes.
+
+    ``with_qv=True`` additionally carries the pre-quantized int32
+    vector (bit-identical to :func:`quantized_vecs`) on each id's
+    (table 0, probe 0) row — the bucketing matmul already holds the
+    quantized matrix, so the topk path gets its re-rank vector
+    artifact from this single corpus pass instead of scanning and
+    quantizing the corpus a second time (guide §2.4); every other row
+    carries NULL so the index stays ids-only."""
     planes = signed_planes_md5(dim, n_planes, n_tables)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
@@ -330,27 +339,26 @@ def lsh_buckets_quantized(
             for t in range(n_tables):
                 d = q @ planes[t].T  # (n, n_planes), exact int dot
                 bucket = ((d > 0).astype(np.int64) * weights).sum(axis=1)
-                frames.append(
-                    pd.DataFrame(
-                        {"id": ids, "table": np.int32(t), "bucket": bucket,
-                         "probe": np.int32(0)}
-                    )
-                )
+                base = {"id": ids, "table": np.int32(t), "bucket": bucket,
+                        "probe": np.int32(0)}
+                if with_qv:
+                    base["qv"] = list(q.astype(np.int32)) if t == 0 else None
+                frames.append(pd.DataFrame(base))
                 if n_flip:
                     order = np.argsort(np.abs(d), axis=1, kind="stable")
                     for f in range(min(n_flip, n_planes)):
                         fb = bucket ^ (np.int64(1) << order[:, f].astype(np.int64))
-                        frames.append(
-                            pd.DataFrame(
-                                {"id": ids, "table": np.int32(t), "bucket": fb,
-                                 "probe": np.int32(f + 1)}
-                            )
-                        )
+                        probe = {"id": ids, "table": np.int32(t),
+                                 "bucket": fb, "probe": np.int32(f + 1)}
+                        if with_qv:
+                            probe["qv"] = None
+                        frames.append(pd.DataFrame(probe))
             yield pd.concat(frames, ignore_index=True)
 
-    return df.select(id_col, vec_col).mapInPandas(
-        sig, schema="id bigint, table int, bucket bigint, probe int"
-    )
+    schema = "id bigint, table int, bucket bigint, probe int"
+    if with_qv:
+        schema += ", qv array<int>"
+    return df.select(id_col, vec_col).mapInPandas(sig, schema=schema)
 
 
 def lsh_ann_topk_quantized(
@@ -377,14 +385,18 @@ def lsh_ann_topk_quantized(
 
     Same shuffle discipline as :func:`lsh_ann_topk`: vectors never ride
     through candidate generation; they join back once for the re-rank."""
+    # ONE corpus pass (guide §2.4): bucketing emits the pre-quantized
+    # vector on each id's (table 0, probe 0) row, so the re-rank
+    # vector sides read the same checkpointed signature artifact
     sigs = lsh_buckets_quantized(
-        corpus, id_col, vec_col, dim, n_planes, n_tables, scale, n_flip
+        corpus, id_col, vec_col, dim, n_planes, n_tables, scale, n_flip,
+        with_qv=True,
     )
-    # materialize the ids-only signature table ONCE (3 ints/row/table —
-    # this IS the LSH index). A repartition barrier does NOT get reused
-    # across the self-join branches (verified: two Arrow bucketing
-    # nodes in the plan, no ReusedExchange), so without this the corpus
-    # is re-bucketed twice.
+    # materialize the signature table ONCE (3 ints/row/table + one qv
+    # per id — this IS the LSH index). A repartition barrier does NOT
+    # get reused across the self-join branches (verified: two Arrow
+    # bucketing nodes in the plan, no ReusedExchange), so without this
+    # the corpus is re-bucketed twice.
     sigs = sigs.localCheckpoint(eager=True)
     a = sigs.select(F.col("id").alias("query_id"), "table", "bucket")
     b = sigs.filter(F.col("probe") == 0).select(
@@ -398,8 +410,9 @@ def lsh_ann_topk_quantized(
     )
     # ship PRE-QUANTIZED int vectors through the pair joins: half the
     # exchange/Arrow bytes of the re-rank, identical int64 dots
-    vecs = quantized_vecs(corpus, id_col, vec_col, scale).withColumnRenamed(
-        "qv", "vec"
+    vecs = (
+        sigs.filter((F.col("table") == 0) & (F.col("probe") == 0))
+        .select("id", F.col("qv").alias("vec"))
     )
     j = pairs.join(
         vecs.withColumnRenamed("id", "query_id").withColumnRenamed("vec", "qvec"),
