@@ -39,6 +39,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ContextCleaner only reclaims shuffle files / broadcast blocks
+        # when driver GC collects their references; with a 32g heap a
+        # long session (the 59-query bench, a day-long cluster app)
+        # accumulates them for the default 30 MINUTES, and that
+        # block-manager pressure bleeds into later queries' walls.
+        # A 1-minute periodic GC bounds the accumulation at a cost of
+        # ~10ms/min of driver GC — same setting a long-lived cluster
+        # driver would run with.
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
