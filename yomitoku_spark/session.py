@@ -48,6 +48,13 @@ def get_spark(
         # ~10ms/min of driver GC — same setting a long-lived cluster
         # driver would run with.
         .config("spark.cleaner.periodicGC.interval", "1min")
+        # ...and make that explicit System.gc() a CONCURRENT G1 cycle
+        # instead of a stop-the-world full GC, so the periodic cleanup
+        # costs background CPU rather than a multi-hundred-ms pause
+        # landing inside whatever query is running when it fires
+        .config(
+            "spark.driver.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent"
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
